@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the extraction workload."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rca-extraction",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    arrow_max_records: int = 64,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build a SparkSession with the engine's defaults.
+
+    * Arrow enabled (every heavy operator is an Arrow-batched pandas UDF);
+    * small ``maxRecordsPerBatch`` — docs are wide nested rows, so batch
+      memory is bounded by record count, not bytes;
+    * AQE on: runtime coalescing + skew handling complement the explicit
+      doc_id salting (operators/skew.py);
+    * shuffle partitions sized for the local harness; on a real cluster this
+      is ``spark.sql.shuffle.partitions`` = 2-3x total cores.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def package_zip() -> str:
+    """Zip this package for ``spark-submit --py-files`` style shipping.
+    Cached per process in the temp dir."""
+    pkg_dir = Path(__file__).resolve().parent
+    out = Path(tempfile.gettempdir()) / f"rca_pkg_{os.getpid()}"
+    zip_path = out.with_suffix(".zip")
+    if not zip_path.exists():
+        shutil.make_archive(str(out), "zip", root_dir=pkg_dir.parent,
+                            base_dir=pkg_dir.name)
+    return str(zip_path)
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executors regardless of driver cwd —
+    the in-process equivalent of ``spark-submit --py-files`` (north_rule
+    deployment requirement).  Idempotent."""
+    sc = spark.sparkContext
+    if not getattr(sc, "_rca_pkg_shipped", False):
+        sc.addPyFile(package_zip())
+        sc._rca_pkg_shipped = True

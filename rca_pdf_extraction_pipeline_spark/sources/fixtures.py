@@ -1,0 +1,290 @@
+"""Deterministic fixture generator for the interleaved docs table.
+
+Synthesizes ``docs(doc_id, spans)`` rows whose extraction output must equal
+the reference pipeline's golden artifacts (FIXTURES.md §3):
+
+  * ``golden-doc-w20552`` — a 253-page document whose keyword classification
+    reproduces ``golden_page_classification.parquet`` exactly and whose 4
+    table pages (39-42) carry header-band spans + vertical data blocks that
+    decode to all 138 rows of ``golden_table_rows.parquet``.
+  * per-branch parser docs (``parse-*``), classification archetypes
+    (``classify-*``), media passthrough and skew fixtures.
+
+The table-page data blocks are built by INVERTING the reference decoder
+(core_analysis.py:580-712): for each golden CSV row we emit the vertical
+line list its branch would have consumed.  Round-tripping through our
+vectorized decoder is therefore a genuine correctness check, not a tautology.
+
+Span payload encoding (config.PAYLOAD_SEP):
+    text = "<page>,<x0>,<y0>,<x1>,<y1>|<content>"   geometry-bearing
+    text = "<page>|<content>"                        page-only (no geometry)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..config import GOLDEN_EXTRACTED_HEADERS
+
+GOLDEN_DIR = Path(__file__).resolve().parent.parent / "golden"
+
+#: header-band fragment geometry: (content, y0, x_center, spanning)
+#: flattens to the 11 golden headers via H1 (see kernels/headers.py)
+HEADER_FRAGMENTS: list[tuple[str, float, float]] = [
+    ("Core", 193, 62), ("Number", 204, 62),
+    ("Sample", 193, 110), ("Number", 204, 110),
+    ("Sample", 181, 167), ("Depth,", 193, 167), ("feet", 204, 167),
+    ("Permeability,", 193, 259), ("millidarcys", 204, 259),  # spans cols 3-4
+    ("to Air", 215, 230), ("Klinkenberg", 215, 292),
+    ("Porosity,", 193, 367), ("percent", 204, 367),          # spans cols 5-6
+    ("Ambient", 215, 350), ("NCS", 215, 392),
+    ("Grain", 193, 430), ("Density,", 204, 430), ("gm/cc", 215, 430),
+    ("Fluid", 181, 506), ("Saturations,", 193, 506), ("percent", 204, 506),
+    ("Water", 215, 470), ("Oil", 215, 510), ("Total", 215, 550),
+]
+
+TABLE_PAGE_TITLE = "SUMMARY OF ROUTINE CORE ANALYSES RESULTS"
+
+#: deterministic keyword-free narrative filler for 'text' pages (>500 chars,
+#: zero C1 table keywords)
+_NARRATIVE = (
+    "The laboratory team documented each step of the measurement campaign "
+    "in the daily log. Instruments were calibrated before every session and "
+    "the ambient conditions were recorded alongside the readings. Results "
+    "were reviewed by two analysts and archived with the station metadata. "
+    "Deviations from the expected ranges were flagged for follow-up and the "
+    "affected runs were repeated on the next day. The final report collects "
+    "the validated readings, the calibration notes, and the reviewer "
+    "remarks for the full campaign period under revision control. "
+)
+
+
+def load_golden_rows() -> pd.DataFrame:
+    return pd.read_parquet(GOLDEN_DIR / "golden_table_rows.parquet")
+
+
+def load_golden_classification() -> pd.DataFrame:
+    return pd.read_parquet(GOLDEN_DIR / "golden_page_classification.parquet")
+
+
+def _fmt_depth_input(cell: str) -> str:
+    """Invert depth parse: CSV '9580.5' -> source line '9,580.50'
+    (must satisfy RE_DEPTH: ^\\d{1,2},?\\d{3}\\.\\d{2}$)."""
+    return f"{float(cell):,.2f}"
+
+
+def row_to_lines(row: pd.Series) -> list[str]:
+    """Invert P2: golden CSV row -> the vertical line list the reference
+    decoder consumes (branch selected by the permeability cell)."""
+    lines = [row.core_number, row.sample_number, _fmt_depth_input(row.depth_feet)]
+    pa = row.permeability_air_md
+    if pa == "+":
+        lines += ["+", row.porosity_ambient_pct, row.grain_density_gcc]
+    elif pa.startswith("<"):
+        lines += [pa, row.porosity_ambient_pct, row.porosity_ncs_pct,
+                  row.grain_density_gcc]
+    else:
+        lines += [pa, row.permeability_klink_md, row.porosity_ambient_pct,
+                  row.porosity_ncs_pct, row.grain_density_gcc]
+    if row.saturation_water_pct == "**":
+        lines.append("**")
+    else:
+        for cell in (row.saturation_water_pct, row.saturation_oil_pct,
+                     row.saturation_total_pct):
+            if cell == "":
+                break
+            lines.append(cell)
+    return [l for l in lines if l != ""]
+
+
+def _geom(page: int, x0: float, y0: float, x1: float, y1: float, content: str) -> str:
+    return f"{page},{x0:g},{y0:g},{x1:g},{y1:g}|{content}"
+
+
+def _pageonly(page: int, content: str) -> str:
+    return f"{page}|{content}"
+
+
+def _span(kind: str, text: str, media_ref: str | None, offset: int) -> dict:
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def build_table_page_spans(page: int, rows: pd.DataFrame, offset0: int,
+                           with_image: bool = True) -> list[dict]:
+    """All spans of one synthetic table page, in reading order."""
+    spans: list[dict] = []
+    off = offset0
+    spans.append(_span("text", _geom(page, 40, 100, 400, 112, TABLE_PAGE_TITLE), None, off)); off += 1
+    for content, y, cx in HEADER_FRAGMENTS:
+        spans.append(_span("text", _geom(page, cx - 15, y, cx + 15, y + 9, content), None, off))
+        off += 1
+    block_lines: list[str] = []
+    for _, r in rows.iterrows():
+        block_lines.extend(row_to_lines(r))
+    spans.append(_span("text", _geom(page, 40, 250, 570, 700, "\n".join(block_lines)), None, off)); off += 1
+    # grid lines so the structural classifier also sees a table
+    for i in range(4):
+        spans.append(_span("line", _geom(page, 40, 250 + 100 * i, 570, 250 + 100 * i, ""), None, off)); off += 1
+    for i in range(4):
+        spans.append(_span("line", _geom(page, 40 + 130 * i, 250, 40 + 130 * i, 700, ""), None, off)); off += 1
+    if with_image:
+        spans.append(_span("image", _geom(page, 400, 710, 500, 760, ""),
+                           f"page{page:04d}_img0000.png", off)); off += 1
+    return spans
+
+
+def build_simple_page_spans(page: int, page_type: str, offset0: int) -> list[dict]:
+    """Spans for a non-table page matching the golden classification label."""
+    off = offset0
+    if page_type == "text":
+        content = (_NARRATIVE * 2)[:620] + f" Station entry {page}."
+        return [_span("text", _pageonly(page, content), None, off)]
+    if page_type == "plot":
+        return [
+            _span("text", _geom(page, 40, 80, 300, 92, "PROFILE PLOT"), None, off),
+            _span("text", _geom(page, 40, 100, 300, 112,
+                                f"Depth chart for interval {page}"), None, off + 1),
+            _span("rect", _geom(page, 60, 150, 500, 600, ""), None, off + 2),
+        ]
+    if page_type == "cover":
+        return [
+            _span("text", _geom(page, 40, 80, 300, 92, "TABLE OF CONTENTS"), None, off),
+            _span("text", _geom(page, 40, 100, 300, 112, "Listing of report sections"),
+                  None, off + 1),
+        ]
+    # 'other' — minimal text (<50 chars total)
+    return [_span("text", _pageonly(page, f"Page {page}"), None, off)]
+
+
+def build_golden_doc(doc_id: str = "golden-doc-w20552") -> dict:
+    """The full 253-page synthetic twin of W20552.pdf."""
+    cls = load_golden_classification()
+    rows = load_golden_rows()
+    spans: list[dict] = []
+    for _, pc in cls.sort_values("page").iterrows():
+        page, ptype = int(pc.page), pc.page_type
+        if ptype == "table":
+            prows = rows[rows.page_number == str(page)]
+            spans.extend(build_table_page_spans(page, prows, len(spans)))
+        else:
+            spans.extend(build_simple_page_spans(page, ptype, len(spans)))
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def expected_golden_output(doc_id: str = "golden-doc-w20552") -> dict:
+    """golden_spans for the golden doc: 12 header fields + 138x12 cell
+    fields in row-major order + per-page media passthrough."""
+    rows = load_golden_rows().sort_values("row_idx")
+    spans: list[dict] = []
+    for h in GOLDEN_EXTRACTED_HEADERS:
+        spans.append(_span("field", h, None, len(spans)))
+    cols = [c for c in rows.columns if c != "row_idx"]
+    for page in ["39", "40", "41", "42"]:
+        prows = rows[rows.page_number == page]
+        for _, r in prows.iterrows():
+            for c in cols:
+                spans.append(_span("field", r[c], None, len(spans)))
+        spans.append(_span("image", "", f"page{int(page):04d}_img0000.png", len(spans)))
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def build_parser_branch_docs() -> list[dict]:
+    """Single-page docs exercising each P2 branch (FIXTURES.md §3).
+    Expected outputs derive from the golden rows with matching shapes."""
+    rows = load_golden_rows()
+    picks = {
+        "parse-normal": 0,     # 1-1 numeric branch
+        "parse-plus": 1,       # 1-2(F) '+' branch
+        "parse-detect": 2,     # 1-3 '<0.0001' branch
+        "parse-star": 7,       # 1-8 '**' saturations
+        "parse-fracture": 8,   # 1-9(f) lowercase fracture
+    }
+    docs = []
+    for doc_id, ridx in picks.items():
+        r = rows[rows.row_idx == ridx]
+        docs.append({"doc_id": doc_id,
+                     "spans": build_table_page_spans(39, r, 0, with_image=False)})
+    # guard doc: 25 junk lines -> no samples (MAX_SAMPLE_LINES)
+    junk = "\n".join(["7", "7-1", "9,700.00"] + ["line"] * 22)
+    docs.append({
+        "doc_id": "parse-toolong",
+        "spans": [
+            _span("text", _geom(39, 40, 100, 400, 112, TABLE_PAGE_TITLE), None, 0),
+            _span("text", _geom(39, 40, 250, 570, 700, junk), None, 1),
+        ],
+    })
+    return docs
+
+
+def expected_branch_output(doc_id: str) -> dict:
+    rows = load_golden_rows()
+    picks = {"parse-normal": 0, "parse-plus": 1, "parse-detect": 2,
+             "parse-star": 7, "parse-fracture": 8}
+    spans: list[dict] = []
+    for h in GOLDEN_EXTRACTED_HEADERS:
+        spans.append(_span("field", h, None, len(spans)))
+    if doc_id in picks:
+        r = rows[rows.row_idx == picks[doc_id]].iloc[0]
+        for c in [c for c in rows.columns if c != "row_idx"]:
+            spans.append(_span("field", r[c], None, len(spans)))
+    elif doc_id == "parse-toolong":
+        spans = spans  # headers only; no sample rows survive the guard
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def build_classify_docs() -> list[dict]:
+    """One-page docs for each C1 archetype."""
+    out = []
+    for doc_id, ptype, page in [
+        ("classify-plot", "plot", 1),
+        ("classify-cover", "cover", 1),
+        ("classify-text", "text", 1),
+        ("classify-other", "other", 1),
+    ]:
+        out.append({"doc_id": doc_id, "spans": build_simple_page_spans(page, ptype, 0)})
+    rows = load_golden_rows().head(3)
+    out.append({"doc_id": "classify-table",
+                "spans": build_table_page_spans(1, rows, 0, with_image=False)})
+    return out
+
+
+def build_skew_docs(n_small: int = 40, big_factor: int = 100) -> list[dict]:
+    """Skew fixture: n_small single-table-page docs + one doc with
+    ``big_factor`` replicated table pages (the oversized-PDF case)."""
+    rows = load_golden_rows()
+    docs = []
+    small_rows = rows[rows.page_number == "42"]  # 6 rows -> small doc
+    for i in range(n_small):
+        docs.append({"doc_id": f"skew-small-{i:03d}",
+                     "spans": build_table_page_spans(39, small_rows, 0)})
+    spans: list[dict] = []
+    for p in range(big_factor):
+        page_rows = rows[rows.page_number == ["39", "40", "41", "42"][p % 4]]
+        spans.extend(build_table_page_spans(39 + p, page_rows, len(spans)))
+    docs.append({"doc_id": "skew-big", "spans": spans})
+    return docs
+
+
+def docs_to_pandas(docs: list[dict]) -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": [d["doc_id"] for d in docs],
+                         "spans": [d["spans"] for d in docs]})
+
+
+SPAN_SCHEMA_DDL = (
+    "doc_id string, spans array<struct<kind:string, text:string, "
+    "media_ref:string, offset:int>>"
+)
+
+
+def docs_to_spark(spark, docs: list[dict]):
+    """Materialize fixture docs as a Spark DataFrame with the canonical
+    interleaved-docs schema."""
+    rows = [
+        (d["doc_id"],
+         [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+        for d in docs
+    ]
+    return spark.createDataFrame(rows, schema=SPAN_SCHEMA_DDL)

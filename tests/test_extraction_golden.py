@@ -1,0 +1,112 @@
+"""End-to-end golden tests: the synthetic 253-page twin of W20552.pdf must
+classify and extract EXACTLY as the reference's committed golden outputs
+(span-sequence equality on kind, text, media_ref, order — BASELINE.json
+per-row invariant)."""
+
+import pandas as pd
+import pytest
+
+from rca_pdf_extraction_pipeline_spark.config import (
+    DEFAULT_CONFIG,
+    GOLDEN_EXTRACTED_HEADERS,
+)
+from rca_pdf_extraction_pipeline_spark.operators.extraction import (
+    _assemble_output,
+    _extract_batch,
+    classify_flat,
+    flatten_spans,
+)
+from rca_pdf_extraction_pipeline_spark.sources import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def golden_doc():
+    return fx.build_golden_doc()
+
+
+@pytest.fixture(scope="module")
+def batch_result(golden_doc):
+    pdf = fx.docs_to_pandas([golden_doc])
+    return _extract_batch(pdf, DEFAULT_CONFIG)
+
+
+def test_classification_matches_golden_253_pages(batch_result):
+    got = batch_result["cls"][["page", "page_type"]].sort_values("page")
+    want = fx.load_golden_classification().sort_values("page")
+    assert len(got) == 253
+    mism = [
+        (int(p), g, w)
+        for p, g, w in zip(want.page, got.page_type, want.page_type)
+        if g != w
+    ]
+    assert mism == []
+
+
+def test_table_pages_are_39_to_42(batch_result):
+    tp = sorted(batch_result["table_pages"]["page"])
+    assert tp == [39, 40, 41, 42]
+
+
+def test_all_138_samples_match_golden_cells(batch_result):
+    golden = fx.load_golden_rows().sort_values("row_idx").reset_index(drop=True)
+    got = batch_result["samples"].sort_values("row_idx").reset_index(drop=True)
+    assert len(got) == 138
+    cell_cols = [c for c in golden.columns if c not in ("row_idx", "page_number")]
+    for c in cell_cols:
+        mism = [(i, a, b) for i, (a, b) in enumerate(zip(got[c], golden[c])) if a != b]
+        assert mism == [], f"column {c}: {mism[:5]}"
+    assert [str(p) for p in got.page_number] == list(golden.page_number)
+
+
+def test_rows_per_page_distribution(batch_result):
+    counts = batch_result["samples"].groupby("page_number").size().to_dict()
+    assert counts == {39: 44, 40: 44, 41: 44, 42: 6}
+
+
+def test_headers_flattened_on_all_table_pages(batch_result):
+    hdr = batch_result["headers"]
+    for page in (39, 40, 41, 42):
+        h = hdr[hdr.page == page].sort_values("col")["header"].tolist()
+        assert h == GOLDEN_EXTRACTED_HEADERS[:-1], f"page {page}"
+
+
+def test_golden_span_sequence_equality(golden_doc, batch_result):
+    pdf = fx.docs_to_pandas([golden_doc])
+    out = _assemble_output(pdf["doc_id"], batch_result["samples"],
+                           batch_result["flat"], batch_result["table_pages"],
+                           DEFAULT_CONFIG)
+    got = out.iloc[0]["spans"]
+    want = fx.expected_golden_output()["spans"]
+    assert len(got) == len(want) == 12 + 138 * 12 + 4
+    for g, w in zip(got, want):
+        assert (g["kind"], g["text"], g["media_ref"], g["offset"]) == (
+            w["kind"], w["text"], w["media_ref"], w["offset"])
+
+
+def test_parser_branch_docs_span_equality():
+    docs = fx.build_parser_branch_docs()
+    pdf = fx.docs_to_pandas(docs)
+    r = _extract_batch(pdf, DEFAULT_CONFIG)
+    out = _assemble_output(pdf["doc_id"], r["samples"], r["flat"],
+                           r["table_pages"], DEFAULT_CONFIG)
+    for _, row in out.iterrows():
+        want = fx.expected_branch_output(row.doc_id)["spans"]
+        got = row.spans
+        assert len(got) == len(want), row.doc_id
+        for g, w in zip(got, want):
+            assert (g["kind"], g["text"], g["media_ref"], g["offset"]) == (
+                w["kind"], w["text"], w["media_ref"], w["offset"]), row.doc_id
+
+
+def test_classify_archetype_docs():
+    docs = fx.build_classify_docs()
+    pdf = fx.docs_to_pandas(docs)
+    cls = classify_flat(flatten_spans(pdf))
+    got = dict(zip(cls.doc_id, cls.page_type))
+    assert got == {
+        "classify-plot": "plot",
+        "classify-cover": "cover",
+        "classify-text": "text",
+        "classify-other": "other",
+        "classify-table": "table",
+    }
