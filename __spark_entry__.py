@@ -1,38 +1,836 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over sf0.001 corpus + golden
+fixture docs. ``queries()``/``oracle_sql()`` — one entry per operator
+family from SURVEY.md §2 plus the training-data pipeline operators
+(dedup / similarity / text analytics); each Spark query has an exact
+ANSI-SQL DuckDB twin unless the op is non-SQL-expressible (the nested
+span extraction itself, which is oracled against committed golden
+parquet instead).
+
+Cross-engine determinism rules used throughout (see
+rca_pdf_extraction_pipeline_spark/functions/*):
+  * all hashes derive from md5 (both engines agree bit-for-bit);
+  * vector math is double-precision left-to-right accumulation;
+  * floats in outputs are rounded; top-k always has a unique tie-break;
+  * timestamps are compared via wall-clock ``timestampdiff`` against a
+    fixed NTZ epoch — no session-timezone dependence.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rca_pdf_extraction_pipeline_spark.config import GOLDEN_EXTRACTED_HEADERS
+from rca_pdf_extraction_pipeline_spark.functions import classify_expr
+from rca_pdf_extraction_pipeline_spark.operators import (
+    dedup,
+    extraction,
+    similarity,
+    skew,
+    textanalysis,
+)
+from rca_pdf_extraction_pipeline_spark.sources import fixtures
+
+GOLDEN = REPO / "rca_pdf_extraction_pipeline_spark" / "golden"
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # the testdata files are single-row-group parquet (unsplittable),
+        # so CPU-heavy per-document ops (md5 shingling, cascades) would
+        # run single-task; round-robin them across cores. On a cluster
+        # the input arrives as many splits and this is a no-op choice.
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df
+
+
+def _fixture_docs(spark: SparkSession) -> DataFrame:
+    docs = [fixtures.build_golden_doc()] + fixtures.build_parser_branch_docs()
+    return fixtures.docs_to_spark(spark, docs)
+
+
+def _golden_doc(spark: SparkSession) -> DataFrame:
+    return fixtures.docs_to_spark(spark, [fixtures.build_golden_doc()])
+
+
+#: deterministic keyword injection so the C1 cascade exercises every
+#: branch on the synthetic corpus — mirrored verbatim in the oracle SQL
+def _page_text_col() -> F.Column:
+    d = F.col("doc_id") % 11
+    inj = (
+        F.when(d == 0, F.lit(" SUMMARY OF ROUTINE CORE ANALYSES RESULTS"))
+        .when(d == 1, F.lit(" PROFILE PLOT"))
+        .when(d == 2, F.lit(" Permeability Porosity Core Number data"))
+        .when(d == 3, F.lit(" TABLE OF CONTENTS"))
+        .when(d == 4, F.lit(" CROSS PLOT VERSUS POROSITY"))
+        .when(d == 5, F.lit(" Core Number Sample Number Permeability Porosity ROUTINE CORE ANALYSIS"))
+        .otherwise(F.lit(""))
+    )
+    return F.when(d == 6, F.substring(F.col("text"), 1, 20)) \
+            .otherwise(F.concat(F.col("text"), inj))
+
+
+_SQL_PAGE_TEXT = """
+    CASE WHEN doc_id % 11 = 6 THEN substr(text, 1, 20)
+         ELSE text || CASE doc_id % 11
+            WHEN 0 THEN ' SUMMARY OF ROUTINE CORE ANALYSES RESULTS'
+            WHEN 1 THEN ' PROFILE PLOT'
+            WHEN 2 THEN ' Permeability Porosity Core Number data'
+            WHEN 3 THEN ' TABLE OF CONTENTS'
+            WHEN 4 THEN ' CROSS PLOT VERSUS POROSITY'
+            WHEN 5 THEN ' Core Number Sample Number Permeability Porosity ROUTINE CORE ANALYSIS'
+            ELSE '' END
+    END"""
+
+_SQL_SCORE = """
+    (CASE WHEN contains(upper(page_text), 'SUMMARY OF ROUTINE CORE ANALYSES') THEN 1 ELSE 0 END
+   + CASE WHEN contains(upper(page_text), 'ROUTINE CORE ANALYSIS') THEN 1 ELSE 0 END
+   + CASE WHEN contains(upper(page_text), 'CORE NUMBER') THEN 1 ELSE 0 END
+   + CASE WHEN contains(upper(page_text), 'SAMPLE NUMBER') THEN 1 ELSE 0 END
+   + CASE WHEN contains(upper(page_text), 'PERMEABILITY') THEN 1 ELSE 0 END
+   + CASE WHEN contains(upper(page_text), 'POROSITY') THEN 1 ELSE 0 END)"""
+
+#: toks / distinct word-3-gram shingle set over documents.text —
+#: the exact SQL twin of functions/text.shingle_set
+_SQL_SHINGLE_BASE = """
+base AS (
+  SELECT *, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT *, list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [text] END) AS shset
+  FROM base
+)"""
+
+_SQL_MS = "datediff('millisecond', TIMESTAMP '2024-01-01 00:00:00', ts)"
+
+_N_SIMHASH_BITS = 16
+_SIGN_BUCKET_SQL = "(" + " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END" for i in range(8)
+) + ")::BIGINT"
+
+
+def _ms_col() -> F.Column:
+    """Wall-clock millis since a fixed NTZ epoch — session-timezone-free
+    (events.ts is parquet TIMESTAMP_NTZ in both engines)."""
+    return F.expr(
+        "timestampdiff(MILLISECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', "
+        "cast(ts as timestamp_ntz))"
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end extraction over the sf0.001 corpus (wrapped
+    into the interleaved (doc_id, spans) model) unioned with the golden
+    fixture documents; returns the exploded output span sequences."""
+    raw = _t(spark, "/root/testdata/sf0.001", "documents")
+    wrapped = raw.select(
+        F.concat(F.lit("corpus-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("1|"), F.col("text")).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    docs = skew.salted_repartition(wrapped.unionByName(_fixture_docs(spark)))
+    out = extraction.extract_documents(docs)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+
+
+# ---- extraction pipeline (golden-fixture oracles) -------------------------
+
+
+def _q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extraction.extract_documents(_fixture_docs(spark))
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+
+
+def _q_classify_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extraction.classify_documents(_golden_doc(spark)).select("page", "page_type")
+
+
+def _q_samples_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = extraction.extract_samples(_golden_doc(spark))
+    cells = [c for c in s.columns
+             if c not in ("doc_id", "page_number", "row_idx", "depth_feet_f",
+                          "porosity_ambient_pct_f")]
+    return s.select("row_idx", *cells,
+                    F.col("page_number").cast("string").alias("page_number"))
+
+
+def _q_headers_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extraction.extract_headers(_golden_doc(spark)).select("page", "col", "header")
+
+
+# ---- relational operator parity over the TPC-H-ish tables -----------------
+
+
+def _q_a0_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def _q_j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = c["c_custkey"] == o["o_custkey"]
+    semi = c.join(o, cond, "left_semi").agg(F.count(F.lit(1)).alias("n_customers")) \
+            .select(F.lit("with_orders").alias("kind"), "n_customers")
+    anti = c.join(o, cond, "left_anti").agg(F.count(F.lit(1)).alias("n_customers")) \
+            .select(F.lit("without_orders").alias("kind"), "n_customers")
+    return semi.unionByName(anti)
+
+
+def _q_o3_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice")
+             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+             .limit(10))
+
+
+def _q_j5_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_type").distinct()
+    a = p.select(F.col("p_type").alias("p_type_a"))
+    b = p.select(F.col("p_type").alias("p_type_b"))
+    lev = F.levenshtein(F.col("p_type_a"), F.col("p_type_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("p_type_a") < F.col("p_type_b"))
+        .select("p_type_a", "p_type_b", lev.alias("lev"))
+        .filter(F.col("lev") <= 8)
+    )
+
+
+# ---- window / sequence operators over events ------------------------------
+
+
+def _w(ordered: bool = True) -> Window:
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def _q_w1_lead_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = _w()
+    return (
+        ev.withColumn("t1", F.lead("event_type", 1).over(w))
+        .withColumn("t2", F.lead("event_type", 2).over(w))
+        .filter((F.col("event_type") == "view") & (F.col("t1") == "click")
+                & (F.col("t2") == "purchase"))
+        .select("user_id", "event_id")
+    )
+
+
+def _q_w2_cumsum_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sess = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(_w())
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def _q_w3_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    rn = F.row_number().over(_w())
+    return (ev.withColumn("order_rank", rn)
+              .filter(F.col("order_rank") <= 3)
+              .select("user_id", "order_rank", "event_id"))
+
+
+def _q_a1_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        " ",
+    )
+    return ev.groupBy("user_id").agg(seq.alias("event_seq"))
+
+
+def _q_a7_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("ms", _ms_col())
+    g = (ev.withColumn("gap", F.col("ms") - F.lag("ms", 1).over(_w()))
+           .filter(F.col("gap").isNotNull()))
+    g2 = g.withColumn("avg_gap", F.avg("gap").over(Window.partitionBy("user_id")))
+    regular = F.when(
+        (F.col("gap") >= 0.5 * F.col("avg_gap")) & (F.col("gap") <= 1.5 * F.col("avg_gap")),
+        1.0,
+    ).otherwise(0.0)
+    return g2.groupBy("user_id").agg(
+        F.round(F.avg("gap"), 4).alias("mean_gap_ms"),
+        F.round(F.avg(regular), 6).alias("regular_share"),
+    )
+
+
+def _q_f3_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter(F.col("value").between(5, 50))
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# ---- classification + scalar functions over documents ---------------------
+
+
+def _q_c1_keyword_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn("page_text", _page_text_col())
+    cls = classify_expr.keyword_cascade(F.col("page_text"))
+    return d.select("doc_id", cls.alias("c")).select(
+        "doc_id", "c.page_type", "c.confidence", "c.reason"
+    )
+
+
+def _q_a5_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn("page_text", _page_text_col())
+    return d.select(
+        "doc_id", classify_expr.table_keyword_score(F.col("page_text")).alias("kw_score")
+    )
+
+
+def _q_x_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(F.lit("  "), F.substring("text", 1, 15), F.lit("   "),
+                     F.substring("text", 16, 15), F.lit("  "))
+    sample_id = F.concat(
+        (F.col("doc_id") % 30 + 1).cast("string"), F.lit("-"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("(f)"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("(F)"))
+         .otherwise(F.lit("")),
+    )
+    risky = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("=SUM(A1)"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("+"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("-1"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("@cmd"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("<0.0001"))
+        .otherwise(F.lit("plain"))
+    )
+    sanitized = (
+        F.when(risky.isin("+", "**", "-", "<0.0001", "<"), risky)
+        .when(F.substring(risky, 1, 1).isin("=", "+", "-", "@"),
+              F.concat(F.lit("'"), risky))
+        .otherwise(risky)
+    )
+    depth_str = F.concat(
+        (F.col("doc_id") % 9 + 1).cast("string"), F.lit(","),
+        F.lpad(((F.col("doc_id") * 37) % 1000).cast("string"), 3, "0"), F.lit("."),
+        F.lpad(((F.col("doc_id") * 13) % 100).cast("string"), 2, "0"),
+    )
+    return d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(messy, r"\s+", " ")).alias("norm_text"),
+        F.upper(F.substring("text", 1, 20)).alias("upper_text"),
+        F.expr("trim(TRAILING ',' FROM substr(text, 1, 10) || ',,')").alias("rtrim_comma"),
+        F.regexp_extract(sample_id, r"\((f|F)\)$", 1).alias("fracture"),
+        sanitized.alias("sanitized"),
+        depth_str.alias("depth_str"),
+        F.regexp_replace(depth_str, ",", "").cast("double").alias("depth_val"),
+    )
+
+
+# ---- dedup family over documents ------------------------------------------
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), prefix_len=32)
+
+
+def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn("blk", F.floor(F.col("n_chars") / 100))
+    return dedup.jaccard_pairs(d, block_keys=["lang", "blk"], threshold=0.8)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+# ---- similarity search over embeddings ------------------------------------
+
+
+def _q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def _q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.bucket_histogram(_t(spark, sf_dir, "embeddings"), n_bits=8)
+
+
+def _q_sim_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.bucketed_topk(_t(spark, sf_dir, "embeddings"), query_id=0,
+                                    k=10, n_bits=8)
+
+
+# ---- text analytics over documents ----------------------------------------
+
+
+def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textanalysis.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textanalysis.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textanalysis.language_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textanalysis.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _q_a11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction pipeline (SURVEY §2.9-2.12, golden parity)
+        "extract_flagship": _q_extract_flagship,
+        "c1_classify_golden": _q_classify_golden,
+        "p2_samples_golden": _q_samples_golden,
+        "h1_headers_golden": _q_headers_golden,
+        # relational operators (SURVEY §2.3, §2.4, §2.6)
+        "a0_pricing_summary": _q_a0_pricing_summary,
+        "j1_broadcast_join": _q_j1_broadcast_join,
+        "j_semi_anti": _q_j_semi_anti,
+        "o3_topk_orders": _q_o3_topk_orders,
+        "j5_levenshtein_pairs": _q_j5_levenshtein_pairs,
+        # windows / sequences (SURVEY §2.5)
+        "w1_lead_boundary": _q_w1_lead_boundary,
+        "w2_cumsum_sessions": _q_w2_cumsum_sessions,
+        "w3_reading_order": _q_w3_reading_order,
+        "a1_group_concat": _q_a1_group_concat,
+        "a7_gap_regularity": _q_a7_gap_regularity,
+        "f3_band_histogram": _q_f3_band_histogram,
+        # classification + scalar fns (SURVEY §2.8, §2.9)
+        "c1_keyword_cascade": _q_c1_keyword_cascade,
+        "a5_keyword_score": _q_a5_keyword_score,
+        "x_scalar_suite": _q_x_scalar_suite,
+        "a11_distinct_agg": _q_a11_distinct_agg,
+        # training-data pipeline: dedup
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        # training-data pipeline: similarity search
+        "sim_topk_cosine": _q_sim_topk_cosine,
+        "sim_lsh_buckets": _q_sim_lsh_buckets,
+        "sim_bucketed_topk": _q_sim_bucketed_topk,
+        # training-data pipeline: text analytics
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rca_pdf_extraction_pipeline_spark.functions.hashing import (
+        MINHASH_MOD,
+        MINHASH_SEEDS,
+    )
+    minhash_sigs = ", ".join(
+        f"list_aggregate(list_transform(hv, h -> ({a} * h + {b}) % {MINHASH_MOD}), 'min')"
+        f" AS sig_{s}"
+        for s, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    simhash_votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(_N_SIMHASH_BITS)
+    )
+    simhash_assemble = " + ".join(
+        f"CASE WHEN v_{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(_N_SIMHASH_BITS)
+    )
+    header_values = ", ".join(
+        f"({page}, {col}, '{h.replace(chr(39), chr(39) * 2)}')"
+        for page in (39, 40, 41, 42)
+        for col, h in enumerate(GOLDEN_EXTRACTED_HEADERS[:-1])
+    )
+    stopwords_sql = "['the','and','a','of','to','in','is','on','for','it','with','as','at','by','from']"
+
+    return {
+        # ---- extraction: golden-artifact oracles --------------------------
+        "extract_flagship": f"""
+            SELECT doc_id, kind, text, media_ref, "offset"
+            FROM '{GOLDEN}/golden_extracted_spans.parquet'
+        """,
+        "c1_classify_golden": f"""
+            SELECT page, page_type
+            FROM '{GOLDEN}/golden_page_classification.parquet'
+        """,
+        "p2_samples_golden": f"""
+            SELECT row_idx, core_number, sample_number, depth_feet,
+                   permeability_air_md, permeability_klink_md,
+                   porosity_ambient_pct, porosity_ncs_pct, grain_density_gcc,
+                   saturation_water_pct, saturation_oil_pct,
+                   saturation_total_pct, page_number
+            FROM '{GOLDEN}/golden_table_rows.parquet'
+        """,
+        "h1_headers_golden": f"""
+            SELECT * FROM (VALUES {header_values}) AS t(page, col, header)
+        """,
+        # ---- relational ----------------------------------------------------
+        "a0_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "j1_broadcast_join": """
+            SELECT c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "j_semi_anti": """
+            SELECT 'with_orders' AS kind, count(*) AS n_customers FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT 'without_orders' AS kind, count(*) AS n_customers FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "o3_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "j5_levenshtein_pairs": """
+            WITH t AS (SELECT DISTINCT p_type FROM part)
+            SELECT a.p_type AS p_type_a, b.p_type AS p_type_b,
+                   levenshtein(a.p_type, b.p_type) AS lev
+            FROM t a JOIN t b ON a.p_type < b.p_type
+            WHERE levenshtein(a.p_type, b.p_type) <= 8
+        """,
+        # ---- windows / sequences ------------------------------------------
+        "w1_lead_boundary": """
+            WITH w AS (
+              SELECT user_id, event_id, event_type,
+                     lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+                     lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+              FROM events)
+            SELECT user_id, event_id FROM w
+            WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        """,
+        "w2_cumsum_sessions": """
+            WITH s AS (
+              SELECT user_id, value,
+                     (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS session_id
+              FROM events)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "w3_reading_order": """
+            WITH w AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS order_rank
+              FROM events)
+            SELECT user_id, order_rank, event_id FROM w WHERE order_rank <= 3
+        """,
+        "a1_group_concat": """
+            SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_seq
+            FROM events GROUP BY user_id
+        """,
+        "a7_gap_regularity": f"""
+            WITH ms AS (
+              SELECT user_id, event_id, ts, {_SQL_MS} AS ms FROM events),
+            g AS (
+              SELECT user_id,
+                     ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM ms),
+            g2 AS (
+              SELECT user_id, gap, avg(gap) OVER (PARTITION BY user_id) AS avg_gap
+              FROM g WHERE gap IS NOT NULL)
+            SELECT user_id, round(avg(gap), 4) AS mean_gap_ms,
+                   round(avg(CASE WHEN gap >= 0.5 * avg_gap AND gap <= 1.5 * avg_gap
+                                  THEN 1.0 ELSE 0.0 END), 6) AS regular_share
+            FROM g2 GROUP BY user_id
+        """,
+        "f3_band_histogram": """
+            SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events WHERE value BETWEEN 5 AND 50
+            GROUP BY event_type
+        """,
+        # ---- classification + scalar functions -----------------------------
+        "c1_keyword_cascade": f"""
+            WITH p AS (SELECT doc_id, {_SQL_PAGE_TEXT} AS page_text FROM documents),
+            s AS (SELECT doc_id, page_text, {_SQL_SCORE} AS score,
+                         length(page_text) AS len FROM p)
+            SELECT doc_id,
+              CASE
+                WHEN contains(upper(page_text), 'SUMMARY OF ROUTINE CORE ANALYSES') THEN 'table'
+                WHEN contains(upper(page_text), 'PROFILE PLOT')
+                  OR contains(upper(page_text), 'VERSUS POROSITY')
+                  OR contains(upper(page_text), 'CROSS PLOT') THEN 'plot'
+                WHEN contains(upper(page_text), 'CORE ANALYSIS REPORT')
+                  OR contains(upper(page_text), 'TABLE OF CONTENTS') THEN 'cover'
+                WHEN score >= 3 THEN 'table'
+                WHEN len < 50 THEN 'other'
+                WHEN len > 500 AND score = 0 THEN 'text'
+                ELSE 'other' END AS page_type,
+              CASE
+                WHEN contains(upper(page_text), 'SUMMARY OF ROUTINE CORE ANALYSES') THEN 0.95
+                WHEN contains(upper(page_text), 'PROFILE PLOT')
+                  OR contains(upper(page_text), 'VERSUS POROSITY')
+                  OR contains(upper(page_text), 'CROSS PLOT') THEN 0.85
+                WHEN contains(upper(page_text), 'CORE ANALYSIS REPORT')
+                  OR contains(upper(page_text), 'TABLE OF CONTENTS') THEN 0.80
+                WHEN score >= 3 THEN 0.70
+                WHEN len < 50 THEN 0.60
+                WHEN len > 500 AND score = 0 THEN 0.65
+                ELSE 0.50 END AS confidence,
+              CASE
+                WHEN contains(upper(page_text), 'SUMMARY OF ROUTINE CORE ANALYSES')
+                  THEN 'Contains ''SUMMARY OF ROUTINE CORE ANALYSES'''
+                WHEN contains(upper(page_text), 'PROFILE PLOT')
+                  THEN 'Contains plot keyword: PROFILE PLOT'
+                WHEN contains(upper(page_text), 'VERSUS POROSITY')
+                  THEN 'Contains plot keyword: VERSUS POROSITY'
+                WHEN contains(upper(page_text), 'CROSS PLOT')
+                  THEN 'Contains plot keyword: CROSS PLOT'
+                WHEN contains(upper(page_text), 'CORE ANALYSIS REPORT')
+                  THEN 'Contains cover keyword: CORE ANALYSIS REPORT'
+                WHEN contains(upper(page_text), 'TABLE OF CONTENTS')
+                  THEN 'Contains cover keyword: TABLE OF CONTENTS'
+                WHEN score >= 3 THEN 'Contains ' || score || ' table keywords'
+                WHEN len < 50 THEN 'Minimal extractable text'
+                WHEN len > 500 AND score = 0 THEN 'Dense text without table markers'
+                ELSE 'Unable to classify' END AS reason
+            FROM s
+        """,
+        "a5_keyword_score": f"""
+            WITH p AS (SELECT doc_id, {_SQL_PAGE_TEXT} AS page_text FROM documents)
+            SELECT doc_id, {_SQL_SCORE} AS kw_score FROM p
+        """,
+        "x_scalar_suite": """
+            SELECT doc_id,
+              trim(regexp_replace('  ' || substr(text, 1, 15) || '   '
+                   || substr(text, 16, 15) || '  ', '\\s+', ' ', 'g')) AS norm_text,
+              upper(substr(text, 1, 20)) AS upper_text,
+              rtrim(substr(text, 1, 10) || ',,', ',') AS rtrim_comma,
+              regexp_extract(
+                (doc_id % 30 + 1) || '-' || (doc_id % 9 + 1) ||
+                CASE doc_id % 3 WHEN 0 THEN '(f)' WHEN 1 THEN '(F)' ELSE '' END,
+                '\\((f|F)\\)$', 1) AS fracture,
+              CASE
+                WHEN r IN ('+', '**', '-', '<0.0001', '<') THEN r
+                WHEN substr(r, 1, 1) IN ('=', '+', '-', '@') THEN '''' || r
+                ELSE r END AS sanitized,
+              ds AS depth_str,
+              replace(ds, ',', '')::DOUBLE AS depth_val
+            FROM (
+              SELECT *,
+                CASE doc_id % 6 WHEN 0 THEN '=SUM(A1)' WHEN 1 THEN '+'
+                     WHEN 2 THEN '-1' WHEN 3 THEN '@cmd' WHEN 4 THEN '<0.0001'
+                     ELSE 'plain' END AS r,
+                (doc_id % 9 + 1) || ',' || lpad(((doc_id * 37) % 1000)::VARCHAR, 3, '0')
+                  || '.' || lpad(((doc_id * 13) % 100)::VARCHAR, 2, '0') AS ds
+              FROM documents)
+        """,
+        "a11_distinct_agg": """
+            SELECT source,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source
+        """,
+        # ---- dedup ---------------------------------------------------------
+        "dedup_exact": """
+            SELECT md5(substr(text, 1, 32)) AS content_hash,
+                   count(*) AS dup_count, min(doc_id) AS canonical_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_minhash_pairs": f"""
+            WITH {_SQL_SHINGLE_BASE},
+            sigbase AS (
+              SELECT doc_id,
+                     list_transform(shset, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
+              FROM sh),
+            sig AS (SELECT doc_id, {minhash_sigs} FROM sigbase),
+            keys AS (
+              SELECT doc_id, 0 AS band,
+                     sig_0::VARCHAR || '-' || sig_1::VARCHAR || '-'
+                       || sig_2::VARCHAR || '-' || sig_3::VARCHAR AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     sig_4::VARCHAR || '-' || sig_5::VARCHAR || '-'
+                       || sig_6::VARCHAR || '-' || sig_7::VARCHAR AS band_key FROM sig)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM keys a JOIN keys b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH {_SQL_SHINGLE_BASE},
+            blocked AS (SELECT doc_id, lang, n_chars // 100 AS blk, shset FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(len(list_intersect(a.shset, b.shset))::DOUBLE
+                      / len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE, 6) AS jaccard
+              FROM blocked a JOIN blocked b
+                ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        """,
+        "dedup_simhash": f"""
+            WITH {_SQL_SHINGLE_BASE},
+            tok AS (SELECT doc_id, unnest(shset) AS tok FROM sh),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tok),
+            v AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id)
+            SELECT doc_id, ({simhash_assemble})::BIGINT AS simhash FROM v
+        """,
+        # ---- similarity ----------------------------------------------------
+        "sim_topk_cosine": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], q_vec), 6) AS cosine_sim
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "sim_lsh_buckets": f"""
+            SELECT bucket, count(*) AS n_vecs FROM (
+              SELECT {_SIGN_BUCKET_SQL} AS bucket FROM embeddings)
+            GROUP BY bucket
+        """,
+        "sim_bucketed_topk": f"""
+            WITH b AS (SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec, bucket AS q_bucket
+                  FROM b WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], q_vec), 6) AS cosine_sim
+            FROM b, q WHERE b.bucket = q.q_bucket AND vec_id <> query_id
+            ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        # ---- text analytics ------------------------------------------------
+        "text_token_stats": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+              FROM documents)
+            SELECT doc_id,
+              len(toks) AS n_tokens,
+              len(list_distinct(toks)) AS n_distinct_tokens,
+              length(text) AS n_chars_actual,
+              round(length(text)::DOUBLE / greatest(len(toks), 1), 6) AS avg_token_len,
+              round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 6) AS distinct_ratio
+            FROM t
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks,
+                     greatest(length(text), 1)::DOUBLE AS total,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digit
+              FROM documents),
+            r AS (
+              SELECT doc_id, alpha / total AS alpha_ratio, digit / total AS digit_ratio,
+                     len(list_filter(toks, x -> list_contains({stopwords_sql}, lower(x))))::DOUBLE
+                       / greatest(len(toks), 1)::DOUBLE AS stop_ratio
+              FROM t)
+            SELECT doc_id,
+              round(alpha_ratio, 6) AS alpha_ratio,
+              round(digit_ratio, 6) AS digit_ratio,
+              round(stop_ratio, 6) AS stopword_ratio,
+              round(0.5 * alpha_ratio + 0.3 * stop_ratio + 0.2 * (1.0 - digit_ratio), 6)
+                AS quality_score
+            FROM r
+        """,
+        "text_langid": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> list_contains({stopwords_sql}, lower(x))))::DOUBLE
+                       / greatest(len(toks), 1)::DOUBLE AS ratio
+              FROM t)
+            SELECT doc_id, round(ratio, 6) AS stopword_ratio,
+                   CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'und' END AS pred_lang
+            FROM r
+        """,
+        "text_fingerprint": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+              FROM documents)
+            SELECT doc_id,
+              list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
+                (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+            FROM t
+        """,
+    }

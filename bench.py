@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": ...}
+
+The headline is the end-to-end extraction pipeline (docs/sec over the
+interleaved-docs table — BASELINE.json north rule); the rest covers the
+operator families (dedup, similarity, text analytics, relational,
+windows). Results are materialized via the noop sink so the timing
+includes full execution but no collect/serialize cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from rca_pdf_extraction_pipeline_spark.operators import extraction, skew  # noqa: E402
+from rca_pdf_extraction_pipeline_spark.session import get_spark  # noqa: E402
+from rca_pdf_extraction_pipeline_spark.sources import fixtures  # noqa: E402
+
+#: golden-doc replication factor for the extraction headline — gives the
+#: heavy path (4 table pages x 138 rows each) real weight per run
+N_GOLDEN_DOCS = 32
+
+BENCH_QUERIES = [
+    "extract_flagship",  # replaced by the replicated corpus below
+    "a0_pricing_summary",
+    "j1_broadcast_join",
+    "w2_cumsum_sessions",
+    "a1_group_concat",
+    "c1_keyword_cascade",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "text_fingerprint",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _extraction_corpus(spark, sf_dir: str):
+    """sf corpus wrapped as interleaved docs + N replicated golden docs."""
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = raw.select(
+        F.concat(F.lit("corpus-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("1|"), F.col("text")).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    golden = fixtures.build_golden_doc()
+    heavy = [{**golden, "doc_id": f"golden-{i:03d}"} for i in range(N_GOLDEN_DOCS)]
+    return skew.salted_repartition(wrapped.unionByName(fixtures.docs_to_spark(spark, heavy)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    n_docs = None
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        if name == "extract_flagship":
+            corpus = _extraction_corpus(spark, sf_dir)
+            n_docs = corpus.count()
+            t0 = time.time()
+            _materialize(extraction.extract_documents(corpus))
+        else:
+            _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["extract_flagship"], 1) if n_docs else None
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction_docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # split even small parquet inputs across all cores — locally the
+        # testdata tables are single files under maxPartitionBytes, which
+        # would otherwise run CPU-heavy scans (minhash/simhash/extraction)
+        # as one task; on a real cluster the input has many splits anyway
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
