@@ -1,0 +1,162 @@
+"""Checkpointed, resumable extraction runs (north_rule requirement:
+"checkpoints per-partition progress ... with lineage + row-count/byte
+metrics so failed runs resume without reprocessing").
+
+Design (scales to 10^12 docs):
+  * documents are assigned to ``n_buckets`` deterministic hash buckets
+    (``pmod(xxhash64(doc_id), n_buckets)``) — the unit of progress.
+    Bucket membership never depends on partition order or cluster size,
+    so a resume on a different cluster sees identical buckets.
+  * buckets are processed in waves; each wave writes its output
+    partitioned by bucket (``data/_bucket=N/...``) and then appends ONE
+    snapshot entry to ``_snapshots.json`` with the wave's completed
+    buckets, per-bucket row/doc/byte metrics (collected via the
+    Observation API — no extra pass over the data), and lineage
+    (input path, app id, wall time). The manifest append is the commit
+    point: output files without a manifest entry are invisible garbage,
+    exactly like Iceberg's snapshot protocol.
+  * resume = read manifest, skip completed buckets. The bucket filter
+    is a plain column predicate on the *input* scan, so at cluster
+    scale Iceberg/parquet stats prune unprocessed work without listing
+    processed documents (no driver-side doc-id sets — progress state is
+    O(n_buckets), not O(n_docs)).
+
+Reference has no checkpointing at all (single 359 ms process,
+docs/wiki/Performance.md:9-15); this is the cluster-scale replacement.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ExtractionConfig
+from ..operators import skew
+from ..operators.extraction import extract_documents
+
+MANIFEST_NAME = "_snapshots.json"
+
+
+def _bucket_col(n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets))
+
+
+class SnapshotManifest:
+    """The ``_snapshots.json`` sidecar: an append-only snapshot log."""
+
+    def __init__(self, table_dir: str | Path):
+        self.table_dir = Path(table_dir)
+        self.path = self.table_dir / MANIFEST_NAME
+
+    def load(self) -> list[dict]:
+        if not self.path.exists():
+            return []
+        return json.loads(self.path.read_text())["snapshots"]
+
+    def completed_buckets(self) -> set[int]:
+        done: set[int] = set()
+        for snap in self.load():
+            done.update(snap["completed_buckets"])
+        return done
+
+    def append(self, completed_buckets: list[int], metrics: dict,
+               lineage: dict) -> dict:
+        snaps = self.load()
+        snap = {
+            "id": uuid.uuid4().hex[:12],
+            "parent": snaps[-1]["id"] if snaps else None,
+            "sequence": len(snaps),
+            "committed_at": time.time(),
+            "completed_buckets": sorted(completed_buckets),
+            "metrics": metrics,
+            "lineage": lineage,
+        }
+        snaps.append(snap)
+        self.table_dir.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"snapshots": snaps}, indent=1))
+        tmp.replace(self.path)  # atomic commit point
+        return snap
+
+
+def extract_with_checkpoint(
+    docs: DataFrame,
+    table_dir: str | Path,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    n_buckets: int = 32,
+    waves: int = 4,
+    max_waves: int | None = None,
+    input_desc: str = "",
+) -> dict:
+    """Run the extraction pipeline over ``docs`` with bucket-level
+    checkpointing into ``table_dir``; returns a run report.
+
+    ``max_waves`` limits how many waves run (used by tests to simulate
+    a mid-run failure); a subsequent call resumes from the manifest.
+    """
+    table_dir = Path(table_dir)
+    manifest = SnapshotManifest(table_dir)
+    done = manifest.completed_buckets()
+    todo = sorted(set(range(n_buckets)) - done)
+    spark = docs.sparkSession
+
+    wave_size = max(1, (n_buckets + waves - 1) // waves)
+    wave_groups = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
+    if max_waves is not None:
+        wave_groups = wave_groups[:max_waves]
+
+    ran = []
+    bucket = _bucket_col(n_buckets)
+    for group in wave_groups:
+        sub = docs.filter(bucket.isin([int(b) for b in group]))
+        sub = skew.salted_repartition(sub, cfg)
+        out = extract_documents(sub, cfg).withColumn("_bucket", _bucket_col(n_buckets))
+
+        obs = Observation(f"wave-{group[0]}")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size("spans")).alias("rows"),
+            F.sum(F.expr(
+                "aggregate(spans, 0L, (a, s) -> a + length(coalesce(s.text, '')))"
+            )).alias("bytes"),
+        )
+        (out.write.mode("append").partitionBy("_bucket")
+            .parquet(str(table_dir / "data")))
+        m = obs.get
+        snap = manifest.append(
+            completed_buckets=list(group),
+            metrics={"docs": m["docs"], "output_spans": m["rows"],
+                     "logical_bytes": m["bytes"], "buckets": len(group)},
+            lineage={
+                "input": input_desc,
+                "app_id": spark.sparkContext.applicationId,
+                "operation": "extract_documents",
+                "n_buckets": n_buckets,
+            },
+        )
+        ran.append(snap)
+
+    return {
+        "resumed_from": len(done),
+        "waves_run": len(ran),
+        "buckets_completed_now": sum(len(s["completed_buckets"]) for s in ran),
+        "buckets_remaining": n_buckets - len(done)
+        - sum(len(s["completed_buckets"]) for s in ran),
+        "snapshots": [s["id"] for s in ran],
+    }
+
+
+def read_extracted(spark: SparkSession, table_dir: str | Path) -> DataFrame:
+    """Read back only data covered by committed snapshots (files from a
+    crashed half-wave without a manifest entry are filtered out by the
+    bucket predicate, mirroring Iceberg's snapshot isolation)."""
+    manifest = SnapshotManifest(table_dir)
+    done = sorted(manifest.completed_buckets())
+    df = spark.read.parquet(str(Path(table_dir) / "data"))
+    return df.filter(F.col("_bucket").isin([int(b) for b in done])).drop("_bucket")

@@ -54,10 +54,14 @@ def get_spark(
     return spark
 
 
-def package_zip() -> str:
+def package_zip() -> str | None:
     """Zip this package for ``spark-submit --py-files`` style shipping.
-    Cached per process in the temp dir."""
+    Cached per process in the temp dir. Returns None when the package is
+    itself imported from a zip (i.e. we ARE the --py-files payload and
+    spark-submit has already distributed it)."""
     pkg_dir = Path(__file__).resolve().parent
+    if not pkg_dir.is_dir():
+        return None
     out = Path(tempfile.gettempdir()) / f"rca_pkg_{os.getpid()}"
     zip_path = out.with_suffix(".zip")
     if not zip_path.exists():
@@ -72,5 +76,7 @@ def ship_package(spark: SparkSession) -> None:
     deployment requirement).  Idempotent."""
     sc = spark.sparkContext
     if not getattr(sc, "_rca_pkg_shipped", False):
-        sc.addPyFile(package_zip())
+        zip_path = package_zip()
+        if zip_path is not None:
+            sc.addPyFile(zip_path)
         sc._rca_pkg_shipped = True

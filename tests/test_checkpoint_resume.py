@@ -1,0 +1,102 @@
+"""Checkpoint/resume + lineage (plans/checkpoint.py, north_rule).
+
+Simulates a mid-run failure by capping waves, then resumes and asserts:
+no reprocessing (bucket disjointness), full coverage, snapshot lineage
+chain, and per-wave metrics."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from rca_pdf_extraction_pipeline_spark.plans import checkpoint
+from rca_pdf_extraction_pipeline_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = ([fixtures.build_golden_doc()] + fixtures.build_parser_branch_docs()
+         + fixtures.build_classify_docs())
+    return fixtures.docs_to_spark(spark, d)
+
+
+def test_interrupted_run_resumes_without_reprocessing(spark, docs, tmp_path):
+    table = tmp_path / "extracted"
+
+    r1 = checkpoint.extract_with_checkpoint(
+        docs, table, n_buckets=8, waves=4, max_waves=2, input_desc="fixtures")
+    assert r1["waves_run"] == 2
+    assert r1["buckets_remaining"] == 4
+
+    manifest = checkpoint.SnapshotManifest(table)
+    done_after_1 = manifest.completed_buckets()
+    assert len(done_after_1) == 4
+
+    r2 = checkpoint.extract_with_checkpoint(
+        docs, table, n_buckets=8, waves=4, input_desc="fixtures")
+    assert r2["resumed_from"] == 4
+    assert r2["buckets_remaining"] == 0
+
+    # resumed waves must touch only previously-incomplete buckets
+    snaps = manifest.load()
+    first = set()
+    for s in snaps[:2]:
+        first.update(s["completed_buckets"])
+    for s in snaps[2:]:
+        assert not (set(s["completed_buckets"]) & first)
+
+    # full corpus present exactly once
+    out = checkpoint.read_extracted(spark, table)
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert sorted(ids) == sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    # idempotent: nothing left to do
+    r3 = checkpoint.extract_with_checkpoint(
+        docs, table, n_buckets=8, waves=4, input_desc="fixtures")
+    assert r3["waves_run"] == 0
+
+
+def test_snapshot_lineage_and_metrics(spark, docs, tmp_path):
+    table = tmp_path / "extracted"
+    checkpoint.extract_with_checkpoint(
+        docs, table, n_buckets=4, waves=2, input_desc="fixtures-v2")
+    snaps = checkpoint.SnapshotManifest(table).load()
+    assert len(snaps) == 2
+    assert snaps[0]["parent"] is None
+    assert snaps[1]["parent"] == snaps[0]["id"]
+    total_docs = sum(s["metrics"]["docs"] for s in snaps)
+    assert total_docs == docs.count()
+    for s in snaps:
+        assert s["metrics"]["output_spans"] >= 0
+        assert s["metrics"]["logical_bytes"] >= 0
+        assert s["lineage"]["input"] == "fixtures-v2"
+        assert s["lineage"]["operation"] == "extract_documents"
+
+    # manifest on disk is valid json with the committed snapshots
+    raw = json.loads((table / "_snapshots.json").read_text())
+    assert len(raw["snapshots"]) == 2
+
+
+def test_uncommitted_buckets_invisible(spark, docs, tmp_path):
+    """Files written without a manifest entry (crash between write and
+    commit) must not be served — snapshot isolation."""
+    table = tmp_path / "extracted"
+    checkpoint.extract_with_checkpoint(
+        docs, table, n_buckets=4, waves=4, max_waves=2, input_desc="x")
+    # simulate a crashed wave: data for bucket 3 exists but no snapshot
+    out = checkpoint.read_extracted(spark, table)
+    done = checkpoint.SnapshotManifest(table).completed_buckets()
+    got_buckets = {
+        r["b"] for r in
+        spark.read.parquet(str(table / "data"))
+        .select(F.col("_bucket").alias("b")).distinct().collect()
+    }
+    served = {
+        r["b"] for r in
+        out.withColumn("b", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
+        .select("b").distinct().collect()
+    }
+    assert served <= done
+    assert got_buckets >= served

@@ -1,0 +1,123 @@
+"""Training-data pipeline operators: dedup, similarity, text analytics.
+
+Constructed fixtures with known duplicates/neighbors — semantic checks
+independent of the DuckDB oracle parity (which tools/check_entry.py and
+the driver cover)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rca_pdf_extraction_pipeline_spark.operators import dedup, similarity, textanalysis
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest to hide from the loud hunting party")
+NEAR = BASE.replace("green forest", "green woods")  # one-token edit
+OTHER = ("completely different content about spark shuffles partitions and "
+         "catalyst optimizer internals with columnar arrow batches flowing")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE), (2, BASE),          # exact dups
+        (3, NEAR),                      # near-dup of 1/2
+        (4, OTHER), (5, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(corpus):
+    groups = dedup.exact_duplicates(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2
+    assert groups[0]["canonical_id"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_candidate_pairs(corpus).collect()}
+    assert (1, 2) in pairs            # identical -> all bands collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup caught by >=1 band
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_jaccard_pairs_values(corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_hamming_structure(corpus):
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(corpus).collect()}
+    assert sigs[1] == sigs[2]
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(corpus, max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    def v(theta):
+        return [float(math.cos(theta)), float(math.sin(theta))] + [0.0] * 6
+    rows = [(0, v(0.01)), (1, v(0.05)), (2, v(0.4)), (3, v(1.5)), (4, v(3.1))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_orders_by_angle(vectors):
+    top = similarity.cosine_topk(vectors, query_id=0, k=4).collect()
+    assert [r["vec_id"] for r in top] == [1, 2, 3, 4]
+    sims = [r["cosine_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert sims[0] == pytest.approx(math.cos(0.05 - 0.01), abs=1e-6)
+
+
+def test_bucketed_topk_prunes_to_query_bucket(vectors):
+    # vec 4 has negative x -> different sign bucket than the query
+    top = similarity.bucketed_topk(vectors, query_id=0, k=10, n_bits=2).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 4 not in ids
+    assert ids[0] == 1
+
+
+def test_bucket_histogram_counts(vectors):
+    hist = {r["bucket"]: r["n_vecs"]
+            for r in similarity.bucket_histogram(vectors, n_bits=2).collect()}
+    assert sum(hist.values()) == 5
+
+
+def test_token_stats_and_quality(corpus):
+    stats = {r["doc_id"]: r for r in textanalysis.token_stats(corpus).collect()}
+    assert stats[5]["n_tokens"] == 2
+    assert stats[1]["n_tokens"] == len(BASE.split())
+    assert 0 < stats[1]["distinct_ratio"] <= 1.0
+
+    q = {r["doc_id"]: r for r in textanalysis.quality_scores(corpus).collect()}
+    assert 0 <= q[1]["quality_score"] <= 1
+    assert q[1]["stopword_ratio"] > q[4]["stopword_ratio"]
+
+
+def test_language_id(corpus):
+    langs = {r["doc_id"]: r["pred_lang"]
+             for r in textanalysis.language_id(corpus).collect()}
+    assert langs[1] == "en"      # stopword-rich English
+    assert langs[5] == "und"     # "tiny doc" — no stopword signal
+
+
+def test_fingerprint_order_sensitivity(spark):
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+            (3, "gamma beta alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in textanalysis.fingerprints(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]  # rolling hash is order-sensitive
