@@ -34,8 +34,10 @@ from pyspark.sql.window import Window
 from rca_pdf_extraction_pipeline_spark.config import GOLDEN_EXTRACTED_HEADERS
 from rca_pdf_extraction_pipeline_spark.functions import classify_expr
 from rca_pdf_extraction_pipeline_spark.operators import (
+    boilerplate,
     dedup,
     extraction,
+    multimodal,
     similarity,
     skew,
     textanalysis,
@@ -124,6 +126,36 @@ sh AS (
 
 _SQL_MS = "datediff('millisecond', TIMESTAMP '2024-01-01 00:00:00', ts)"
 
+#: synthetic 5-block DOM per document + Boilerpipe-style scoring —
+#: exact SQL twin of operators/boilerplate.py over _dom_blocks()
+_SQL_DOM_BLOCKS = """
+blocks AS (
+  SELECT doc_id, 0 AS idx, 'h1' AS tag, substr(text, 1, 20) AS btext,
+         0 AS anchor_chars FROM documents
+  UNION ALL SELECT doc_id, 1, 'nav', 'home about contact products links', 30
+    FROM documents
+  UNION ALL SELECT doc_id, 2, 'p', text, 0 FROM documents
+  UNION ALL SELECT doc_id, 3, 'p', substr(text, 1, 18), 0 FROM documents
+  UNION ALL SELECT doc_id, 4, 'footer', 'copyright 2024 all rights reserved', 12
+    FROM documents
+)"""
+
+_SQL_DOM_SCORED = """
+scored AS (
+  SELECT doc_id, idx, btext, anchor_chars,
+    (lower(tag) NOT IN ('nav','header','footer','aside','script','style','form','button')
+     AND anchor_chars::DOUBLE / greatest(length(btext), 1) < 0.33
+     AND len(list_filter(string_split(btext, ' '), t -> t != '')) >= 10) AS base,
+    (lower(tag) NOT IN ('nav','header','footer','aside','script','style','form','button')
+     AND anchor_chars::DOUBLE / greatest(length(btext), 1) < 0.33
+     AND len(list_filter(string_split(btext, ' '), t -> t != '')) >= 3) AS weak
+  FROM blocks),
+sm AS (
+  SELECT *,
+    coalesce(lag(base) OVER (PARTITION BY doc_id ORDER BY idx), FALSE) AS prev_c,
+    coalesce(lead(base) OVER (PARTITION BY doc_id ORDER BY idx), FALSE) AS next_c
+  FROM scored)"""
+
 _N_SIMHASH_BITS = 16
 _SIGN_BUCKET_SQL = "(" + " + ".join(
     f"CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END" for i in range(8)
@@ -192,6 +224,10 @@ def _q_samples_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_headers_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction.extract_headers(_golden_doc(spark)).select("page", "col", "header")
+
+
+def _q_h2_verify_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extraction.verify_headers_documents(_fixture_docs(spark))
 
 
 # ---- relational operator parity over the TPC-H-ish tables -----------------
@@ -442,6 +478,93 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+# ---- HTML boilerplate stripping (north_rule; synthetic DOM blocks) --------
+
+
+def _dom_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-block DOM per document: heading, link-dense nav,
+    main paragraph, short trailing paragraph (neighbour rule), footer."""
+    d = _t(spark, sf_dir, "documents")
+    blocks = F.array(
+        F.struct(F.lit(0).alias("idx"), F.lit("h1").alias("tag"),
+                 F.substring("text", 1, 20).alias("btext"),
+                 F.lit(0).alias("anchor_chars")),
+        F.struct(F.lit(1).alias("idx"), F.lit("nav").alias("tag"),
+                 F.lit("home about contact products links").alias("btext"),
+                 F.lit(30).alias("anchor_chars")),
+        F.struct(F.lit(2).alias("idx"), F.lit("p").alias("tag"),
+                 F.col("text").alias("btext"), F.lit(0).alias("anchor_chars")),
+        F.struct(F.lit(3).alias("idx"), F.lit("p").alias("tag"),
+                 F.substring("text", 1, 18).alias("btext"),
+                 F.lit(0).alias("anchor_chars")),
+        F.struct(F.lit(4).alias("idx"), F.lit("footer").alias("tag"),
+                 F.lit("copyright 2024 all rights reserved").alias("btext"),
+                 F.lit(12).alias("anchor_chars")),
+    )
+    return (d.select("doc_id", F.explode(blocks).alias("b"))
+             .select("doc_id", "b.idx", "b.tag",
+                     F.col("b.btext").alias("text"), "b.anchor_chars"))
+
+
+def _q_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate.extract_main_text(_dom_blocks(spark, sf_dir))
+
+
+def _q_html_block_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate.score_blocks(_dom_blocks(spark, sf_dir)) \
+        .select("doc_id", "idx", "n_words", "link_density", "is_content")
+
+
+# ---- multimodal columns ----------------------------------------------------
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+             .when(F.col("doc_id") % 3 == 1, "audio").otherwise("video"))
+    return d.select(
+        F.format_string("media-%05d", F.col("doc_id")).alias("media_ref"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
+        ((F.col("doc_id") % 120 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+
+
+def _q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_stats(_media_table(spark, sf_dir))
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode (no codecs in env) — rows-only check; exercises the
+    real Arrow plumbing: binary payloads, batch shapes, typed output."""
+    dec = multimodal.decode_media(_media_table(spark, sf_dir), fake=True)
+    return dec.select("media_ref", "kind", "ok", "decoded_width", "n_frames")
+
+
+# ---- C2 structural classifier ---------------------------------------------
+
+
+def _q_c2_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("h_lines"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v_lines"),
+        (F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)) + 1).alias("text_blocks"),
+        F.floor(F.sum("value")).cast("int").alias("char_count"),
+    ).withColumn("image_coverage", (F.col("user_id") % 100).cast("double") / 100.0) \
+     .withColumn("gap_regular", F.col("user_id") % 2 == 0) \
+     .withColumn("page_number", F.col("user_id"))
+    c = classify_expr.structural_cascade(
+        F.col("h_lines"), F.col("v_lines"), F.col("text_blocks"),
+        F.col("char_count"), F.col("image_coverage"), F.col("gap_regular"),
+        F.col("page_number"))
+    return stats.select("user_id", c.alias("c")).select(
+        "user_id", "c.page_type", "c.confidence")
+
+
 def _q_a11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
@@ -457,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_classify_golden": _q_classify_golden,
         "p2_samples_golden": _q_samples_golden,
         "h1_headers_golden": _q_headers_golden,
+        "h2_verify_golden": _q_h2_verify_golden,
         # relational operators (SURVEY §2.3, §2.4, §2.6)
         "a0_pricing_summary": _q_a0_pricing_summary,
         "j1_broadcast_join": _q_j1_broadcast_join,
@@ -484,6 +608,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_lsh_buckets": _q_sim_lsh_buckets,
         "sim_bucketed_topk": _q_sim_bucketed_topk,
+        # HTML boilerplate stripping + multimodal + C2 structural
+        "html_boilerplate": _q_html_boilerplate,
+        "html_block_scores": _q_html_block_scores,
+        "multimodal_stats": _q_multimodal_stats,
+        "multimodal_decode": _q_multimodal_decode,
+        "c2_structural": _q_c2_structural,
         # training-data pipeline: text analytics
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -536,6 +666,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "h1_headers_golden": f"""
             SELECT * FROM (VALUES {header_values}) AS t(page, col, header)
+        """,
+        "h2_verify_golden": """
+            SELECT * FROM (VALUES
+              ('golden-doc-w20552', TRUE, 39, 4::BIGINT, 0::BIGINT),
+              ('parse-normal',   TRUE, 39, 1::BIGINT, 0::BIGINT),
+              ('parse-plus',     TRUE, 39, 1::BIGINT, 0::BIGINT),
+              ('parse-detect',   TRUE, 39, 1::BIGINT, 0::BIGINT),
+              ('parse-star',     TRUE, 39, 1::BIGINT, 0::BIGINT),
+              ('parse-fracture', TRUE, 39, 1::BIGINT, 0::BIGINT)
+            ) AS t(doc_id, verified, reference_page, pages_checked, n_mismatches)
         """,
         # ---- relational ----------------------------------------------------
         "a0_pricing_summary": """
@@ -771,6 +911,74 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], q_vec), 6) AS cosine_sim
             FROM b, q WHERE b.bucket = q.q_bucket AND vec_id <> query_id
             ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        # ---- HTML boilerplate / multimodal / C2 ---------------------------
+        "html_boilerplate": f"""
+            WITH {_SQL_DOM_BLOCKS},
+            {_SQL_DOM_SCORED}
+            SELECT doc_id, string_agg(btext, chr(10) ORDER BY idx) AS main_text,
+                   count(*) AS n_blocks
+            FROM sm WHERE base OR (weak AND (prev_c OR next_c))
+            GROUP BY doc_id
+        """,
+        "html_block_scores": f"""
+            WITH {_SQL_DOM_BLOCKS},
+            {_SQL_DOM_SCORED}
+            SELECT doc_id, idx,
+                   len(list_filter(string_split(btext, ' '), t -> t != '')) AS n_words,
+                   round(anchor_chars::DOUBLE / greatest(length(btext), 1), 6) AS link_density,
+                   (base OR (weak AND (prev_c OR next_c))) AS is_content
+            FROM sm
+        """,
+        "multimodal_stats": """
+            WITH media AS (
+              SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     encode(text) AS payload,
+                     (doc_id % 640 + 32)::INT AS width,
+                     (doc_id % 480 + 32)::INT AS height
+              FROM documents)
+            SELECT kind, count(*) AS n_media,
+                   sum(octet_length(payload))::BIGINT AS total_bytes,
+                   round(avg(width), 2) AS avg_width,
+                   round(avg(height), 2) AS avg_height
+            FROM media GROUP BY kind
+        """,
+        "c2_structural": """
+            WITH stats AS (
+              SELECT user_id,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS h_lines,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v_lines,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) + 1 AS text_blocks,
+                floor(sum(value))::INT AS char_count,
+                (user_id % 100)::DOUBLE / 100.0 AS image_coverage,
+                user_id % 2 = 0 AS gap_regular,
+                user_id AS page_number
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+              CASE
+                WHEN char_count < 10 AND image_coverage < 0.1 THEN 'blank'
+                WHEN page_number = 1 AND char_count < 500 AND image_coverage > 0.1 THEN 'cover'
+                WHEN page_number = 1 AND text_blocks < 5 AND char_count < 300 THEN 'cover'
+                WHEN image_coverage > 0.5 THEN 'figure'
+                WHEN h_lines >= 3 AND v_lines >= 3 THEN 'table'
+                WHEN h_lines + v_lines >= 5 AND text_blocks >= 3 AND gap_regular THEN 'table'
+                WHEN h_lines + v_lines >= 5 AND text_blocks >= 3 THEN 'mixed'
+                WHEN char_count > 500 AND h_lines + v_lines < 5 THEN 'narrative'
+                WHEN text_blocks >= 3 THEN 'mixed'
+                ELSE 'unknown' END AS page_type,
+              CASE
+                WHEN char_count < 10 AND image_coverage < 0.1 THEN 0.95
+                WHEN page_number = 1 AND char_count < 500 AND image_coverage > 0.1 THEN 0.7
+                WHEN page_number = 1 AND text_blocks < 5 AND char_count < 300 THEN 0.6
+                WHEN image_coverage > 0.5 THEN 0.85
+                WHEN h_lines >= 3 AND v_lines >= 3 THEN 0.9
+                WHEN h_lines + v_lines >= 5 AND text_blocks >= 3 AND gap_regular THEN 0.75
+                WHEN h_lines + v_lines >= 5 AND text_blocks >= 3 THEN 0.6
+                WHEN char_count > 500 AND h_lines + v_lines < 5 THEN 0.8
+                WHEN text_blocks >= 3 THEN 0.5
+                ELSE 0.3 END AS confidence
+            FROM stats
         """,
         # ---- text analytics ------------------------------------------------
         "text_token_stats": """

@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_topk_cosine",
     "text_fingerprint",
+    "html_boilerplate",
+    "multimodal_stats",
+    "c2_structural",
 ]
 
 

@@ -13,7 +13,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..config import COVER_KEYWORDS, PLOT_KEYWORDS, SUMMARY_KEYWORD, TABLE_KEYWORDS
+from ..config import (
+    BLANK_THRESHOLD,
+    COVER_KEYWORDS,
+    IMAGE_COVERAGE_THRESHOLD,
+    MIN_GRID_LINES,
+    MIN_LINES_FOR_TABLE,
+    PLOT_KEYWORDS,
+    SUMMARY_KEYWORD,
+    TABLE_KEYWORDS,
+)
 
 
 def _contains(upper_col: Column, kw: str) -> Column:
@@ -81,3 +90,33 @@ def keyword_cascade(text: Column) -> Column:
                      F.lit("Unable to classify").alias("reason")))
     )
     return branch
+
+
+def structural_cascade(h_lines: Column, v_lines: Column, text_blocks: Column,
+                       char_count: Column, image_coverage: Column,
+                       gap_regular: Column, page_number: Column) -> Column:
+    """C2 structural classifier as a pure column cascade — twin of
+    kernels/classify.classify_pages_structural (reference
+    src/page_classifier.py:51-99, thresholds :10-14).
+
+    Returns struct(page_type, confidence)."""
+    has_grid = (h_lines >= MIN_GRID_LINES) & (v_lines >= MIN_GRID_LINES)
+    many_lines = (h_lines + v_lines) >= MIN_LINES_FOR_TABLE
+    structured = text_blocks >= 3
+    page1 = page_number == 1
+
+    def s(t: str, c: float) -> Column:
+        return F.struct(F.lit(t).alias("page_type"), F.lit(c).alias("confidence"))
+
+    return (
+        F.when((char_count < BLANK_THRESHOLD) & (image_coverage < 0.1), s("blank", 0.95))
+        .when(page1 & (char_count < 500) & (image_coverage > 0.1), s("cover", 0.7))
+        .when(page1 & (text_blocks < 5) & (char_count < 300), s("cover", 0.6))
+        .when(image_coverage > IMAGE_COVERAGE_THRESHOLD, s("figure", 0.85))
+        .when(has_grid, s("table", 0.9))
+        .when(many_lines & structured & gap_regular, s("table", 0.75))
+        .when(many_lines & structured, s("mixed", 0.6))
+        .when((char_count > 500) & ((h_lines + v_lines) < 5), s("narrative", 0.8))
+        .when(structured, s("mixed", 0.5))
+        .otherwise(s("unknown", 0.3))
+    )

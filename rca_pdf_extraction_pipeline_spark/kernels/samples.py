@@ -31,13 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..config import (
-    MAX_SAMPLE_LINES,
-    MIN_SAMPLE_LINES,
-    RE_CORE_NUMBER,
-    RE_DEPTH,
-    RE_SAMPLE_NUMBER,
-)
+from ..config import MAX_SAMPLE_LINES, MIN_SAMPLE_LINES
 
 #: output of the decoder: canonical string cells + typed shadow columns
 SAMPLE_COLUMNS = [
@@ -64,6 +58,34 @@ def _parse_float_vec(cells: np.ndarray) -> np.ndarray:
     '**', '+', '-', garbage -> NaN."""
     s = pd.Series(cells, dtype=object).astype(str).str.replace(",", "", regex=False)
     return pd.to_numeric(s, errors="coerce").to_numpy(dtype=np.float64)
+
+
+def _is_core(s: str) -> bool:
+    """``^\\d{1,2}$`` without the regex engine (str.isdecimal matches
+    exactly the Nd category, same as re ``\\d``)."""
+    return len(s) <= 2 and s.isdecimal()
+
+
+def _is_sample(s: str) -> bool:
+    """``^\\d+-\\d+`` prefix match."""
+    i = s.find("-")
+    return i > 0 and s[:i].isdecimal() and s[i + 1:i + 2].isdecimal()
+
+
+def _is_depth(s: str) -> bool:
+    """``^\\d{1,2},?\\d{3}\\.\\d{2}$`` full match."""
+    if len(s) < 7 or s[-3] != "." or not s[-2:].isdecimal():
+        return False
+    head = s[:-3]
+    i = head.find(",")
+    if i == -1:
+        return head.isdecimal() and 4 <= len(head) <= 5
+    return i in (1, 2) and head[:i].isdecimal() and len(head) - i - 1 == 3 \
+        and head[i + 1:].isdecimal()
+
+
+def _mask(arr: np.ndarray, pred) -> np.ndarray:
+    return np.fromiter((pred(s) for s in arr), dtype=bool, count=len(arr))
 
 
 def segment_lines(blocks: pd.DataFrame) -> pd.DataFrame:
@@ -95,9 +117,13 @@ def segment_lines(blocks: pd.DataFrame) -> pd.DataFrame:
     blk = exploded["block_id"].to_numpy()
     txt = exploded["line"]
 
-    m_core = txt.str.match(RE_CORE_NUMBER).to_numpy()
-    m_sample = txt.str.match(RE_SAMPLE_NUMBER).to_numpy()
-    m_depth = txt.str.match(RE_DEPTH).to_numpy()
+    # str-method twins of RE_CORE_NUMBER / RE_SAMPLE_NUMBER / RE_DEPTH —
+    # one cheap pass each instead of three regex-engine passes (the
+    # boundary scan dominated the decode profile)
+    arr = txt.to_numpy()
+    m_core = _mask(arr, _is_core)
+    m_sample = _mask(arr, _is_sample)
+    m_depth = _mask(arr, _is_depth)
 
     n = len(txt)
     same1 = np.zeros(n, dtype=bool)

@@ -1,0 +1,78 @@
+"""HTML boilerplate stripping as a DataFrame operator (north_rule:
+"HTML boilerplate stripping (DOM tree heuristics, text-density/
+link-density scoring a la Readability)").
+
+Input model: one row per DOM block, in document order —
+    (doc_id, idx:int, tag:string, text:string, anchor_chars:int)
+— the flat form of a parsed DOM. The scoring follows the shallow-text
+heuristics of Boilerpipe (Kohlschütter et al., WSDM 2010): a block is
+content iff its link density is low and it is word-dense, OR it is a
+short low-link block adjacent to a content block (one smoothing pass).
+
+Everything here is pure column expressions + window functions — no
+UDFs, so at 100 TB the scoring runs inside WholeStageCodegen and the
+only shuffle is the per-document window/groupBy on doc_id (one
+exchange, reused by both the lag/lead smoothing and the final
+aggregation since they share the partitioning key).
+
+The pandas twin (kernels/boilerplate.py) backs unit tests and the
+mapInPandas variant for callers that already have per-doc batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..kernels.boilerplate import (
+    LINK_DENSITY_MAX,
+    MIN_WORDS,
+    MIN_WORDS_NEIGHBOUR,
+    NON_CONTENT_TAGS,
+)
+
+
+def score_blocks(blocks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """blocks + (n_words, link_density, is_content)."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_chars = F.length(text)
+    n_words = F.size(F.filter(F.split(text, " "), lambda t: t != F.lit("")))
+    link_density = (F.coalesce(F.col("anchor_chars"), F.lit(0)).cast("double")
+                    / F.greatest(n_chars, F.lit(1)).cast("double"))
+    bad_tag = F.lower(F.coalesce(F.col("tag"), F.lit(""))).isin(list(NON_CONTENT_TAGS))
+
+    base = (~bad_tag) & (link_density < LINK_DENSITY_MAX) & (n_words >= MIN_WORDS)
+
+    w = Window.partitionBy(id_col).orderBy("idx")
+    prev_c = F.coalesce(F.lag(base, 1).over(w), F.lit(False))
+    next_c = F.coalesce(F.lead(base, 1).over(w), F.lit(False))
+    neighbour = ((~bad_tag) & (link_density < LINK_DENSITY_MAX)
+                 & (n_words >= MIN_WORDS_NEIGHBOUR) & (prev_c | next_c))
+
+    return blocks.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(link_density, 6).alias("link_density"),
+        (base | neighbour).alias("is_content"),
+    )
+
+
+def extract_main_text(blocks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per document: ordered content blocks joined by newline.
+
+    (doc_id, main_text, n_blocks) — deterministic order by block idx via
+    sorted struct collection."""
+    scored = score_blocks(blocks, id_col)
+    content = scored.filter(F.col("is_content"))
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "text"))),
+            lambda x: x["text"],
+        ),
+        "\n",
+    )
+    return content.groupBy(id_col).agg(
+        joined.alias("main_text"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )

@@ -44,9 +44,19 @@ def get_spark(
         # would otherwise run CPU-heavy scans (minhash/simhash/extraction)
         # as one task; on a real cluster the input has many splits anyway
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs every task in ONE JVM: with 32 executor threads
+        # pushing Arrow batches + shuffle buffers, an undersized heap turns
+        # into a GC ceiling that caps scaling (measured: 22.5s -> 11.8s wall
+        # at local[32] going 8g -> 48g on the extraction bench)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # single-box benching: shuffle files on a RAM-backed dir take disk I/O
+    # out of the scaling path (a real cluster scales shuffle I/O with node
+    # count/NVMe; one local disk does not). Overridable via SPARK_LOCAL_DIRS.
+    if master.startswith("local") and os.path.isdir("/dev/shm") \
+            and "SPARK_LOCAL_DIRS" not in os.environ:
+        b = b.config("spark.local.dir", "/dev/shm/rca-spark-local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

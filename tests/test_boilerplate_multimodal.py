@@ -1,0 +1,103 @@
+"""HTML boilerplate stripping (operators/boilerplate.py vs the pandas
+kernel twin) and multimodal column plumbing (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rca_pdf_extraction_pipeline_spark.kernels import boilerplate as kboiler
+from rca_pdf_extraction_pipeline_spark.operators import boilerplate, multimodal
+
+BLOCKS = [
+    # doc a: heading, nav (link-dense), long content, short neighbour, footer
+    ("a", 0, "h1", "Report on core analysis results overview", 0),
+    ("a", 1, "nav", "home about contact products links", 30),
+    ("a", 2, "p", "the quick brown fox jumps over the lazy dog repeatedly "
+                  "during the long afternoon measurement session", 0),
+    ("a", 3, "p", "short closing note", 0),
+    ("a", 4, "footer", "copyright 2024 all rights reserved", 12),
+    # doc b: everything boilerplate
+    ("b", 0, "nav", "one two three four five six seven eight nine ten eleven", 40),
+    ("b", 1, "p", "tiny", 0),
+]
+
+
+@pytest.fixture(scope="module")
+def blocks_df(spark):
+    return spark.createDataFrame(
+        BLOCKS, "doc_id string, idx int, tag string, text string, anchor_chars int")
+
+
+def test_score_blocks_rules(spark, blocks_df):
+    scored = {(r["doc_id"], r["idx"]): r
+              for r in boilerplate.score_blocks(blocks_df).collect()}
+    assert scored[("a", 2)]["is_content"]          # word-dense, no links
+    assert not scored[("a", 1)]["is_content"]      # nav + link-dense
+    assert scored[("a", 3)]["is_content"]          # short but adjacent to content
+    assert not scored[("a", 4)]["is_content"]      # footer tag
+    assert not scored[("b", 0)]["is_content"]      # nav
+    assert not scored[("b", 1)]["is_content"]      # tiny, no content neighbour
+
+
+def test_extract_main_text_matches_kernel(spark, blocks_df):
+    got = {r["doc_id"]: (r["main_text"], r["n_blocks"])
+           for r in boilerplate.extract_main_text(blocks_df).collect()}
+    # kernel twin on the same rows
+    kdf = pd.DataFrame(BLOCKS, columns=["doc_key", "idx", "tag", "text",
+                                        "anchor_chars"])
+    want = kboiler.extract_main_text(kdf)
+    want = {r.doc_key: (r.main_text, r.n_blocks) for r in want.itertuples()}
+    assert got == want
+    assert "quick brown fox" in got["a"][0]
+    assert "b" not in got  # all-boilerplate doc yields no row
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("m1", "d1", "image", b"\x89PNGfakebytes", 640, 480, None),
+        ("m2", "d1", "video", b"\x00\x00ftypfake", 1280, 720, 3500),
+        ("m3", "d2", "audio", b"RIFFfake", None, None, 2000),
+        ("m4", "d2", "image", b"", 10, 10, None),       # empty payload
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_decode_media_stub_shapes(spark, media_df):
+    out = {r["media_ref"]: r for r in multimodal.decode_media(media_df).collect()}
+    assert set(out) == {"m1", "m2", "m3", "m4"}
+    assert out["m1"]["ok"] and len(out["m1"]["features"]) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in out["m1"]["features"])
+    assert out["m2"]["n_frames"] == 3          # 3500ms // 1000
+    assert not out["m4"]["ok"]                 # empty payload -> decode failure
+
+
+def test_decode_media_deterministic(spark, media_df):
+    a = multimodal.decode_media(media_df).collect()
+    b = multimodal.decode_media(media_df.repartition(3)).collect()
+    key = lambda r: r["media_ref"]
+    assert sorted([(r["media_ref"], list(r["features"])) for r in a]) == \
+           sorted([(r["media_ref"], list(r["features"])) for r in b])
+
+
+def test_decode_media_real_path_is_explicit_stub(spark, media_df):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media_df, fake=False)
+
+
+def test_frame_sample_grid(spark, media_df):
+    frames = multimodal.frame_sample(media_df, every_ms=1000).collect()
+    by_ref = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append((r["frame_idx"], r["ts_ms"]))
+    assert set(by_ref) == {"m2"}              # only video rows explode
+    assert sorted(by_ref["m2"]) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+
+
+def test_media_stats(spark, media_df):
+    stats = {r["kind"]: r for r in multimodal.media_stats(media_df).collect()}
+    assert stats["image"]["n_media"] == 2
+    assert stats["image"]["total_bytes"] == len(b"\x89PNGfakebytes")
+    assert stats["video"]["avg_width"] == 1280.0

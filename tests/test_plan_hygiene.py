@@ -1,0 +1,101 @@
+"""Physical-plan hygiene: the optimizations we rely on at 100 TB must
+actually fire locally — predicate pushdown into parquet scans, column
+pruning, broadcast joins for small dims, no Python eval in JVM-only
+operators, and a single narrow Arrow stage for extraction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rca_pdf_extraction_pipeline_spark.operators import (
+    boilerplate,
+    dedup,
+    extraction,
+    textanalysis,
+)
+from rca_pdf_extraction_pipeline_spark.sources import fixtures
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    q = lineitem.filter(F.col("l_quantity") > 40).select("l_orderkey")
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in plan
+
+
+def test_column_pruning_in_read_schema(lineitem):
+    q = lineitem.filter(F.col("l_quantity") > 40).select("l_orderkey")
+    plan = _formatted(q)
+    # scan must read only the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_broadcast_join_for_small_dim(spark, lineitem):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    q = lineitem.join(F.broadcast(orders),
+                      lineitem["l_orderkey"] == orders["o_orderkey"])
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_jvm_only_operators_have_no_python_eval(documents):
+    """dedup/textanalysis/boilerplate are built-ins only — a BatchEvalPython
+    or ArrowEvalPython in their plans means a UDF snuck into the hot path."""
+    for q in [
+        dedup.minhash_signatures(documents),
+        dedup.simhash_signatures(documents),
+        textanalysis.quality_scores(documents),
+        textanalysis.fingerprints(documents),
+        boilerplate.extract_main_text(
+            documents.select("doc_id", F.lit(0).alias("idx"),
+                             F.lit("p").alias("tag"), "text",
+                             F.lit(0).alias("anchor_chars"))),
+    ]:
+        plan = _plan(q)
+        assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_extraction_is_single_arrow_stage_no_shuffle(spark):
+    docs = fixtures.docs_to_spark(spark, fixtures.build_classify_docs())
+    plan = _plan(extraction.extract_documents(docs))
+    assert "MapInArrow" in plan
+    # narrow pipeline: no exchange inside the operator itself
+    assert "Exchange" not in plan
+
+
+def test_whole_stage_codegen_covers_scalar_projection(lineitem):
+    """Plain scalar expressions stay inside codegen. (Higher-order array
+    functions — filter/transform/aggregate — legitimately run as
+    non-codegen Projects; they are still JVM-side, covered by the
+    no-EvalPython test above.)"""
+    q = lineitem.select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.upper("l_returnflag").alias("rf"),
+    )
+    # the '*(n)' prefix marks a WholeStageCodegen-compiled span
+    assert "*(1) Project" in _plan(q)

@@ -1,0 +1,56 @@
+"""Streaming extraction: micro-batch results must equal the batch
+pipeline's output (stateless kernels => exact reuse)."""
+
+from __future__ import annotations
+
+import time
+
+from rca_pdf_extraction_pipeline_spark.operators.extraction import extract_documents
+from rca_pdf_extraction_pipeline_spark.sources import fixtures
+from rca_pdf_extraction_pipeline_spark.streaming import pipeline
+
+
+def _spans_by_doc(rows):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for r in rows
+    }
+
+
+def test_file_stream_matches_batch(spark, tmp_path):
+    docs = [fixtures.build_golden_doc()] + fixtures.build_parser_branch_docs()
+    df = fixtures.docs_to_spark(spark, docs)
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    # two separate files -> at least two micro-batches with maxFiles=1
+    df.filter("doc_id = 'golden-doc-w20552'").write.parquet(f"{in_dir}/f1")
+    df.filter("doc_id != 'golden-doc-w20552'").write.parquet(f"{in_dir}/f2")
+
+    # flatten dirs: move parquet part files into in_dir root
+    import glob
+    import shutil
+    for i, p in enumerate(sorted(glob.glob(f"{in_dir}/f*/part-*.parquet"))):
+        shutil.move(p, f"{in_dir}/docs_{i}.parquet")
+    for d in ("f1", "f2"):
+        shutil.rmtree(f"{in_dir}/{d}")
+
+    q = pipeline.run_file_stream(spark, in_dir, out_dir, ckpt,
+                                 max_files_per_trigger=1)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if not q.status["isDataAvailable"] and q.status["isTriggerActive"] is False:
+                # drain: give it one more beat to commit
+                time.sleep(2)
+                if not q.status["isDataAvailable"]:
+                    break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = _spans_by_doc(spark.read.parquet(out_dir).collect())
+    want = _spans_by_doc(extract_documents(df).collect())
+    assert got == want
+    assert len(got) == 7
