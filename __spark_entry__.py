@@ -230,6 +230,11 @@ def _q_h2_verify_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction.verify_headers_documents(_fixture_docs(spark))
 
 
+def _q_c2_structural_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fixtures.docs_to_spark(spark, fixtures.build_classify_docs())
+    return extraction.classify_documents_structural(docs)
+
+
 # ---- relational operator parity over the TPC-H-ish tables -----------------
 
 
@@ -443,6 +448,11 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dedup.deduplicate_corpus(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "lang", "source", "n_chars")
+
+
 # ---- similarity search over embeddings ------------------------------------
 
 
@@ -565,6 +575,24 @@ def _q_c2_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "c.page_type", "c.confidence")
 
 
+def _q_x10_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 (reference database.py:173-282 JSON-serialized subtrees):
+    to_json on a struct, then field extraction back out."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    j = F.to_json(F.struct("event_id", "event_type"))
+    return ev.select(
+        "event_id", j.alias("json_str"),
+        F.get_json_object(j, "$.event_type").alias("rt_type"),
+    )
+
+
+def _q_o4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 LIMIT/OFFSET pagination (reference viewer.py:418-429)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select("event_id", "user_id", "event_type")
+              .orderBy("event_id").offset(100).limit(50))
+
+
 def _q_a11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
@@ -581,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_samples_golden": _q_samples_golden,
         "h1_headers_golden": _q_headers_golden,
         "h2_verify_golden": _q_h2_verify_golden,
+        "c2_structural_spans": _q_c2_structural_spans,
         # relational operators (SURVEY §2.3, §2.4, §2.6)
         "a0_pricing_summary": _q_a0_pricing_summary,
         "j1_broadcast_join": _q_j1_broadcast_join,
@@ -598,12 +627,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_keyword_cascade": _q_c1_keyword_cascade,
         "a5_keyword_score": _q_a5_keyword_score,
         "x_scalar_suite": _q_x_scalar_suite,
+        "x10_json_roundtrip": _q_x10_json_roundtrip,
+        "o4_pagination": _q_o4_pagination,
         "a11_distinct_agg": _q_a11_distinct_agg,
         # training-data pipeline: dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_corpus": _q_dedup_corpus,
         # training-data pipeline: similarity search
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_lsh_buckets": _q_sim_lsh_buckets,
@@ -666,6 +698,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "h1_headers_golden": f"""
             SELECT * FROM (VALUES {header_values}) AS t(page, col, header)
+        """,
+        "c2_structural_spans": """
+            SELECT * FROM (VALUES
+              ('classify-plot',  1, 'cover', 0.6),
+              ('classify-cover', 1, 'cover', 0.6),
+              ('classify-text',  1, 'narrative', 0.8),
+              ('classify-other', 1, 'blank', 0.95),
+              ('classify-table', 1, 'table', 0.9)
+            ) AS t(doc_id, page, page_type, confidence)
         """,
         "h2_verify_golden": """
             SELECT * FROM (VALUES
@@ -841,6 +882,17 @@ def oracle_sql() -> dict[str, str]:
                   || '.' || lpad(((doc_id * 13) % 100)::VARCHAR, 2, '0') AS ds
               FROM documents)
         """,
+        "x10_json_roundtrip": """
+            SELECT event_id,
+                   '{"event_id":' || event_id || ',"event_type":"' || event_type
+                     || '"}' AS json_str,
+                   event_type AS rt_type
+            FROM events WHERE event_id < 500
+        """,
+        "o4_pagination": """
+            SELECT event_id, user_id, event_type FROM events
+            ORDER BY event_id LIMIT 50 OFFSET 100
+        """,
         "a11_distinct_agg": """
             SELECT source,
                    string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
@@ -889,6 +941,37 @@ def oracle_sql() -> dict[str, str]:
             h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tok),
             v AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id)
             SELECT doc_id, ({simhash_assemble})::BIGINT AS simhash FROM v
+        """,
+        "dedup_corpus": f"""
+            WITH {_SQL_SHINGLE_BASE},
+            sigbase AS (
+              SELECT doc_id,
+                     list_transform(shset, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
+              FROM sh),
+            sig AS (SELECT doc_id, {minhash_sigs} FROM sigbase),
+            keys AS (
+              SELECT doc_id, 0 AS band,
+                     sig_0::VARCHAR || '-' || sig_1::VARCHAR || '-'
+                       || sig_2::VARCHAR || '-' || sig_3::VARCHAR AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     sig_4::VARCHAR || '-' || sig_5::VARCHAR || '-'
+                       || sig_6::VARCHAR || '-' || sig_7::VARCHAR AS band_key FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM keys a JOIN keys b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            losers AS (
+              SELECT DISTINCT c.id_b AS doc_id
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+              WHERE round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                    / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 6)
+                    >= 0.8)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
         """,
         # ---- similarity ----------------------------------------------------
         "sim_topk_cosine": """

@@ -149,6 +149,42 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def deduplicate_corpus(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       jaccard_threshold: float = 0.8,
+                       n_hashes: int = DEFAULT_MINHASH_SEEDS,
+                       bands: int = DEFAULT_BANDS,
+                       shingle_size: int = 3) -> DataFrame:
+    """End-to-end near-dedup with keep-first policy: a document is
+    dropped iff an LSH candidate pair links it to a LOWER-id document
+    whose verified shingle Jaccard clears the threshold.
+
+    Pipeline: MinHash band keys -> candidate pairs -> exact Jaccard
+    verify on candidates only -> anti-join the losers. This is the
+    standard greedy keep-first approximation (no transitive closure —
+    the same policy as keep-min-per-cluster for pair-linked docs).
+
+    Scale: the anti-join key is just the id column; the expensive
+    verification runs only on band-collision pairs, never O(N^2).
+    """
+    cand = minhash_candidate_pairs(docs, text_col, id_col, n_hashes, bands,
+                                   shingle_size)
+    toks = T.shingle_set(F.col(text_col), shingle_size)
+    t = docs.select(F.col(id_col), toks.alias("tok_set"))
+    a = t.select(F.col(id_col).alias("id_a"), F.col("tok_set").alias("tok_a"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col("tok_set").alias("tok_b"))
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    losers = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .filter(jac >= jaccard_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        bits: int = SIMHASH_BITS,

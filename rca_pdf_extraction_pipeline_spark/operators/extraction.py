@@ -467,6 +467,79 @@ def classify_documents(docs: DataFrame) -> DataFrame:
     return docs.mapInArrow(run, schema=CLASSIFICATION_SCHEMA)
 
 
+def classify_documents_structural(docs: DataFrame, page_width: float = 612.0,
+                                  page_height: float = 792.0) -> DataFrame:
+    """C2 structural classifier over span geometry (reference
+    src/page_classifier.py:51-125 — the legacy pipeline's classifier):
+    per page, horizontal/vertical line counts (F6 predicates), text
+    block count, char count, image coverage (A6) and line-gap
+    regularity (A7) feed the structural cascade.
+
+    Page dimensions are not carried in the span model (the reference
+    reads them from the PDF page object); they default to US Letter.
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            flat = flat_from_batch(batch)
+            if len(flat) == 0:
+                continue
+            stats = _structural_stats(flat, page_width, page_height)
+            cls = kclassify.classify_pages_structural(stats)
+            ids = _doc_ids_pd(batch)
+            out = pd.DataFrame({
+                "doc_id": ids[stats["doc_pos"].to_numpy().astype(np.int64)],
+                "page": stats["page_number"].astype("int32"),
+                "page_type": cls["page_type"].to_numpy(),
+                "confidence": cls["confidence"].to_numpy(),
+            })
+            yield pa.RecordBatch.from_pandas(out, schema=_C2_PA,
+                                             preserve_index=False)
+
+    return docs.mapInArrow(
+        run, schema="doc_id string, page int, page_type string, confidence double")
+
+
+_C2_PA = pa.schema([("doc_id", pa.string()), ("page", pa.int32()),
+                    ("page_type", pa.string()), ("confidence", pa.float64())])
+
+
+def _structural_stats(flat: pd.DataFrame, page_width: float,
+                      page_height: float) -> pd.DataFrame:
+    """Per-(doc_pos, page) geometry aggregates for the C2 cascade."""
+    is_line = flat["kind"] == "line"
+    dy = (flat["y1"] - flat["y0"]).abs()
+    dx = (flat["x1"] - flat["x0"]).abs()
+    flat = flat.assign(
+        _h=(is_line & (dy < 2)).astype(np.int64),
+        _v=(is_line & (dx < 2) & (dy >= 2)).astype(np.int64),
+        _tb=(flat["kind"] == "text").astype(np.int64),
+        _chars=np.where(flat["kind"] == "text",
+                        flat["content"].str.len().to_numpy(), 0),
+        _img_area=np.where(
+            flat["kind"] == "image",
+            (dx * dy).fillna(0.0).to_numpy(), 0.0),
+    )
+    g = flat.groupby(["doc_pos", "page"], sort=True)
+    stats = g.agg(h_lines=("_h", "sum"), v_lines=("_v", "sum"),
+                  text_blocks=("_tb", "sum"), char_count=("_chars", "sum"),
+                  img_area=("_img_area", "sum")).reset_index()
+    stats["image_coverage"] = stats["img_area"] / (page_width * page_height)
+    stats["page_number"] = stats["page"]
+
+    # A7 gap regularity over each page's horizontal-line y positions
+    hl = flat[flat["_h"] == 1]
+    key = list(zip(stats["doc_pos"], stats["page"]))
+    ys: dict = {k: [] for k in key}
+    for d, p, y in zip(hl["doc_pos"], hl["page"], hl["y0"]):
+        ys.setdefault((d, p), []).append(y)
+    stats["gap_regular"] = kclassify.gap_regularity(
+        [np.asarray(ys.get(k, []), dtype=np.float64) for k in key])
+    return stats
+
+
 _SAMPLES_PA = pa.schema(
     [("doc_id", pa.string())]
     + [(c, pa.string()) for c in ksamples.SAMPLE_COLUMNS]

@@ -1,0 +1,129 @@
+"""Parity artifact sinks K1-K4 (reference src/core_analysis.py:777-970).
+
+The reference's deliverables are three small files per document —
+extraction CSV, classification JSON, header-verification report — plus
+a legacy bundled JSON. At cluster scale these are per-document summary
+artifacts a few KB each: the DataFrames stay distributed and only the
+already-aggregated tiny results are rendered driver-side, exactly like
+the reference writes them from its in-memory lists.
+
+Byte parity with the committed goldens
+(`/root/reference/data/output/spec/*`) is pinned by tests:
+  * K1 CSV      — kernels/sanitize.rows_to_csv_bytes (utf-8-sig BOM,
+    injection escaping) — byte-identical.
+  * K2 JSON     — flat {"page_N": type} dict, json indent=2 —
+    byte-identical.
+  * K4 report   — fixed layout, "\\n"-joined, no trailing newline —
+    byte-identical modulo the Generated timestamp line.
+  * K3 bundle   — legacy format (no golden committed in the reference);
+    shape-tested with the reference's union-typed cells (float | str |
+    None) reconstructed from the canonical string cells.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+from ..config import MERGED_INDICATORS
+
+#: cells whose merged-indicator strings are preserved un-typed
+_STR_OK = frozenset(MERGED_INDICATORS)
+
+
+def classification_json_bytes(pages: list[tuple[int, str]]) -> bytes:
+    """K2 (reference :847-867): flat {"page_N": type} dict, indent=2."""
+    data = {f"page_{p}": t for p, t in sorted(pages)}
+    return json.dumps(data, indent=2).encode("utf-8")
+
+
+def header_verification_report(
+    verified: bool,
+    reference_page: int | None,
+    pages_checked: list[int],
+    reference_headers: list[str],
+    mismatches: list[dict] | None = None,
+    generated: datetime | None = None,
+) -> bytes:
+    """K4 (reference :869-943): human-readable verification report."""
+    generated = generated or datetime.now()
+    lines = [
+        "Header Verification Report",
+        "=" * 26,
+        f"Generated: {generated.strftime('%Y-%m-%d %H:%M:%S')}",
+        "",
+    ]
+    if reference_page is not None:
+        lines.append(f"Reference Page: {reference_page}")
+        lines.append("Pages Checked: " + ", ".join(str(p) for p in pages_checked))
+        lines.append("")
+        if verified:
+            lines.append("Status: VERIFIED - All headers match across pages")
+        else:
+            lines.append(
+                f"Status: MISMATCH - {len(mismatches or [])} "
+                "page(s) have different headers"
+            )
+            lines.append("")
+            lines.append("Mismatches:")
+            for mismatch in mismatches or []:
+                lines.append(f"  Page {mismatch['page']}:")
+                for diff in mismatch["differences"]:
+                    lines.append(f"    - {diff}")
+        lines.append("")
+        lines.append(f"Headers ({len(reference_headers)} columns):")
+        for i, header in enumerate(reference_headers, 1):
+            lines.append(f"  {i}. {header}")
+    else:
+        lines.append("Status: NO TABLE PAGES FOUND")
+        lines.append("")
+        lines.append("No table pages were identified in the document.")
+    return "\n".join(lines).encode("utf-8")
+
+
+def _typed_cell(value: str, force_str: bool = False):
+    """Reconstruct the reference's union-typed cell (float | str | None)
+    from the canonical string cell (reference :714-731 parse semantics)."""
+    if value == "":
+        return None
+    if force_str or value in _STR_OK or value.startswith("<"):
+        return value
+    try:
+        return float(value.replace(",", ""))
+    except ValueError:
+        return value
+
+
+def sample_to_dict(cells: dict[str, str], page_number: int) -> dict:
+    """CoreSample.to_dict twin (reference :70-84): union-typed values."""
+    return {
+        "core_number": cells["core_number"],
+        "sample_number": cells["sample_number"],
+        "depth_feet": _typed_cell(cells["depth_feet"]),
+        "permeability_air_md": _typed_cell(cells["permeability_air_md"]),
+        "permeability_klink_md": _typed_cell(cells["permeability_klink_md"]),
+        "porosity_ambient_pct": _typed_cell(cells["porosity_ambient_pct"]),
+        "porosity_ncs_pct": _typed_cell(cells["porosity_ncs_pct"]),
+        "grain_density_gcc": _typed_cell(cells["grain_density_gcc"]),
+        "saturation_water_pct": _typed_cell(cells["saturation_water_pct"]),
+        "saturation_oil_pct": _typed_cell(cells["saturation_oil_pct"]),
+        "saturation_total_pct": _typed_cell(cells["saturation_total_pct"]),
+        "page_number": page_number,
+    }
+
+
+def bundle_json_bytes(
+    pages: list[tuple[int, str]],
+    table_pages: list[int],
+    samples: list[dict],
+    warnings: list[str],
+) -> bytes:
+    """K3 (reference :945-970): legacy bundled JSON."""
+    data = {
+        "classification": {f"page_{p}": t for p, t in sorted(pages)},
+        "table_pages": sorted(table_pages),
+        "sample_count": len(samples),
+        "samples": samples,
+        "warnings": warnings,
+    }
+    return json.dumps(data, indent=2).encode("utf-8")

@@ -1,0 +1,82 @@
+"""K1-K4 sink parity: artifacts rendered from the Spark pipeline's
+outputs must match the reference's committed golden files byte-for-byte
+(K4 modulo its embedded timestamp line)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from rca_pdf_extraction_pipeline_spark.config import GOLDEN_EXTRACTED_HEADERS
+from rca_pdf_extraction_pipeline_spark.operators.extraction import (
+    classify_documents,
+    extract_headers,
+    extract_samples,
+    verify_headers_documents,
+)
+from rca_pdf_extraction_pipeline_spark.sources import fixtures, sinks
+
+SPEC = Path("/root/reference/data/output/spec")
+
+
+@pytest.fixture(scope="module")
+def golden_docs(spark):
+    return fixtures.docs_to_spark(spark, [fixtures.build_golden_doc()])
+
+
+def test_k2_classification_json_byte_parity(spark, golden_docs):
+    cls = classify_documents(golden_docs).select("page", "page_type").collect()
+    got = sinks.classification_json_bytes([(r["page"], r["page_type"]) for r in cls])
+    want = (SPEC / "page_classification.json").read_bytes()
+    assert got == want
+
+
+def test_k4_header_verification_byte_parity(spark, golden_docs):
+    v = verify_headers_documents(golden_docs).collect()[0]
+    hdrs = extract_headers(golden_docs).collect()
+    pages = sorted({r["page"] for r in hdrs})
+    ref_headers = [r["header"] for r in sorted(
+        (r for r in hdrs if r["page"] == v["reference_page"]),
+        key=lambda r: r["col"])]
+    got = sinks.header_verification_report(
+        verified=v["verified"], reference_page=v["reference_page"],
+        pages_checked=pages, reference_headers=ref_headers)
+    want = (SPEC / "header_verification.txt").read_bytes()
+
+    got_lines, want_lines = got.split(b"\n"), want.split(b"\n")
+    assert got_lines[2].startswith(b"Generated: ")
+    got_lines[2] = want_lines[2]  # timestamp is run-dependent by design
+    assert got_lines == want_lines
+
+
+def test_k4_headers_are_the_11_golden(spark, golden_docs):
+    hdrs = extract_headers(golden_docs).filter("page = 39").collect()
+    assert [r["header"] for r in sorted(hdrs, key=lambda r: r["col"])] == \
+        GOLDEN_EXTRACTED_HEADERS[:-1]
+
+
+def test_k3_bundle_shape_and_union_types(spark, golden_docs):
+    cls = classify_documents(golden_docs).select("page", "page_type").collect()
+    s = extract_samples(golden_docs).toPandas().sort_values("row_idx")
+    cell_cols = [c for c in s.columns
+                 if c not in ("doc_id", "page_number", "row_idx",
+                              "depth_feet_f", "porosity_ambient_pct_f")]
+    samples = [
+        sinks.sample_to_dict({c: row[c] for c in cell_cols}, int(row["page_number"]))
+        for _, row in s.iterrows()
+    ]
+    data = json.loads(sinks.bundle_json_bytes(
+        [(r["page"], r["page_type"]) for r in cls],
+        [39, 40, 41, 42], samples, []))
+    assert data["sample_count"] == 138
+    assert data["classification"]["page_39"] == "table"
+    by_sample = {smp["sample_number"]: smp for smp in data["samples"]}
+    # union typing: merged indicators stay strings, numerics become floats
+    assert by_sample["1-2(F)"]["permeability_air_md"] == "+"
+    assert by_sample["1-3"]["permeability_air_md"] == "<0.0001"
+    assert isinstance(by_sample["1-1"]["permeability_air_md"], float)
+    assert by_sample["1-8"]["saturation_water_pct"] == "**"
+    assert by_sample["1-2(F)"]["porosity_ncs_pct"] is None  # '+' branch: NCS empty
+    assert isinstance(by_sample["1-1"]["depth_feet"], float)

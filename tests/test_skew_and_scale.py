@@ -67,3 +67,19 @@ def test_extraction_invariant_under_partitioning(spark):
                                                   heavy_doc_span_threshold=500)),
     ]:
         assert _collect_spans(extract_documents(variant)) == baseline
+
+
+def test_structural_classifier_on_table_spans(spark):
+    """C2 over real span geometry: non-page-1 table pages with grid
+    lines classify as 'table' @0.9 (page_classifier.py:78-83)."""
+    from rca_pdf_extraction_pipeline_spark.operators.extraction import (
+        classify_documents_structural,
+    )
+    docs = fixtures.docs_to_spark(spark, fixtures.build_skew_docs(n_small=3,
+                                                                 big_factor=4))
+    out = classify_documents_structural(docs).collect()
+    small = [r for r in out if r["doc_id"].startswith("skew-small")]
+    assert small and all(r["page_type"] == "table" and r["confidence"] == 0.9
+                         for r in small)
+    big = [r for r in out if r["doc_id"] == "skew-big"]
+    assert len(big) == 4 and all(r["page_type"] == "table" for r in big)

@@ -121,3 +121,12 @@ def test_fingerprint_order_sensitivity(spark):
           for r in textanalysis.fingerprints(df).collect()}
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]  # rolling hash is order-sensitive
+
+
+def test_deduplicate_corpus_keep_first(corpus):
+    kept = sorted(r["doc_id"]
+                  for r in dedup.deduplicate_corpus(corpus, jaccard_threshold=0.5)
+                  .select("doc_id").collect())
+    # 2 is an exact dup of 1; 3 is a near-dup of 1 (jaccard >= 0.5) -> both
+    # dropped under keep-first; 1, 4, 5 survive
+    assert kept == [1, 4, 5]
