@@ -1,0 +1,52 @@
+"""P3 table consolidation as a Spark operator (legacy-path parity:
+reference src/table_extractor.py:136-189).
+
+Input: one row per extracted raw table —
+    (doc_id, table_id, headers: array<string>, rows: array<array<string>>)
+Per document, tables are fuzzy-grouped by header-set similarity (J5,
+difflib bit-parity in kernels/simtext.py), the group with most rows
+wins, and every member's rows are remapped to the canonical header
+order (J6 argmax-similarity alignment).
+
+Consolidation is inherently per-document with a tiny number of tables
+each (4 in the reference), so the Spark form is ``applyInPandas`` over
+``groupBy(doc_id)`` — one shuffle on doc_id, then the sequential-fold
+kernel inside each group. At 100 TB the shuffle payload is the
+already-extracted tables, orders of magnitude smaller than the source
+spans.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..kernels import simtext
+
+OUT_SCHEMA = ("doc_id string, headers array<string>, "
+              "original_headers array<string>, n_tables int, n_rows int, "
+              "rows array<array<string>>")
+
+
+def consolidate_documents(tables: DataFrame) -> DataFrame:
+    """(doc_id, table_id, headers, rows) -> one consolidated table per doc."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("table_id")
+        tbls = [
+            {"headers": list(r["headers"]),
+             "original_headers": list(r["headers"]),
+             "rows": [list(x) for x in r["rows"]]}
+            for _, r in pdf.iterrows()
+        ]
+        merged = simtext.consolidate_tables(tbls)
+        return pd.DataFrame({
+            "doc_id": [pdf["doc_id"].iloc[0]],
+            "headers": [merged["headers"]],
+            "original_headers": [merged["original_headers"]],
+            "n_tables": [len(tbls)],
+            "n_rows": [len(merged["rows"])],
+            "rows": [merged["rows"]],
+        })
+
+    return tables.groupBy("doc_id").applyInPandas(run, schema=OUT_SCHEMA)

@@ -130,3 +130,27 @@ def test_deduplicate_corpus_keep_first(corpus):
     # 2 is an exact dup of 1; 3 is a near-dup of 1 (jaccard >= 0.5) -> both
     # dropped under keep-first; 1, 4, 5 survive
     assert kept == [1, 4, 5]
+
+
+def test_p3_consolidation_operator(spark):
+    """P3 (table_extractor.py:136-189): fuzzy-grouped tables merge into
+    the largest group's canonical header order; odd tables drop."""
+    from rca_pdf_extraction_pipeline_spark.operators import consolidate
+    h1 = ["Core Number", "Sample Number", "Depth"]
+    h2 = ["Core Number", "Sample  Number", "Depth"]   # fuzzy-same
+    h3 = ["Totally", "Different", "Schema"]
+    rows = [
+        ("d1", 0, h1, [["1", "1-1", "9580.5"], ["1", "1-2", "9581.0"]]),
+        ("d1", 1, h2, [["2", "2-1", "9590.0"]]),
+        ("d1", 2, h3, [["x", "y", "z"]]),
+        ("d2", 0, h3, [["a", "b", "c"]]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, table_id int, headers array<string>, "
+              "rows array<array<string>>")
+    out = {r["doc_id"]: r for r in consolidate.consolidate_documents(df).collect()}
+    assert out["d1"]["headers"] == h1          # largest fuzzy group wins
+    assert out["d1"]["n_tables"] == 3
+    assert out["d1"]["n_rows"] == 3            # 2 + 1 aligned; odd table dropped
+    assert [list(r) for r in out["d1"]["rows"]][2] == ["2", "2-1", "9590.0"]
+    assert out["d2"]["headers"] == h3
