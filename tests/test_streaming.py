@@ -54,3 +54,30 @@ def test_file_stream_matches_batch(spark, tmp_path):
     want = _spans_by_doc(extract_documents(df).collect())
     assert got == want
     assert len(got) == 7
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """Event-time tumbling windows: streaming (complete mode) result ==
+    batch result over the same events."""
+    from rca_pdf_extraction_pipeline_spark.streaming import windows as W
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev")
+    ev.coalesce(2).write.parquet(in_dir)
+
+    batch = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+             for r in W.windowed_event_counts(ev).collect()}
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (W.windowed_event_counts(stream)
+         .writeStream.format("memory").queryName("winagg")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+           for r in spark.sql("select * from winagg").collect()}
+    assert got == batch
+    assert len(batch) > 10
