@@ -51,7 +51,20 @@ GOLDEN = REPO / "rca_pdf_extraction_pipeline_spark" / "golden"
 # --------------------------------------------------------------------------
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; make sure executors'
+    Python workers can import the package regardless of the driver's
+    cwd/PYTHONPATH (idempotent addPyFile of the package zip)."""
+    try:
+        from rca_pdf_extraction_pipeline_spark.session import ship_package
+
+        ship_package(spark)
+    except Exception:
+        pass  # already shipped / zip path unavailable — import may still work
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "documents":
         # the testdata files are single-row-group parquet (unsplittable),
@@ -63,11 +76,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _fixture_docs(spark: SparkSession) -> DataFrame:
+    _ensure_shipped(spark)
     docs = [fixtures.build_golden_doc()] + fixtures.build_parser_branch_docs()
     return fixtures.docs_to_spark(spark, docs)
 
 
 def _golden_doc(spark: SparkSession) -> DataFrame:
+    _ensure_shipped(spark)
     return fixtures.docs_to_spark(spark, [fixtures.build_golden_doc()])
 
 
