@@ -563,10 +563,14 @@ def _q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed decode (no codecs in env) — rows-only check; exercises the
-    real Arrow plumbing: binary payloads, batch shapes, typed output."""
+    """Stubbed decode (no codecs in env) — exercises the real Arrow
+    plumbing: binary payloads, batch shapes, typed output. The md5-seeded
+    fake features are themselves oracle-checkable (f0 below)."""
     dec = multimodal.decode_media(_media_table(spark, sf_dir), fake=True)
-    return dec.select("media_ref", "kind", "ok", "decoded_width", "n_frames")
+    return dec.select(
+        "media_ref", "kind", "ok", "decoded_width", "n_frames",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+    )
 
 
 # ---- C2 structural classifier ---------------------------------------------
@@ -1041,6 +1045,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(width), 2) AS avg_width,
                    round(avg(height), 2) AS avg_height
             FROM media GROUP BY kind
+        """,
+        "multimodal_decode": """
+            WITH media AS (
+              SELECT printf('media-%05d', doc_id) AS media_ref,
+                     CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     text,
+                     (doc_id % 640 + 32)::INT AS decoded_width,
+                     (doc_id % 120 + 1) AS dur_s
+              FROM documents)
+            SELECT media_ref, kind, TRUE AS ok, decoded_width,
+                   (CASE WHEN kind = 'video' THEN dur_s ELSE 1 END)::INT AS n_frames,
+                   round((('0x' || substr(md5(text), 3, 2)
+                          || substr(md5(text), 1, 2))::BIGINT) / 65535.0, 4) AS f0
+            FROM media
         """,
         "c2_structural": """
             WITH stats AS (

@@ -83,3 +83,21 @@ def test_structural_classifier_on_table_spans(spark):
                          for r in small)
     big = [r for r in out if r["doc_id"] == "skew-big"]
     assert len(big) == 4 and all(r["page_type"] == "table" for r in big)
+
+
+def test_extraction_invariant_under_span_permutation(spark):
+    """Reading order is computed from geometry/offsets, never from the
+    input array order: a deterministically shuffled spans array must
+    extract to the identical output sequence."""
+    import random
+
+    golden = fixtures.build_golden_doc()
+    shuffled = {"doc_id": golden["doc_id"], "spans": list(golden["spans"])}
+    random.Random(42).shuffle(shuffled["spans"])
+
+    a = _collect_spans(extract_documents(
+        fixtures.docs_to_spark(spark, [golden])))
+    b = _collect_spans(extract_documents(
+        fixtures.docs_to_spark(spark, [shuffled])))
+    assert a == b
+    assert len(a["golden-doc-w20552"]) == 12 + 138 * 12 + 4
