@@ -15,11 +15,15 @@ Design (scales to 10^12 docs):
     (input path, app id, wall time). The manifest append is the commit
     point: output files without a manifest entry are invisible garbage,
     exactly like Iceberg's snapshot protocol.
-  * resume = read manifest, skip completed buckets. The bucket filter
-    is a plain column predicate on the *input* scan, so at cluster
-    scale Iceberg/parquet stats prune unprocessed work without listing
-    processed documents (no driver-side doc-id sets — progress state is
-    O(n_buckets), not O(n_docs)).
+  * resume = read manifest, skip completed buckets; progress state is
+    O(n_buckets), not O(n_docs) — no driver-side doc-id sets. The
+    resume filter is ``pmod(xxhash64(doc_id), n) IN (todo)``: a
+    computed predicate evaluates during the scan (cheap, but reads all
+    files). For true file-level pruning at 10^12 docs, materialize the
+    bucket as a partition/sort column of the INPUT table too — then the
+    same predicate prunes via partition values; the OUTPUT side already
+    does this (``data/_bucket=N/``), which is what read_extracted's
+    snapshot filter prunes on.
 
 Reference has no checkpointing at all (single 359 ms process,
 docs/wiki/Performance.md:9-15); this is the cluster-scale replacement.
@@ -113,6 +117,15 @@ def extract_with_checkpoint(
     ran = []
     bucket = _bucket_col(n_buckets)
     for group in wave_groups:
+        # scrub leftovers of a crashed earlier attempt: files under an
+        # uncommitted bucket partition would double-serve once this wave
+        # commits (on object storage: dynamic partition overwrite instead)
+        for b in group:
+            leftover = table_dir / "data" / f"_bucket={int(b)}"
+            if leftover.exists():
+                import shutil
+
+                shutil.rmtree(leftover)
         sub = docs.filter(bucket.isin([int(b) for b in group]))
         sub = skew.salted_repartition(sub, cfg)
         out = extract_documents(sub, cfg).withColumn("_bucket", _bucket_col(n_buckets))

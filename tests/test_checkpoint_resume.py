@@ -100,3 +100,35 @@ def test_uncommitted_buckets_invisible(spark, docs, tmp_path):
     }
     assert served <= done
     assert got_buckets >= served
+
+
+def test_crash_injected_files_are_invisible_and_resumable(spark, docs, tmp_path):
+    """Real crash injection: parquet files written into a bucket dir
+    WITHOUT a manifest commit must be invisible to readers, and a resume
+    must still process that bucket's documents."""
+    table = tmp_path / "extracted"
+    checkpoint.extract_with_checkpoint(
+        docs, table, n_buckets=4, waves=4, max_waves=2, input_desc="x")
+    done = checkpoint.SnapshotManifest(table).completed_buckets()
+    crashed = sorted(set(range(4)) - done)[0]
+
+    # simulate a crashed wave: bucket data present on disk, no snapshot
+    stray = docs.limit(1).withColumn("_bucket", F.lit(crashed))
+    stray.write.mode("append").partitionBy("_bucket").parquet(str(table / "data"))
+
+    served_docs = {r["doc_id"] for r in
+                   checkpoint.read_extracted(spark, table).collect()}
+    stray_id = docs.limit(1).collect()[0]["doc_id"]
+    bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    stray_bucket = docs.limit(1).select(bucket_of.alias("b")).collect()[0]["b"]
+    if stray_bucket == crashed:  # stray doc genuinely uncommitted
+        assert stray_id not in served_docs
+
+    # resume completes all buckets; the stray uncommitted file must be
+    # scrubbed before its bucket commits — every doc served EXACTLY once
+    checkpoint.extract_with_checkpoint(docs, table, n_buckets=4, waves=4,
+                                       input_desc="x")
+    out = checkpoint.read_extracted(spark, table).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    want = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert ids == want  # no duplicates, no losses

@@ -56,3 +56,34 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def make_extracted_spans() -> None:
+    """golden_extracted_spans.parquet — the expected output span rows of
+    the flagship query (golden doc + parser-branch docs), derived from
+    the committed golden tables via the fixture inverters. Regenerable:
+    ``python tools/make_golden.py`` rewrites all three parquets."""
+    import sys
+
+    sys.path.insert(0, str(OUT.parent.parent))
+    import pandas as pd
+
+    from rca_pdf_extraction_pipeline_spark.sources import fixtures
+
+    docs = [fixtures.expected_golden_output()] + [
+        fixtures.expected_branch_output(d)
+        for d in ["parse-normal", "parse-plus", "parse-detect",
+                  "parse-star", "parse-fracture", "parse-toolong"]]
+    rows = [
+        (d["doc_id"], s["kind"], s["text"], s["media_ref"], s["offset"])
+        for d in docs for s in d["spans"]
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "kind", "text", "media_ref",
+                                     "offset"])
+    df["offset"] = df["offset"].astype("int32")
+    df.to_parquet(OUT / "golden_extracted_spans.parquet", index=False)
+    print(f"wrote {OUT / 'golden_extracted_spans.parquet'} ({len(df)} rows)")
+
+
+if __name__ == "__main__":
+    make_extracted_spans()
