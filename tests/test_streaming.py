@@ -3,8 +3,6 @@ pipeline's output (stateless kernels => exact reuse)."""
 
 from __future__ import annotations
 
-import time
-
 from rca_pdf_extraction_pipeline_spark.operators.extraction import extract_documents
 from rca_pdf_extraction_pipeline_spark.sources import fixtures
 from rca_pdf_extraction_pipeline_spark.streaming import pipeline
@@ -38,14 +36,7 @@ def test_file_stream_matches_batch(spark, tmp_path):
     q = pipeline.run_file_stream(spark, in_dir, out_dir, ckpt,
                                  max_files_per_trigger=1)
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if not q.status["isDataAvailable"] and q.status["isTriggerActive"] is False:
-                # drain: give it one more beat to commit
-                time.sleep(2)
-                if not q.status["isDataAvailable"]:
-                    break
-            time.sleep(1)
+        q.processAllAvailable()  # blocks until every input file is committed
     finally:
         q.stop()
         q.awaitTermination(30)
