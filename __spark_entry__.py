@@ -468,6 +468,10 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_pairs(_t(spark, sf_dir, "embeddings"))
+
+
 # ---- similarity search over embeddings ------------------------------------
 
 
@@ -655,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_corpus": _q_dedup_corpus,
+        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         # training-data pipeline: similarity search
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_lsh_buckets": _q_sim_lsh_buckets,
@@ -991,6 +996,19 @@ def oracle_sql() -> dict[str, str]:
                     >= 0.8)
             SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+        """,
+        "dedup_embedding_pairs": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                bb.embedding::DOUBLE[]), 6)
+                     AS cosine_sim
+            FROM b a JOIN b bb
+              ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               bb.embedding::DOUBLE[]), 6) >= 0.35
         """,
         # ---- similarity ----------------------------------------------------
         "sim_topk_cosine": """

@@ -218,6 +218,34 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def embedding_near_pairs(embs: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.35,
+                         n_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-LSH-blocked: only
+    vectors sharing an LSH bucket (functions/vectors.sign_bucket) are
+    compared, then the exact cosine gates the pair — the ANN analogue
+    of MinHash banding, turning O(N^2) into per-bucket joins.
+
+    Returns (id_a, id_b, cosine_sim) for same-bucket pairs with
+    similarity >= threshold (rounded to 6 dp, ids ordered)."""
+    from ..functions import vectors as V
+
+    t = embs.select(F.col(id_col), V.as_double(F.col(vec_col)).alias("v"),
+                    V.sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    a = t.select(F.col("bucket"), F.col(id_col).alias("id_a"),
+                 F.col("v").alias("va"))
+    b = t.select(F.col("bucket"), F.col(id_col).alias("id_b"),
+                 F.col("v").alias("vb"))
+    sim = F.round(V.cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = SIMHASH_BITS,
                        max_hamming: int = 2, shingle_size: int = 3) -> DataFrame:

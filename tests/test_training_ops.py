@@ -154,3 +154,20 @@ def test_p3_consolidation_operator(spark):
     assert out["d1"]["n_rows"] == 3            # 2 + 1 aligned; odd table dropped
     assert [list(r) for r in out["d1"]["rows"]][2] == ["2", "2-1", "9590.0"]
     assert out["d2"]["headers"] == h3
+
+
+def test_embedding_near_pairs(spark):
+    import math
+
+    def v(theta):
+        return [float(math.cos(theta)), float(math.sin(theta))] + [0.01] * 6
+
+    rows = [(0, v(0.01)), (1, v(0.03)),   # near-identical directions
+            (2, v(1.5)), (3, v(3.1))]     # orthogonal-ish / opposite
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in dedup.embedding_near_pairs(df, threshold=0.9,
+                                                 n_bits=2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 3) not in pairs    # different sign bucket, never compared
+    assert (0, 2) not in pairs or pairs.get((0, 2), 0) >= 0.9
