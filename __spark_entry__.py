@@ -35,11 +35,14 @@ from rca_pdf_extraction_pipeline_spark.config import GOLDEN_EXTRACTED_HEADERS
 from rca_pdf_extraction_pipeline_spark.functions import classify_expr
 from rca_pdf_extraction_pipeline_spark.operators import (
     boilerplate,
+    consolidate,
     dedup,
     extraction,
+    metadata,
     multimodal,
     similarity,
     skew,
+    tablegrid,
     textanalysis,
 )
 from rca_pdf_extraction_pipeline_spark.sources import fixtures
@@ -171,7 +174,7 @@ sm AS (
     coalesce(lead(base) OVER (PARTITION BY doc_id ORDER BY idx), FALSE) AS next_c
   FROM scored)"""
 
-_N_SIMHASH_BITS = 16
+_N_SIMHASH_BITS = 64
 _SIGN_BUCKET_SQL = "(" + " + ".join(
     f"CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END" for i in range(8)
 ) + ")::BIGINT"
@@ -248,6 +251,78 @@ def _q_h2_verify_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_c2_structural_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fixtures.docs_to_spark(spark, fixtures.build_classify_docs())
     return extraction.classify_documents_structural(docs)
+
+
+def _q_table_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (reference table_extractor.py:59-120): ruled-grid inference on
+    page 1, text-alignment fallback on page 2, no-table negative on page 3
+    and on media-nosample."""
+    _ensure_shipped(spark)
+    docs = fixtures.docs_to_spark(spark, [
+        fixtures.build_grid_doc(), fixtures.build_media_nosample_doc()])
+    return tablegrid.extract_table_cells(docs)
+
+
+def _q_table_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 -> P3 end-to-end: grid cells regrouped to nested tables, then
+    the reference's header-similarity consolidation (table_extractor.py:
+    136-189); arrays flattened for cross-engine hashing."""
+    _ensure_shipped(spark)
+    docs = fixtures.docs_to_spark(spark, [fixtures.build_grid_doc()])
+    cons = consolidate.consolidate_documents(
+        tablegrid.extract_tables_nested(docs))
+    return (cons.select(
+        "doc_id", F.array_join("headers", "|").alias("headers_joined"),
+        "n_tables", "n_rows",
+        F.posexplode("rows").alias("row_idx", "row"))
+        .select("doc_id", "headers_joined", "n_tables", "n_rows", "row_idx",
+                F.array_join("row", "|").alias("row_joined")))
+
+
+def _q_f8_page_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (reference table_extractor.py:38-40): requested pages outside
+    each doc's page range produce the reference's warning string."""
+    return tablegrid.page_range_warnings(_fixture_docs(spark), [1, 39, 300])
+
+
+def _q_a8_depth_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (reference main.py summary + core_analysis.py:991): min/max
+    depth over the golden doc's decoded samples."""
+    s = extraction.extract_samples(_golden_doc(spark))
+    return s.agg(
+        F.round(F.min("depth_feet_f"), 2).alias("min_depth"),
+        F.round(F.max("depth_feet_f"), 2).alias("max_depth"),
+        F.count(F.lit(1)).alias("n_samples"))
+
+
+def _q_s5_doc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (reference elementizer/extractor.py:62-76): doc-metadata pivot
+    from kind='meta' spans."""
+    _ensure_shipped(spark)
+    docs = fixtures.docs_to_spark(spark, fixtures.build_metadata_docs())
+    return metadata.extract_doc_metadata(docs)
+
+
+def _q_span_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementizer search parity (reference database.py:299-319): LIKE
+    '%needle%' with LIMIT over the documents corpus; deterministic order
+    by doc_id before the limit."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.filter(F.col("text").contains("the"))
+            .select("doc_id",
+                    F.expr("locate('the', text)").alias("pos"),
+                    F.expr("substring(text, locate('the', text), 40)")
+                     .alias("snippet"))
+            .orderBy("doc_id").limit(100))
+
+
+def _q_dedup_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dedup.deduplicate_corpus_cc(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "lang", "source", "n_chars")
+
+
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
 # ---- relational operator parity over the TPC-H-ish tables -----------------
@@ -633,6 +708,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h1_headers_golden": _q_headers_golden,
         "h2_verify_golden": _q_h2_verify_golden,
         "c2_structural_spans": _q_c2_structural_spans,
+        "table_grid_cells": _q_table_grid_cells,
+        "table_consolidated": _q_table_consolidated,
+        "f8_page_range": _q_f8_page_range,
+        "a8_depth_summary": _q_a8_depth_summary,
+        "s5_doc_metadata": _q_s5_doc_metadata,
+        "span_search": _q_span_search,
         # relational operators (SURVEY §2.3, §2.4, §2.6)
         "a0_pricing_summary": _q_a0_pricing_summary,
         "j1_broadcast_join": _q_j1_broadcast_join,
@@ -658,7 +739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_corpus": _q_dedup_corpus,
+        "dedup_corpus_cc": _q_dedup_corpus_cc,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         # training-data pipeline: similarity search
         "sim_topk_cosine": _q_sim_topk_cosine,
@@ -689,11 +772,45 @@ def oracle_sql() -> dict[str, str]:
         for s, (a, b) in enumerate(MINHASH_SEEDS)
     )
     simhash_votes = ", ".join(
-        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
-        for j in range(_N_SIMHASH_BITS)
+        [f"SUM(CASE WHEN (hv_lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+         for j in range(32)]
+        + [f"SUM(CASE WHEN (hv_hi >> {j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+           for j in range(32, 64)]
     )
-    simhash_assemble = " + ".join(
-        f"CASE WHEN v_{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(_N_SIMHASH_BITS)
+    simhash_lo = " + ".join(
+        f"CASE WHEN v_{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(32)
+    )
+    simhash_hi = " + ".join(
+        f"CASE WHEN v_{j} > 0 THEN {2 ** (j - 32)} ELSE 0 END"
+        for j in range(32, 64)
+    )
+    #: shared simhash CTE chain: shingles -> 64-bit votes -> (sig_hi, sig_lo)
+    simhash_sig_ctes = f"""
+            tok AS (SELECT doc_id, unnest(shset) AS tok FROM sh),
+            h AS (SELECT doc_id,
+                    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hv_hi,
+                    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv_lo
+                  FROM tok),
+            v AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id),
+            s AS (SELECT doc_id, ({simhash_hi})::BIGINT AS sig_hi,
+                         ({simhash_lo})::BIGINT AS sig_lo FROM v)"""
+    grid_cells_values = ", ".join(
+        f"('grid-doc', {p}, {t}, {r}, {c}, '{cell}', {str(bool(h)).upper()}, "
+        f"{conf})"
+        for (p, t, r, c, cell, h, conf) in fixtures.expected_grid_cells()
+    )
+    f8_docs = ["golden-doc-w20552", "parse-normal", "parse-plus",
+               "parse-detect", "parse-star", "parse-fracture",
+               "parse-toolong", "media-nosample"]
+    f8_values = ", ".join(
+        f"('{d}', 300, 'Page 300 out of range, skipping')" for d in f8_docs
+    )
+    meta_values = ", ".join(
+        "(" + ", ".join(
+            [f"'{doc_id}'"]
+            + [f"'{m[f]}'" if f in m else "NULL"
+               for f in metadata.METADATA_FIELDS]) + ")"
+        for doc_id, m in fixtures.METADATA_DOCS
     )
     header_values = ", ".join(
         f"({page}, {col}, '{h.replace(chr(39), chr(39) * 2)}')"
@@ -731,6 +848,39 @@ def oracle_sql() -> dict[str, str]:
               ('classify-other', 1, 'blank', 0.95),
               ('classify-table', 1, 'table', 0.9)
             ) AS t(doc_id, page, page_type, confidence)
+        """,
+        "table_grid_cells": f"""
+            SELECT * FROM (VALUES {grid_cells_values})
+            AS t(doc_id, page, table_index, row_idx, col_idx, cell,
+                 is_header, confidence)
+        """,
+        "table_consolidated": """
+            SELECT * FROM (VALUES
+              ('grid-doc', 'Alpha|Beta|Gamma', 2, 2, 0, 'a1|b1 extra|c1'),
+              ('grid-doc', 'Alpha|Beta|Gamma', 2, 2, 1, 'a3||c3')
+            ) AS t(doc_id, headers_joined, n_tables, n_rows, row_idx,
+                   row_joined)
+        """,
+        "f8_page_range": f"""
+            SELECT * FROM (VALUES {f8_values}) AS t(doc_id, page, warning)
+        """,
+        "a8_depth_summary": f"""
+            SELECT round(min(depth_feet::DOUBLE), 2) AS min_depth,
+                   round(max(depth_feet::DOUBLE), 2) AS max_depth,
+                   count(*)::BIGINT AS n_samples
+            FROM '{GOLDEN}/golden_table_rows.parquet'
+        """,
+        "s5_doc_metadata": f"""
+            SELECT * FROM (VALUES {meta_values})
+            AS t(doc_id, {', '.join(metadata.METADATA_FIELDS)})
+        """,
+        "span_search": """
+            SELECT doc_id,
+                   position('the' IN text) AS pos,
+                   substr(text, position('the' IN text), 40) AS snippet
+            FROM documents
+            WHERE text LIKE '%the%'
+            ORDER BY doc_id LIMIT 100
         """,
         "h2_verify_golden": """
             SELECT * FROM (VALUES
@@ -961,10 +1111,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": f"""
             WITH {_SQL_SHINGLE_BASE},
-            tok AS (SELECT doc_id, unnest(shset) AS tok FROM sh),
-            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tok),
-            v AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id)
-            SELECT doc_id, ({simhash_assemble})::BIGINT AS simhash FROM v
+            {simhash_sig_ctes}
+            SELECT doc_id, sig_hi, sig_lo FROM s
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH {_SQL_SHINGLE_BASE},
+            {simhash_sig_ctes},
+            bands AS (
+              SELECT doc_id, sig_hi, sig_lo, band,
+                CASE band WHEN 0 THEN sig_lo & 65535
+                          WHEN 1 THEN (sig_lo >> 16) & 65535
+                          WHEN 2 THEN sig_hi & 65535
+                          ELSE (sig_hi >> 16) & 65535 END AS band_val
+              FROM s, (SELECT unnest([0, 1, 2, 3]) AS band) bs),
+            p AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sig_hi AS ha, a.sig_lo AS la,
+                     b.sig_hi AS hb, b.sig_lo AS lb
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INTEGER
+                     AS hamming
+            FROM p
+            WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
         """,
         "dedup_corpus": f"""
             WITH {_SQL_SHINGLE_BASE},
@@ -996,6 +1167,48 @@ def oracle_sql() -> dict[str, str]:
                     >= 0.8)
             SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+        """,
+        "dedup_corpus_cc": f"""
+            WITH RECURSIVE {_SQL_SHINGLE_BASE},
+            sigbase AS (
+              SELECT doc_id,
+                     list_transform(shset, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
+              FROM sh),
+            sig AS (SELECT doc_id, {minhash_sigs} FROM sigbase),
+            keys AS (
+              SELECT doc_id, 0 AS band,
+                     sig_0::VARCHAR || '-' || sig_1::VARCHAR || '-'
+                       || sig_2::VARCHAR || '-' || sig_3::VARCHAR AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     sig_4::VARCHAR || '-' || sig_5::VARCHAR || '-'
+                       || sig_6::VARCHAR || '-' || sig_7::VARCHAR AS band_key FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM keys a JOIN keys b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+              WHERE round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                    / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 6)
+                    >= 0.8),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                      UNION
+                      SELECT id_b, id_a FROM verified),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            minlab AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS label
+              FROM reach GROUP BY src)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+            LEFT JOIN minlab m ON m.doc_id = d.doc_id
+            WHERE m.doc_id IS NULL OR m.label = d.doc_id
         """,
         "dedup_embedding_pairs": f"""
             WITH b AS (

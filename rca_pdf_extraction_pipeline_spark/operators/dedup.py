@@ -26,7 +26,13 @@ from ..functions import text as T
 
 DEFAULT_MINHASH_SEEDS = 8
 DEFAULT_BANDS = 2
-SIMHASH_BITS = 16
+#: 64-bit SimHash carried as two 32-bit halves (sig_hi, sig_lo) so no
+#: expression ever needs unsigned-64 arithmetic (both engines stay exact).
+SIMHASH_BITS = 64
+#: pigeonhole bands for the near-pair join: 4 disjoint 16-bit bands over
+#: the 64-bit signature => 2^16 blocks per band, and any pair with
+#: Hamming distance <= SIMHASH_BANDS - 1 = 3 agrees exactly on >=1 band.
+SIMHASH_BANDS = 4
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
@@ -77,6 +83,11 @@ def minhash_band_keys(docs: DataFrame, text_col: str = "text",
     Single-pass: the signature row explodes into its band keys via
     ``posexplode`` so the (expensive) md5-per-shingle signature lineage
     is evaluated exactly once, not once per band."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes} exactly — a "
+            f"remainder would silently drop trailing signature values and "
+            f"weaken the requested S-curve")
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_size)
     rows_per_band = n_hashes // bands
     band_keys = F.array(*[
@@ -167,6 +178,21 @@ def deduplicate_corpus(docs: DataFrame, text_col: str = "text",
     Scale: the anti-join key is just the id column; the expensive
     verification runs only on band-collision pairs, never O(N^2).
     """
+    verified = verified_near_pairs(docs, text_col, id_col, jaccard_threshold,
+                                   n_hashes, bands, shingle_size)
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def verified_near_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        jaccard_threshold: float = 0.8,
+                        n_hashes: int = DEFAULT_MINHASH_SEEDS,
+                        bands: int = DEFAULT_BANDS,
+                        shingle_size: int = 3) -> DataFrame:
+    """LSH candidate pairs whose exact shingle Jaccard clears the
+    threshold — (id_a, id_b) with id_a < id_b.  Shared by the greedy and
+    connected-components dedup policies."""
     cand = minhash_candidate_pairs(docs, text_col, id_col, n_hashes, bands,
                                    shingle_size)
     toks = T.shingle_set(F.col(text_col), shingle_size)
@@ -176,46 +202,112 @@ def deduplicate_corpus(docs: DataFrame, text_col: str = "text",
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
     union = F.size(F.array_union(F.col("tok_a"), F.col("tok_b")))
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    losers = (
-        cand.join(a, "id_a").join(b, "id_b")
-        .filter(jac >= jaccard_threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
-    return docs.join(losers, id_col, "left_anti")
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .filter(jac >= jaccard_threshold)
+            .select("id_a", "id_b"))
+
+
+def deduplicate_corpus_cc(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          jaccard_threshold: float = 0.8,
+                          n_hashes: int = DEFAULT_MINHASH_SEEDS,
+                          bands: int = DEFAULT_BANDS,
+                          shingle_size: int = 3,
+                          max_iter: int = 50) -> DataFrame:
+    """Connected-components dedup: keep exactly the MINIMUM id of every
+    near-dup component (transitive closure of verified pairs).
+
+    Differs from the greedy policy of :func:`deduplicate_corpus` when a
+    document links two otherwise-dissimilar lower-id documents: greedy
+    keeps both low ids AND judges each pair independently; CC collapses
+    the whole component to one survivor.
+
+    Algorithm: Pregel-style iterative min-label propagation over the
+    verified-pair edge list (no graphframes dependency) — per round, every
+    node takes the min of its own label and its neighbors' labels; stop
+    when no label changed (converges in O(component diameter) rounds,
+    which for near-dup clusters is tiny).  Each round is one shuffle on
+    the node id; lineage is cut with ``localCheckpoint`` so plans don't
+    grow unboundedly (on a cluster, a persisted intermediate table plays
+    this role).
+    """
+    pairs = verified_near_pairs(docs, text_col, id_col, jaccard_threshold,
+                                n_hashes, bands, shingle_size)
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .localCheckpoint(eager=True))
+    labels = (docs.select(F.col(id_col).alias("node"))
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        incoming = (edges.join(labels, edges["src"] == labels["node"])
+                    .select(F.col("dst").alias("node"), F.col("label")))
+        new_labels = (labels.unionByName(incoming)
+                      .groupBy("node").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    keepers = labels.filter(F.col("label") == F.col("node")) \
+                    .select(F.col("node").alias(id_col))
+    return docs.join(keepers, id_col, "left_semi")
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        bits: int = SIMHASH_BITS,
                        shingle_size: int = 3) -> DataFrame:
-    """Per-document SimHash signature (Charikar 2002): for each bit j,
-    sum +1/-1 votes of hash32(shingle) bit j over the distinct shingle
+    """Per-document 64-bit SimHash signature (Charikar 2002): for each bit
+    j, sum +1/-1 votes of hash64(shingle) bit j over the distinct shingle
     set; bit j of the signature is 1 iff the sum is positive.
 
-    Implementation: ONE md5 per shingle (transform to a long array),
-    then explode the already-hashed longs and take ``bits`` conditional
+    Returns (id, sig_hi, sig_lo) — the signature split into two 32-bit
+    longs so neither engine ever touches unsigned-64 arithmetic (the md5
+    hex prefix splits the same way: chars 1-8 -> lo, 9-16 -> hi).
+
+    Implementation: ONE md5 per shingle (transform to a (hi, lo) struct
+    array), explode the already-hashed pairs, then ``bits`` conditional
     sums under groupBy(doc) — the sums partial-aggregate map-side so the
-    exchange carries one row of 16 ints per document. (A single-fold
-    array-accumulator variant was measured faster steady-state but its
-    16-wide generated fold code paid 8-30 s of one-time janino/JIT
-    compile per session — the small-expression aggregate is the better
-    cold-start trade.)
+    exchange carries one row of 64 ints per document.  64 bits (vs the
+    earlier 16) is the scale requirement: the near-pair step blocks on
+    16-bit bands => 2^16 buckets per band instead of 2^8 total, so
+    per-block self-joins stay tiny at 10^9 docs.
     """
+    if bits != 64:
+        raise ValueError("simhash_signatures is fixed at 64 bits "
+                         "(two 32-bit halves); got bits=%r" % bits)
     toks = T.shingle_set(F.col(text_col), shingle_size)
     hashed = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    exploded = docs.select(F.col(id_col), F.explode(hashed).alias("h"))
-    votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
-               .otherwise(-1)).alias(f"v_{j}")
-        for j in range(bits)
-    ]
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("lo"),
+        ))
+    exploded = docs.select(F.col(id_col), F.explode(hashed).alias("h")) \
+                   .select(F.col(id_col), F.col("h.hi").alias("hi"),
+                           F.col("h.lo").alias("lo"))
+    votes = []
+    for j in range(32):
+        votes.append(
+            F.sum(F.when(F.shiftright(F.col("lo"), j).bitwiseAND(1) == 1, 1)
+                   .otherwise(-1)).alias(f"v_{j}"))
+    for j in range(32, 64):
+        votes.append(
+            F.sum(F.when(F.shiftright(F.col("hi"), j - 32).bitwiseAND(1) == 1, 1)
+                   .otherwise(-1)).alias(f"v_{j}"))
     agg = exploded.groupBy(id_col).agg(*votes)
-    sig = F.lit(0).cast("long")
-    for j in range(bits):
-        sig = sig + F.when(F.col(f"v_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    sig_lo = F.lit(0).cast("long")
+    sig_hi = F.lit(0).cast("long")
+    for j in range(32):
+        sig_lo = sig_lo + F.when(F.col(f"v_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    for j in range(32, 64):
+        sig_hi = sig_hi + F.when(F.col(f"v_{j}") > 0, F.lit(2 ** (j - 32))).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), sig_hi.alias("sig_hi"), sig_lo.alias("sig_lo"))
 
 
 def embedding_near_pairs(embs: DataFrame, id_col: str = "vec_id",
@@ -247,30 +339,57 @@ def embedding_near_pairs(embs: DataFrame, id_col: str = "vec_id",
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", bits: int = SIMHASH_BITS,
-                       max_hamming: int = 2, shingle_size: int = 3) -> DataFrame:
+                       id_col: str = "doc_id",
+                       max_hamming: int = SIMHASH_BANDS - 1,
+                       shingle_size: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Scale path: block on the top half of the signature (any pair within
-    Hamming distance <= bits/2 blocks shares at least one half —
-    standard pigeonhole banding), then verify the exact distance via
-    bit_count on the XOR.
+    Scale path: pigeonhole banding over SIMHASH_BANDS=4 disjoint 16-bit
+    bands of the 64-bit signature.  With k bands, any pair whose Hamming
+    distance is <= k-1 must agree EXACTLY on at least one band (k-1 bit
+    flips cannot touch all k bands), so blocking on (band, band_value)
+    loses no pair within the advertised contract — this requires
+    ``max_hamming < SIMHASH_BANDS`` and the guard below fails loudly
+    rather than silently under-recalling.  Each band has 2^16 block
+    values; the per-band self-join shuffles on the 16-bit block key and
+    AQE splits any hot block.  Exact distance is then verified via
+    bit_count on the XOR of both halves.
     """
-    sigs = simhash_signatures(docs, text_col, id_col, bits, shingle_size)
-    half = bits // 2
-    hi = (F.col("simhash") / F.lit(2 ** half)).cast("long").alias("block_hi")
-    lo = (F.col("simhash") % F.lit(2 ** half)).alias("block_lo")
-    t = sigs.select(F.col(id_col), F.col("simhash"), hi, lo)
-    pairs = None
-    for block in ["block_hi", "block_lo"]:
-        a = t.select(F.col(block), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-        b = t.select(F.col(block), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-        p = a.join(b, block).filter(F.col("id_a") < F.col("id_b")) \
-             .select("id_a", "id_b", "sh_a", "sh_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.distinct()
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    sigs = simhash_signatures(docs, text_col, id_col,
+                              shingle_size=shingle_size)
+    return simhash_pairs_from_signatures(sigs, id_col, max_hamming)
+
+
+def simhash_pairs_from_signatures(sigs: DataFrame, id_col: str = "doc_id",
+                                  max_hamming: int = SIMHASH_BANDS - 1
+                                  ) -> DataFrame:
+    """Banding + verify over a (id, sig_hi, sig_lo) signature table —
+    split out so the recall guarantee is testable on handcrafted
+    signatures and so a persisted signatures table can be re-joined
+    without recomputing shingle hashes."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"pigeonhole banding with {SIMHASH_BANDS} bands only guarantees "
+            f"candidates for hamming <= {SIMHASH_BANDS - 1}; "
+            f"got max_hamming={max_hamming}")
+    mask = F.lit(0xFFFF)
+    band_vals = F.array(
+        F.col("sig_lo").bitwiseAND(mask),
+        F.shiftright(F.col("sig_lo"), 16).bitwiseAND(mask),
+        F.col("sig_hi").bitwiseAND(mask),
+        F.shiftright(F.col("sig_hi"), 16).bitwiseAND(mask),
     )
+    t = sigs.select(F.col(id_col), F.col("sig_hi"), F.col("sig_lo"),
+                    F.posexplode(band_vals).alias("band", "band_val"))
+    a = t.select("band", "band_val", F.col(id_col).alias("id_a"),
+                 F.col("sig_hi").alias("hi_a"), F.col("sig_lo").alias("lo_a"))
+    b = t.select("band", "band_val", F.col(id_col).alias("id_b"),
+                 F.col("sig_hi").alias("hi_b"), F.col("sig_lo").alias("lo_b"))
+    pairs = (a.join(b, ["band", "band_val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+             .distinct())
+    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+           + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    return (pairs.select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -318,21 +318,30 @@ def _assemble_batch(batch: pa.RecordBatch, r: dict,
             np.full(n * C, "field", dtype=object), mat.ravel(),
             np.full(n * C, None, dtype=object))
 
-        if cfg.passthrough_media:
-            media = flat[flat["kind"] == "image"]
-            if len(media):
-                media = media.merge(table_pages, on=["doc_pos", "page"])
-            if len(media):
-                mm = len(media)
-                add(media["doc_pos"].to_numpy(), np.full(mm, 1),
-                    media["page"].to_numpy(), np.full(mm, 1),
-                    np.zeros(mm), np.zeros(mm),
-                    media["y0"].to_numpy(dtype=np.float64, na_value=np.inf),
-                    media["x0"].to_numpy(dtype=np.float64, na_value=np.inf),
-                    media["offset"].to_numpy().astype(np.float64),
-                    np.full(mm, "image", dtype=object),
-                    np.full(mm, "", dtype=object),
-                    media["media_ref"].to_numpy(dtype=object))
+    if cfg.passthrough_media:
+        # Media passthrough is keyed to the per-(doc, page) pairs that
+        # produced decoded samples — computed from THIS doc's rows only, so
+        # a doc's output never depends on other docs in the Arrow batch
+        # (determinism invariant: per-doc, never batch/partition-derived).
+        media = flat[flat["kind"] == "image"]
+        if len(media) and len(samples):
+            sample_pages = (samples[["doc_pos", "page_number"]]
+                            .drop_duplicates()
+                            .rename(columns={"page_number": "page"}))
+            media = media.merge(sample_pages, on=["doc_pos", "page"])
+        else:
+            media = media.iloc[:0]
+        if len(media):
+            mm = len(media)
+            add(media["doc_pos"].to_numpy(), np.full(mm, 1),
+                media["page"].to_numpy(), np.full(mm, 1),
+                np.zeros(mm), np.zeros(mm),
+                media["y0"].to_numpy(dtype=np.float64, na_value=np.inf),
+                media["x0"].to_numpy(dtype=np.float64, na_value=np.inf),
+                media["offset"].to_numpy().astype(np.float64),
+                np.full(mm, "image", dtype=object),
+                np.full(mm, "", dtype=object),
+                media["media_ref"].to_numpy(dtype=object))
 
     if docs:
         doc_a = np.concatenate(docs).astype(np.int64)

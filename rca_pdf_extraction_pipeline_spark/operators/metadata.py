@@ -1,0 +1,72 @@
+"""S5 document-metadata extraction (reference
+``src/elementizer/extractor.py:62-76`` — title/author/subject/creator/
+producer/dates/keywords/format/encryption pulled from the PDF metadata
+dict) and the elementizer span search (reference
+``src/elementizer/database.py:299-319`` — ``LIKE '%q%' LIMIT 100``).
+
+Span model: metadata rides in the interleaved table as ``kind='meta'``
+spans with payload ``"0|key=value"`` (page 0 = document scope), so the
+same (doc_id, spans) schema carries it and parquet nested-column pruning
+still applies.  Extraction is a pure DataFrame expression — explode,
+split ONCE on the first '=' (values may contain '='), then a pivot over
+the fixed field list; Catalyst keeps the whole thing codegen'd with no
+Python.  At 100 TB the pivot is a single groupBy(doc_id) whose input is
+already only the handful of meta spans per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: reference extractor.py:64-76 field list, in output order
+METADATA_FIELDS = [
+    "title", "author", "subject", "creator", "producer",
+    "creation_date", "modification_date", "keywords", "format", "encryption",
+]
+
+
+def extract_doc_metadata(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, spans) -> (doc_id, title, author, ..., encryption).
+
+    Missing fields are null (the reference's ``meta.get(...)``)."""
+    s = docs.select("doc_id", F.explode("spans").alias("s")) \
+            .filter(F.col("s.kind") == "meta")
+    content = F.split(F.col("s.text"), r"\|", 2)[1]
+    kv = s.select(
+        "doc_id",
+        F.split(content, "=", 2)[0].alias("k"),
+        F.split(content, "=", 2)[1].alias("v"),
+    )
+    return (kv.groupBy("doc_id")
+            .pivot("k", METADATA_FIELDS)
+            .agg(F.first("v"))
+            .select("doc_id", *METADATA_FIELDS))
+
+
+def metadata_census(docs: DataFrame, field: str = "producer") -> DataFrame:
+    """Per-value census of one metadata field (the reference prints a
+    producer/format census in its summary path) — (value, n_docs)."""
+    meta = extract_doc_metadata(docs)
+    return (meta.groupBy(F.coalesce(F.col(field), F.lit("(none)"))
+                 .alias(field))
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def search_spans(docs: DataFrame, needle: str, limit: int = 100) -> DataFrame:
+    """Elementizer search parity (reference database.py:299-319):
+    substring match over span payload text, deterministic order by
+    (doc_id, offset), first ``limit`` rows.
+
+    Scale note: this is a full scan by design (the reference runs
+    LIKE '%q%' in SQLite, also unindexed); the LIMIT short-circuits via
+    CollectLimit so Spark stops scanning once enough partitions produced
+    ``limit`` rows."""
+    s = docs.select("doc_id", F.explode("spans").alias("s"))
+    content = F.split(F.col("s.text"), r"\|", 2)[1]
+    return (s.select("doc_id", F.col("s.kind").alias("kind"),
+                     F.col("s.offset").alias("offset"),
+                     content.alias("content"))
+            .filter(F.col("content").contains(needle))
+            .orderBy("doc_id", "offset")
+            .limit(limit))

@@ -216,7 +216,27 @@ def build_parser_branch_docs() -> list[dict]:
             _span("text", _geom(39, 40, 250, 570, 700, junk), None, 1),
         ],
     })
+    docs.append(build_media_nosample_doc())
     return docs
+
+
+def build_media_nosample_doc(doc_id: str = "media-nosample") -> dict:
+    """Table-classified page carrying an image but NO decodable data block.
+
+    Regression fixture for batch-independent media emission: images pass
+    through only for (doc, page) pairs that produced samples, computed from
+    that doc's own rows — this doc's image span must never appear merely
+    because ANOTHER doc in the same Arrow batch yielded samples."""
+    junk = "\n".join(["7", "7-1", "9,700.00"] + ["line"] * 22)
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            _span("text", _geom(39, 40, 100, 400, 112, TABLE_PAGE_TITLE), None, 0),
+            _span("text", _geom(39, 40, 250, 570, 700, junk), None, 1),
+            _span("image", _geom(39, 400, 710, 500, 760, ""),
+                  "page0039_img0000.png", 2),
+        ],
+    }
 
 
 def expected_branch_output(doc_id: str) -> dict:
@@ -230,9 +250,126 @@ def expected_branch_output(doc_id: str) -> dict:
         r = rows[rows.row_idx == picks[doc_id]].iloc[0]
         for c in [c for c in rows.columns if c != "row_idx"]:
             spans.append(_span("field", r[c], None, len(spans)))
-    elif doc_id == "parse-toolong":
-        spans = spans  # headers only; no sample rows survive the guard
+    elif doc_id in ("parse-toolong", "media-nosample"):
+        # headers only: no sample rows survive the guard, and media
+        # passthrough is keyed to sample-producing pages, so the
+        # media-nosample image is (correctly) NOT emitted
+        spans = spans
     return {"doc_id": doc_id, "spans": spans}
+
+
+def build_grid_doc(doc_id: str = "grid-doc") -> dict:
+    """S9 fixture: three pages exercising every table-grid branch
+    (reference table_extractor.py:59-120).
+
+      page 1 — ruled 4x3 grid (5 h-lines incl. a duplicate within snap
+        tolerance, 4 v-lines): header row, a multi-span cell, one all-empty
+        row (dropped), a sparse row, and stray text outside the grid.
+      page 2 — no rulings: text-alignment fallback table (confidence 0.7),
+        3x3 with one missing cell.
+      page 3 — a single rect (1x1 grid => <2 raw rows) + one text span:
+        yields NO table from either strategy.
+    """
+    spans: list[dict] = []
+    off = 0
+
+    def line(page, x0, y0, x1, y1):
+        nonlocal off
+        spans.append(_span("line", _geom(page, x0, y0, x1, y1, ""), None, off))
+        off += 1
+
+    def text(page, x0, y0, x1, y1, content):
+        nonlocal off
+        spans.append(_span("text", _geom(page, x0, y0, x1, y1, content), None, off))
+        off += 1
+
+    # --- page 1: ruled grid; x bounds [50,150,250,350], y [100,120,140,160,180]
+    for y in (100, 120, 140, 160, 180):
+        line(1, 50, y, 350, y)
+    line(1, 50, 100.8, 350, 100.8)      # duplicate ruling: snaps into y=100
+    for x in (50, 150, 250, 350):
+        line(1, x, 100, x, 180)
+    cells = {
+        (0, 0): ["Alpha"], (0, 1): ["Beta"], (0, 2): ["Gamma"],
+        (1, 0): ["a1"], (1, 1): ["b1", "extra"], (1, 2): ["c1"],
+        # row 2 intentionally empty -> dropped
+        (3, 0): ["a3"], (3, 2): ["c3"],
+    }
+    xb, yb = [50, 150, 250, 350], [100, 120, 140, 160, 180]
+    for (r, c), parts in sorted(cells.items()):
+        cy = (yb[r] + yb[r + 1]) / 2
+        cx = (xb[c] + xb[c + 1]) / 2
+        for i, p in enumerate(parts):
+            # multi-span cells: stacked a little apart, same cell
+            text(1, cx - 10 + 4 * i, cy - 4 + 2 * i, cx + 10 + 4 * i,
+                 cy + 2 * i, p)
+    text(1, 60, 300, 200, 310, "stray caption below the grid")
+
+    # --- page 2: text-alignment fallback, rows y0 in {400,420,440},
+    #     cols x0 in {60,160,260}
+    grid2 = {(0, 0): "H1", (0, 1): "H2", (0, 2): "H3",
+             (1, 0): "d1", (1, 1): "d2", (1, 2): "d3",
+             (2, 0): "e1", (2, 2): "e3"}
+    for (r, c), content in sorted(grid2.items()):
+        text(2, 60 + 100 * c, 400 + 20 * r, 100 + 100 * c, 410 + 20 * r, content)
+
+    # --- page 3: a lone rect = 1x1 grid -> no table either way
+    spans.append(_span("rect", _geom(3, 60, 500, 200, 560, ""), None, off)); off += 1
+    text(3, 70, 520, 180, 530, "figure box")
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def expected_grid_cells() -> list[tuple]:
+    """Hand-derived expected output of extract_table_cells(build_grid_doc())
+    — (page, table_index, row_idx, col_idx, cell, is_header, confidence)."""
+    out = []
+    page1 = [
+        (0, ["Alpha", "Beta", "Gamma"], True),
+        (1, ["a1", "b1 extra", "c1"], False),
+        (2, ["a3", "", "c3"], False),        # raw row 3 compacts to 2
+    ]
+    for row_idx, cells, is_hdr in page1:
+        for col_idx, cell in enumerate(cells):
+            out.append((1, 0, row_idx, col_idx, cell, is_hdr, 1.0))
+    page2 = [
+        (0, ["H1", "H2", "H3"], True),
+        (1, ["d1", "d2", "d3"], False),
+        (2, ["e1", "", "e3"], False),
+    ]
+    for row_idx, cells, is_hdr in page2:
+        for col_idx, cell in enumerate(cells):
+            out.append((2, 0, row_idx, col_idx, cell, is_hdr, 0.7))
+    return out
+
+
+#: S5 metadata fixture contents — every reference field
+#: (elementizer/extractor.py:64-76) appears in at least one doc
+METADATA_DOCS: list[tuple[str, dict]] = [
+    ("meta-report", {
+        "title": "Routine Core Analysis W20552", "author": "Core Lab",
+        "subject": "RCA summary", "creator": "ReportGen 2.1",
+        "producer": "LabPDF 1.7", "format": "PDF 1.7"}),
+    ("meta-scan", {
+        "title": "Scanned Archive 14", "producer": "ScanStation 3.2",
+        "creation_date": "D:20200401120000", "modification_date": "D:20210115093000",
+        "format": "PDF 1.4", "encryption": "Standard V2"}),
+    ("meta-min", {"keywords": "core analysis,rca,permeability"}),
+]
+
+
+def build_metadata_docs() -> list[dict]:
+    """Docs carrying ``kind='meta'`` spans (payload ``"0|key=value"``,
+    page 0 = document scope) plus one ordinary text span each."""
+    docs = []
+    for doc_id, meta in METADATA_DOCS:
+        spans = [
+            _span("meta", _pageonly(0, f"{k}={v}"), None, i)
+            for i, (k, v) in enumerate(sorted(meta.items()))
+        ]
+        spans.append(_span("text", _pageonly(1, f"Body of {doc_id}."),
+                           None, len(spans)))
+        docs.append({"doc_id": doc_id, "spans": spans})
+    return docs
 
 
 def build_classify_docs() -> list[dict]:

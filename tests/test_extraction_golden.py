@@ -98,6 +98,38 @@ def test_parser_branch_docs_span_equality():
                 w["kind"], w["text"], w["media_ref"], w["offset"]), row.doc_id
 
 
+def _assemble_docs(docs):
+    pdf = fx.docs_to_pandas(docs)
+    r = _extract_batch(pdf, DEFAULT_CONFIG)
+    out = _assemble_output(pdf["doc_id"], r["samples"], r["flat"],
+                           r["table_pages"], DEFAULT_CONFIG)
+    return {
+        row.doc_id: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                     for s in row.spans]
+        for _, row in out.iterrows()
+    }
+
+
+def test_media_emission_is_batch_independent(golden_doc):
+    """A doc's span sequence must not depend on what else shares its Arrow
+    batch (determinism invariant). media-nosample has a table page with an
+    image but no decodable samples: alone or batched with the sample-rich
+    golden doc, its output is identical — headers only, no image span."""
+    doc = fx.build_media_nosample_doc()
+    alone = _assemble_docs([doc])[doc["doc_id"]]
+    together = _assemble_docs([doc, golden_doc])[doc["doc_id"]]
+    assert alone == together
+    want = fx.expected_branch_output(doc["doc_id"])["spans"]
+    assert alone == [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                     for s in want]
+    assert [k for k, *_ in alone] == ["field"] * len(GOLDEN_EXTRACTED_HEADERS)
+
+    # and the golden doc's own sequence is unchanged by the extra neighbor
+    g_together = _assemble_docs([doc, golden_doc])[golden_doc["doc_id"]]
+    g_alone = _assemble_docs([golden_doc])[golden_doc["doc_id"]]
+    assert g_together == g_alone
+
+
 def test_classify_archetype_docs():
     docs = fx.build_classify_docs()
     pdf = fx.docs_to_pandas(docs)

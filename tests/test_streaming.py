@@ -44,7 +44,7 @@ def test_file_stream_matches_batch(spark, tmp_path):
     got = _spans_by_doc(spark.read.parquet(out_dir).collect())
     want = _spans_by_doc(extract_documents(df).collect())
     assert got == want
-    assert len(got) == 7
+    assert len(got) == 8
 
 
 def test_windowed_counts_stream_equals_batch(spark, tmp_path):

@@ -54,15 +54,52 @@ def test_jaccard_pairs_values(corpus):
 
 
 def test_simhash_hamming_structure(corpus):
-    sigs = {r["doc_id"]: r["simhash"]
+    sigs = {r["doc_id"]: (r["sig_hi"], r["sig_lo"])
             for r in dedup.simhash_signatures(corpus).collect()}
+    assert all(0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32
+               for hi, lo in sigs.values())
     assert sigs[1] == sigs[2]
-    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
-    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
-    assert ham_near < ham_far
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-             for r in dedup.simhash_near_pairs(corpus, max_hamming=4).collect()}
+             for r in dedup.simhash_near_pairs(corpus, max_hamming=3).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_simhash_banding_recall_cross_band(spark):
+    """Pigeonhole guarantee: distance-2 pairs whose flipped bits land in
+    DIFFERENT 16-bit bands (incl. across the hi/lo halves) must still be
+    found — the round-1 two-block scheme missed exactly these."""
+    rows = [
+        (1, 0, 0),
+        (2, 0, (1 << 0) | (1 << 17)),   # 2 flips across lo's two bands
+        (3, 1 << 1, 1 << 20),           # 2 flips across hi and lo
+        # 3 flips vs doc 3 in bands {0, 0, 3}; bands 1-2 still agree
+        (4, (1 << 1) | (1 << 18), (1 << 20) | (1 << 3) | (1 << 5)),
+        (5, 0x0F0F0F0F, 0xF0F0F0F0),    # far from everything
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, sig_hi long, sig_lo long")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs_from_signatures(
+                 sigs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 2
+    assert pairs[(1, 3)] == 2
+    assert pairs[(3, 4)] == 3
+    assert all(5 not in p for p in pairs)
+
+
+def test_simhash_max_hamming_guard(spark):
+    sigs = spark.createDataFrame([(1, 0, 0)], "doc_id long, sig_hi long, sig_lo long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs_from_signatures(sigs, max_hamming=4)
+
+
+def test_minhash_bands_must_divide(corpus):
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_band_keys(corpus, n_hashes=8, bands=3)
 
 
 @pytest.fixture(scope="module")

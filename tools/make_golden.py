@@ -73,7 +73,8 @@ def make_extracted_spans() -> None:
     docs = [fixtures.expected_golden_output()] + [
         fixtures.expected_branch_output(d)
         for d in ["parse-normal", "parse-plus", "parse-detect",
-                  "parse-star", "parse-fracture", "parse-toolong"]]
+                  "parse-star", "parse-fracture", "parse-toolong",
+                  "media-nosample"]]
     rows = [
         (d["doc_id"], s["kind"], s["text"], s["media_ref"], s["offset"])
         for d in docs for s in d["spans"]
