@@ -151,18 +151,35 @@ def gap_regularity(y_positions: list[np.ndarray] | pd.Series) -> np.ndarray:
     """A7 line-gap regularity per page (reference page_classifier.py:101-125).
 
     Input: sequence of arrays of horizontal-line y0 positions, one per page.
-    Vectorized across pages via a flattened diff over concatenated arrays.
+    Thin wrapper over :func:`gap_regularity_flat` for list-shaped callers
+    (kernel tests); hot paths should pass flat arrays directly.
     """
     lens = np.array([len(a) for a in y_positions], dtype=np.int64)
     n_pages = len(lens)
+    if n_pages == 0 or not (lens >= 3).any():
+        return np.zeros(n_pages, dtype=bool)
+    flat = np.concatenate(
+        [np.asarray(a, dtype=np.float64) for a in y_positions if len(a)])
+    page_of = np.repeat(np.arange(n_pages), lens)
+    return gap_regularity_flat(page_of, flat, n_pages)
+
+
+def gap_regularity_flat(page_of: np.ndarray, y: np.ndarray,
+                        n_pages: int) -> np.ndarray:
+    """Flat-array form of A7: ``page_of[i]`` is the stats-row index of
+    horizontal line i, ``y[i]`` its y0.  One lexsort + bincounts — no
+    per-page lists, no per-row Python (CLAUDE.md hot-path invariant).
+    """
     out = np.zeros(n_pages, dtype=bool)
+    lens = np.bincount(page_of, minlength=n_pages) if len(page_of) else \
+        np.zeros(n_pages, dtype=np.int64)
     eligible = lens >= 3
     if not eligible.any():
         return out
 
-    flat = np.concatenate([np.sort(np.asarray(a, dtype=np.float64)) for a in y_positions]) \
-        if n_pages else np.empty(0)
-    page_of = np.repeat(np.arange(n_pages), lens)
+    order = np.lexsort((y, page_of))
+    flat = np.asarray(y, dtype=np.float64)[order]
+    page_of = np.asarray(page_of)[order]
     # gaps between consecutive lines within the same page
     same = page_of[1:] == page_of[:-1]
     gaps = (flat[1:] - flat[:-1])[same]

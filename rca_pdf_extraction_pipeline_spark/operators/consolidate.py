@@ -33,11 +33,12 @@ def consolidate_documents(tables: DataFrame) -> DataFrame:
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("table_id")
+        # per-TABLE (not per-row) list build; a doc has a handful of tables
         tbls = [
-            {"headers": list(r["headers"]),
-             "original_headers": list(r["headers"]),
-             "rows": [list(x) for x in r["rows"]]}
-            for _, r in pdf.iterrows()
+            {"headers": list(h), "original_headers": list(h),
+             "rows": [list(x) for x in rws]}
+            for h, rws in zip(pdf["headers"].to_numpy(),
+                              pdf["rows"].to_numpy())
         ]
         merged = simtext.consolidate_tables(tbls)
         return pd.DataFrame({

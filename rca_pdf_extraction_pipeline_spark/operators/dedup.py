@@ -288,26 +288,31 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
             F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("hi"),
             F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("lo"),
         ))
-    exploded = docs.select(F.col(id_col), F.explode(hashed).alias("h")) \
-                   .select(F.col(id_col), F.col("h.hi").alias("hi"),
-                           F.col("h.lo").alias("lo"))
-    votes = []
-    for j in range(32):
-        votes.append(
-            F.sum(F.when(F.shiftright(F.col("lo"), j).bitwiseAND(1) == 1, 1)
-                   .otherwise(-1)).alias(f"v_{j}"))
-    for j in range(32, 64):
-        votes.append(
-            F.sum(F.when(F.shiftright(F.col("hi"), j - 32).bitwiseAND(1) == 1, 1)
-                   .otherwise(-1)).alias(f"v_{j}"))
-    agg = exploded.groupBy(id_col).agg(*votes)
+    base = docs.select(F.col(id_col), hashed.alias("hv"),
+                       F.size(hashed).alias("n"))
+    # Fully NARROW per-row form — no explode, no groupBy, zero shuffle:
+    # per bit j, count_j = #shingles with bit j set (a filter+size pass
+    # over the already-hashed array), and the +1/-1 vote sum is positive
+    # iff 2*count_j > n.  The hv column is projected once, so the md5
+    # per shingle is evaluated once; the 64 bit passes are cheap integer
+    # loops inside codegen, not 64-wide aggregate state.
+    def _cnt(j: int) -> F.Column:
+        if j < 32:
+            return F.size(F.filter(
+                "hv", lambda h: F.shiftright(h["lo"], j).bitwiseAND(1) == 1))
+        return F.size(F.filter(
+            "hv", lambda h: F.shiftright(h["hi"], j - 32).bitwiseAND(1) == 1))
+
     sig_lo = F.lit(0).cast("long")
     sig_hi = F.lit(0).cast("long")
     for j in range(32):
-        sig_lo = sig_lo + F.when(F.col(f"v_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sig_lo = sig_lo + F.when(_cnt(j) * 2 > F.col("n"),
+                                 F.lit(2 ** j)).otherwise(F.lit(0))
     for j in range(32, 64):
-        sig_hi = sig_hi + F.when(F.col(f"v_{j}") > 0, F.lit(2 ** (j - 32))).otherwise(F.lit(0))
-    return agg.select(F.col(id_col), sig_hi.alias("sig_hi"), sig_lo.alias("sig_lo"))
+        sig_hi = sig_hi + F.when(_cnt(j) * 2 > F.col("n"),
+                                 F.lit(2 ** (j - 32))).otherwise(F.lit(0))
+    return base.select(F.col(id_col), sig_hi.alias("sig_hi"),
+                       sig_lo.alias("sig_lo"))
 
 
 def embedding_near_pairs(embs: DataFrame, id_col: str = "vec_id",
@@ -379,17 +384,26 @@ def simhash_pairs_from_signatures(sigs: DataFrame, id_col: str = "doc_id",
         F.col("sig_hi").bitwiseAND(mask),
         F.shiftright(F.col("sig_hi"), 16).bitwiseAND(mask),
     )
+    # pin the banded table so the signature expression (md5 per shingle)
+    # is computed once, not once per join side — on a cluster this is the
+    # persisted signatures table joined many times
     t = sigs.select(F.col(id_col), F.col("sig_hi"), F.col("sig_lo"),
-                    F.posexplode(band_vals).alias("band", "band_val"))
-    a = t.select("band", "band_val", F.col(id_col).alias("id_a"),
-                 F.col("sig_hi").alias("hi_a"), F.col("sig_lo").alias("lo_a"))
-    b = t.select("band", "band_val", F.col(id_col).alias("id_b"),
-                 F.col("sig_hi").alias("hi_b"), F.col("sig_lo").alias("lo_b"))
-    pairs = (a.join(b, ["band", "band_val"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
-             .distinct())
-    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-           + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
-    return (pairs.select("id_a", "id_b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+                    F.posexplode(band_vals).alias("band", "band_val")) \
+            .persist()
+    try:
+        a = t.select("band", "band_val", F.col(id_col).alias("id_a"),
+                     F.col("sig_hi").alias("hi_a"), F.col("sig_lo").alias("lo_a"))
+        b = t.select("band", "band_val", F.col(id_col).alias("id_b"),
+                     F.col("sig_hi").alias("hi_b"), F.col("sig_lo").alias("lo_b"))
+        pairs = (a.join(b, ["band", "band_val"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+                 .distinct())
+        ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+               + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+        out = (pairs.select("id_a", "id_b", ham.alias("hamming"))
+               .filter(F.col("hamming") <= max_hamming)
+               .localCheckpoint(eager=True))
+    finally:
+        t.unpersist()
+    return out

@@ -538,14 +538,16 @@ def _structural_stats(flat: pd.DataFrame, page_width: float,
     stats["image_coverage"] = stats["img_area"] / (page_width * page_height)
     stats["page_number"] = stats["page"]
 
-    # A7 gap regularity over each page's horizontal-line y positions
-    hl = flat[flat["_h"] == 1]
-    key = list(zip(stats["doc_pos"], stats["page"]))
-    ys: dict = {k: [] for k in key}
-    for d, p, y in zip(hl["doc_pos"], hl["page"], hl["y0"]):
-        ys.setdefault((d, p), []).append(y)
-    stats["gap_regular"] = kclassify.gap_regularity(
-        [np.asarray(ys.get(k, []), dtype=np.float64) for k in key])
+    # A7 gap regularity over each page's horizontal-line y positions —
+    # h-lines map to their stats row via a merge, then one flat-array
+    # kernel call (lexsort + bincounts; no per-row Python, no dict-of-lists)
+    hl = flat.loc[flat["_h"] == 1, ["doc_pos", "page", "y0"]]
+    key_df = stats[["doc_pos", "page"]].copy()
+    key_df["gidx"] = np.arange(len(stats), dtype=np.int64)
+    hl = hl.merge(key_df, on=["doc_pos", "page"])
+    stats["gap_regular"] = kclassify.gap_regularity_flat(
+        hl["gidx"].to_numpy(dtype=np.int64),
+        hl["y0"].to_numpy(dtype=np.float64), len(stats))
     return stats
 
 
