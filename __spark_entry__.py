@@ -641,6 +641,21 @@ def _q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_stats(_media_table(spark, sf_dir))
 
 
+def _q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode round-trip: deterministic solid-color BMPs are built
+    per doc_id, then parsed back by the pure-numpy BMP codec
+    (multimodal.decode_bmp) — geometry and mean-RGB features must match
+    the closed-form expectation; ids % 10 == 0 carry garbage payloads and
+    must come back ok=False."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 300)
+    dec = multimodal.decode_media(multimodal.synth_bmp_media(ids), fake=False)
+    return dec.select(
+        "media_ref", "ok", "decoded_width", "decoded_height",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode (no codecs in env) — exercises the real Arrow
     plumbing: binary payloads, batch shapes, typed output. The md5-seeded
@@ -752,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_block_scores": _q_html_block_scores,
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_decode_bmp": _q_multimodal_decode_bmp,
         "c2_structural": _q_c2_structural,
         # training-data pipeline: text analytics
         "text_token_stats": _q_text_token_stats,
@@ -1276,6 +1292,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(width), 2) AS avg_width,
                    round(avg(height), 2) AS avg_height
             FROM media GROUP BY kind
+        """,
+        "multimodal_decode_bmp": """
+            WITH m AS (
+              SELECT doc_id, printf('bmp-%05d', doc_id) AS media_ref,
+                     (doc_id % 16 + 1)::INT AS w, (doc_id % 8 + 1)::INT AS h,
+                     doc_id % 256 AS r
+              FROM documents WHERE doc_id < 300)
+            SELECT media_ref,
+                   (doc_id % 10 != 0) AS ok,
+                   (CASE WHEN doc_id % 10 = 0 THEN 0 ELSE w END)::INT AS decoded_width,
+                   (CASE WHEN doc_id % 10 = 0 THEN 0 ELSE h END)::INT AS decoded_height,
+                   CASE WHEN doc_id % 10 = 0 THEN 0.0
+                        ELSE round(CAST(CAST(r AS DOUBLE) / 255.0 AS FLOAT)::DOUBLE, 4)
+                   END AS f0
+            FROM m
         """,
         "multimodal_decode": """
             WITH media AS (

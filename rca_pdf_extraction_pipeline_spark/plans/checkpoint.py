@@ -16,14 +16,16 @@ Design (scales to 10^12 docs):
     point: output files without a manifest entry are invisible garbage,
     exactly like Iceberg's snapshot protocol.
   * resume = read manifest, skip completed buckets; progress state is
-    O(n_buckets), not O(n_docs) — no driver-side doc-id sets. The
-    resume filter is ``pmod(xxhash64(doc_id), n) IN (todo)``: a
-    computed predicate evaluates during the scan (cheap, but reads all
-    files). For true file-level pruning at 10^12 docs, materialize the
-    bucket as a partition/sort column of the INPUT table too — then the
-    same predicate prunes via partition values; the OUTPUT side already
-    does this (``data/_bucket=N/``), which is what read_extracted's
-    snapshot filter prunes on.
+    O(n_buckets), not O(n_docs) — no driver-side doc-id sets. Two input
+    modes: ``extract_with_checkpoint`` filters an arbitrary docs frame
+    on the computed bucket predicate (reads all input files), while
+    ``write_bucketed_input`` + ``extract_with_checkpoint_bucketed``
+    materialize the SAME bucket as an input partition column so a
+    resumed wave lists ONLY its todo bucket directories — true
+    file-level pruning (pinned by tests via ``inputFiles()``).  The
+    OUTPUT side is always bucket-partitioned, and ``read_extracted``
+    passes committed partition dirs explicitly so uncommitted/torn files
+    are never even listed.
 
 Reference has no checkpointing at all (single 359 ms process,
 docs/wiki/Performance.md:9-15); this is the cluster-scale replacement.
@@ -32,6 +34,7 @@ docs/wiki/Performance.md:9-15); this is the cluster-scale replacement.
 from __future__ import annotations
 
 import json
+import os
 import time
 import uuid
 from pathlib import Path
@@ -41,9 +44,10 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, ExtractionConfig
 from ..operators import skew
-from ..operators.extraction import extract_documents
+from ..operators.extraction import OUTPUT_SCHEMA, extract_documents
 
 MANIFEST_NAME = "_snapshots.json"
+LOCK_NAME = "_snapshots.lock"
 
 
 def _bucket_col(n_buckets: int) -> F.Column:
@@ -51,11 +55,22 @@ def _bucket_col(n_buckets: int) -> F.Column:
 
 
 class SnapshotManifest:
-    """The ``_snapshots.json`` sidecar: an append-only snapshot log."""
+    """The ``_snapshots.json`` sidecar: an append-only snapshot log.
 
-    def __init__(self, table_dir: str | Path):
+    Concurrency contract: ONE writer per table at a time.  ``append`` is
+    a read-modify-write, so two concurrent drivers could silently drop
+    each other's snapshots; a best-effort ``_snapshots.lock`` file
+    (O_CREAT|O_EXCL) guards the local-FS case and fails loudly instead.
+    On object storage the equivalent is a conditional-put / Iceberg
+    catalog commit — the lock here is the local stand-in, not a
+    distributed lock.
+    """
+
+    def __init__(self, table_dir: str | Path, lock_timeout: float = 30.0):
         self.table_dir = Path(table_dir)
         self.path = self.table_dir / MANIFEST_NAME
+        self.lock_path = self.table_dir / LOCK_NAME
+        self.lock_timeout = lock_timeout
 
     def load(self) -> list[dict]:
         if not self.path.exists():
@@ -68,24 +83,44 @@ class SnapshotManifest:
             done.update(snap["completed_buckets"])
         return done
 
+    def _acquire_lock(self) -> int:
+        self.table_dir.mkdir(parents=True, exist_ok=True)
+        deadline = time.time() + self.lock_timeout
+        while True:
+            try:
+                return os.open(str(self.lock_path),
+                               os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock {self.lock_path} held by another "
+                        f"writer for > {self.lock_timeout}s — single-writer "
+                        f"contract violated (remove the lock file only if "
+                        f"the other driver is known dead)") from None
+                time.sleep(0.05)
+
     def append(self, completed_buckets: list[int], metrics: dict,
                lineage: dict) -> dict:
-        snaps = self.load()
-        snap = {
-            "id": uuid.uuid4().hex[:12],
-            "parent": snaps[-1]["id"] if snaps else None,
-            "sequence": len(snaps),
-            "committed_at": time.time(),
-            "completed_buckets": sorted(completed_buckets),
-            "metrics": metrics,
-            "lineage": lineage,
-        }
-        snaps.append(snap)
-        self.table_dir.mkdir(parents=True, exist_ok=True)
-        tmp = self.path.with_suffix(".tmp")
-        tmp.write_text(json.dumps({"snapshots": snaps}, indent=1))
-        tmp.replace(self.path)  # atomic commit point
-        return snap
+        fd = self._acquire_lock()
+        try:
+            snaps = self.load()
+            snap = {
+                "id": uuid.uuid4().hex[:12],
+                "parent": snaps[-1]["id"] if snaps else None,
+                "sequence": len(snaps),
+                "committed_at": time.time(),
+                "completed_buckets": sorted(completed_buckets),
+                "metrics": metrics,
+                "lineage": lineage,
+            }
+            snaps.append(snap)
+            tmp = self.path.with_suffix(".tmp")
+            tmp.write_text(json.dumps({"snapshots": snaps}, indent=1))
+            tmp.replace(self.path)  # atomic commit point
+            return snap
+        finally:
+            os.close(fd)
+            self.lock_path.unlink(missing_ok=True)
 
 
 def extract_with_checkpoint(
@@ -117,42 +152,9 @@ def extract_with_checkpoint(
     ran = []
     bucket = _bucket_col(n_buckets)
     for group in wave_groups:
-        # scrub leftovers of a crashed earlier attempt: files under an
-        # uncommitted bucket partition would double-serve once this wave
-        # commits (on object storage: dynamic partition overwrite instead)
-        for b in group:
-            leftover = table_dir / "data" / f"_bucket={int(b)}"
-            if leftover.exists():
-                import shutil
-
-                shutil.rmtree(leftover)
         sub = docs.filter(bucket.isin([int(b) for b in group]))
-        sub = skew.salted_repartition(sub, cfg)
-        out = extract_documents(sub, cfg).withColumn("_bucket", _bucket_col(n_buckets))
-
-        obs = Observation(f"wave-{group[0]}")
-        out = out.observe(
-            obs,
-            F.count(F.lit(1)).alias("docs"),
-            F.sum(F.size("spans")).alias("rows"),
-            F.sum(F.expr(
-                "aggregate(spans, 0L, (a, s) -> a + length(coalesce(s.text, '')))"
-            )).alias("bytes"),
-        )
-        (out.write.mode("append").partitionBy("_bucket")
-            .parquet(str(table_dir / "data")))
-        m = obs.get
-        snap = manifest.append(
-            completed_buckets=list(group),
-            metrics={"docs": m["docs"], "output_spans": m["rows"],
-                     "logical_bytes": m["bytes"], "buckets": len(group)},
-            lineage={
-                "input": input_desc,
-                "app_id": spark.sparkContext.applicationId,
-                "operation": "extract_documents",
-                "n_buckets": n_buckets,
-            },
-        )
+        snap = _run_wave(spark, sub, group, table_dir, manifest, cfg,
+                         n_buckets, input_desc)
         ran.append(snap)
 
     return {
@@ -165,11 +167,131 @@ def extract_with_checkpoint(
     }
 
 
+def _run_wave(spark: SparkSession, sub: DataFrame, group: list[int],
+              table_dir: Path, manifest: SnapshotManifest,
+              cfg: ExtractionConfig, n_buckets: int,
+              input_desc: str) -> dict:
+    """One checkpoint wave: scrub uncommitted leftovers, extract, write
+    bucket-partitioned output, commit the snapshot."""
+    # scrub leftovers of a crashed earlier attempt: files under an
+    # uncommitted bucket partition would double-serve once this wave
+    # commits (on object storage: dynamic partition overwrite instead)
+    for b in group:
+        leftover = table_dir / "data" / f"_bucket={int(b)}"
+        if leftover.exists():
+            import shutil
+
+            shutil.rmtree(leftover)
+    sub = skew.salted_repartition(sub, cfg)
+    out = extract_documents(sub, cfg).withColumn("_bucket",
+                                                 _bucket_col(n_buckets))
+
+    obs = Observation(f"wave-{group[0]}")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size("spans")).alias("rows"),
+        F.sum(F.expr(
+            "aggregate(spans, 0L, (a, s) -> a + length(coalesce(s.text, '')))"
+        )).alias("bytes"),
+    )
+    (out.write.mode("append").partitionBy("_bucket")
+        .parquet(str(table_dir / "data")))
+    m = obs.get
+    return manifest.append(
+        completed_buckets=list(group),
+        metrics={"docs": m["docs"], "output_spans": m["rows"],
+                 "logical_bytes": m["bytes"], "buckets": len(group)},
+        lineage={
+            "input": input_desc,
+            "app_id": spark.sparkContext.applicationId,
+            "operation": "extract_documents",
+            "n_buckets": n_buckets,
+        },
+    )
+
+
+def write_bucketed_input(docs: DataFrame, input_dir: str | Path,
+                         n_buckets: int = 32) -> None:
+    """Materialize the INPUT table partitioned by the same deterministic
+    bucket column the checkpoint protocol uses — the file-level-pruning
+    half of resume (the honest TODO of the round-1 design): a resumed run
+    then LISTS only the todo bucket directories instead of scanning every
+    input file and filtering.  At 10^12 docs this is the difference
+    between touching 1/32 of the files and touching all of them."""
+    (docs.withColumn("_bucket", _bucket_col(n_buckets))
+     .write.mode("overwrite").partitionBy("_bucket")
+     .parquet(str(input_dir)))
+
+
+def bucketed_input_df(spark: SparkSession, input_dir: str | Path,
+                      buckets: list[int]) -> DataFrame:
+    """Read ONLY the given bucket partitions of a bucketed input table —
+    explicit directory paths, so the scan's file index never even lists
+    other buckets' files."""
+    base = Path(input_dir)
+    paths = [str(base / f"_bucket={int(b)}") for b in buckets
+             if (base / f"_bucket={int(b)}").exists()]
+    if not paths:
+        return spark.createDataFrame([], OUTPUT_SCHEMA)
+    return (spark.read.option("basePath", str(base)).parquet(*paths)
+            .drop("_bucket"))
+
+
+def extract_with_checkpoint_bucketed(
+    spark: SparkSession,
+    input_dir: str | Path,
+    table_dir: str | Path,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    n_buckets: int = 32,
+    waves: int = 4,
+    max_waves: int | None = None,
+) -> dict:
+    """Checkpointed extraction over a :func:`write_bucketed_input` table:
+    per wave, only that wave's input bucket directories are read (file
+    pruning), instead of scanning all input and filtering on a computed
+    bucket predicate."""
+    table_dir = Path(table_dir)
+    manifest = SnapshotManifest(table_dir)
+    done = manifest.completed_buckets()
+    todo = sorted(set(range(n_buckets)) - done)
+
+    wave_size = max(1, (n_buckets + waves - 1) // waves)
+    wave_groups = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
+    if max_waves is not None:
+        wave_groups = wave_groups[:max_waves]
+
+    ran = []
+    for group in wave_groups:
+        sub = bucketed_input_df(spark, input_dir, group)
+        snap = _run_wave(spark, sub, group, table_dir, manifest, cfg,
+                         n_buckets, input_desc=f"bucketed:{input_dir}")
+        ran.append(snap)
+    return {
+        "resumed_from": len(done),
+        "waves_run": len(ran),
+        "buckets_completed_now": sum(len(s["completed_buckets"]) for s in ran),
+        "buckets_remaining": n_buckets - len(done)
+        - sum(len(s["completed_buckets"]) for s in ran),
+        "snapshots": [s["id"] for s in ran],
+    }
+
+
 def read_extracted(spark: SparkSession, table_dir: str | Path) -> DataFrame:
-    """Read back only data covered by committed snapshots (files from a
-    crashed half-wave without a manifest entry are filtered out by the
-    bucket predicate, mirroring Iceberg's snapshot isolation)."""
+    """Read back only data covered by committed snapshots.
+
+    Committed bucket partition directories are passed EXPLICITLY (with
+    ``basePath`` so ``_bucket`` still parses) instead of scanning the
+    whole data dir and filtering: a torn parquet file left by a mid-write
+    crash in an uncommitted bucket is never listed, so it can't fail
+    schema inference or footer reads — the manifest is the source of
+    truth, mirroring Iceberg's snapshot isolation."""
     manifest = SnapshotManifest(table_dir)
     done = sorted(manifest.completed_buckets())
-    df = spark.read.parquet(str(Path(table_dir) / "data"))
-    return df.filter(F.col("_bucket").isin([int(b) for b in done])).drop("_bucket")
+    base = Path(table_dir) / "data"
+    paths = [str(base / f"_bucket={int(b)}") for b in done
+             if (base / f"_bucket={int(b)}").exists()]
+    if not paths:
+        return spark.createDataFrame([], OUTPUT_SCHEMA)
+    return (spark.read.option("basePath", str(base)).parquet(*paths)
+            .drop("_bucket"))

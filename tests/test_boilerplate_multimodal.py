@@ -82,9 +82,12 @@ def test_decode_media_deterministic(spark, media_df):
            sorted([(r["media_ref"], list(r["features"])) for r in b])
 
 
-def test_decode_media_real_path_is_explicit_stub(spark, media_df):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media_df, fake=False)
+def test_decode_media_real_path_graceful_on_non_bmp(spark, media_df):
+    """fake=False now REALLY decodes BMP; non-BMP payloads (these are
+    UTF-8 text bytes) come back ok=False with zero geometry instead of
+    raising — the reference's per-image try/except semantics."""
+    dec = multimodal.decode_media(media_df, fake=False).collect()
+    assert dec and all(not r.ok and r.decoded_width == 0 for r in dec)
 
 
 def test_frame_sample_grid(spark, media_df):

@@ -132,3 +132,74 @@ def test_crash_injected_files_are_invisible_and_resumable(spark, docs, tmp_path)
     ids = sorted(r["doc_id"] for r in out)
     want = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
     assert ids == want  # no duplicates, no losses
+
+
+def test_torn_file_in_uncommitted_bucket_cannot_break_reads(spark, docs, tmp_path):
+    """A TRUNCATED (unreadable) parquet file from a mid-write crash in an
+    uncommitted bucket dir must not fail read_extracted — committed
+    partition dirs are listed explicitly, so the torn file is never
+    touched."""
+    table = tmp_path / "extracted"
+    checkpoint.extract_with_checkpoint(
+        docs, table, n_buckets=4, waves=4, max_waves=2, input_desc="x")
+    done = checkpoint.SnapshotManifest(table).completed_buckets()
+    crashed = sorted(set(range(4)) - done)[0]
+    torn_dir = table / "data" / f"_bucket={crashed}"
+    torn_dir.mkdir(parents=True, exist_ok=True)
+    (torn_dir / "part-00000-torn.snappy.parquet").write_bytes(b"PAR1\x00\x01garbage")
+
+    out = checkpoint.read_extracted(spark, table)
+    served = {r["doc_id"] for r in out.collect()}   # must not raise
+    assert served  # committed docs still served
+
+    # resume scrubs the torn file before recommitting the bucket
+    checkpoint.extract_with_checkpoint(docs, table, n_buckets=4, waves=4,
+                                       input_desc="x")
+    ids = sorted(r["doc_id"] for r in checkpoint.read_extracted(spark, table).collect())
+    want = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert ids == want
+
+
+def test_bucketed_input_prunes_files_on_resume(spark, docs, tmp_path):
+    """Input-side file pruning: with a bucket-partitioned input table, a
+    resumed wave's scan lists ONLY the todo buckets' files
+    (InMemoryFileIndex content pinned via inputFiles())."""
+    input_dir = tmp_path / "docs_bucketed"
+    table = tmp_path / "extracted"
+    checkpoint.write_bucketed_input(docs, input_dir, n_buckets=4)
+
+    r1 = checkpoint.extract_with_checkpoint_bucketed(
+        spark, input_dir, table, n_buckets=4, waves=4, max_waves=2)
+    assert r1["waves_run"] == 2
+    done = checkpoint.SnapshotManifest(table).completed_buckets()
+    todo = sorted(set(range(4)) - done)
+
+    scan = checkpoint.bucketed_input_df(spark, input_dir, todo)
+    files = scan.inputFiles()
+    assert files, "todo buckets should have input files"
+    for f in files:
+        assert any(f"_bucket={b}/" in f for b in todo), f
+        assert not any(f"_bucket={b}/" in f for b in done), f
+
+    # resume completes and output equals the unbucketed pipeline's docs
+    checkpoint.extract_with_checkpoint_bucketed(
+        spark, input_dir, table, n_buckets=4, waves=4)
+    ids = sorted(r["doc_id"] for r in
+                 checkpoint.read_extracted(spark, table).collect())
+    want = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert ids == want
+
+
+def test_manifest_lock_blocks_second_writer(tmp_path):
+    m = checkpoint.SnapshotManifest(tmp_path / "t", lock_timeout=0.2)
+    fd = m._acquire_lock()
+    import pytest as _pytest
+    with _pytest.raises(TimeoutError, match="single-writer"):
+        checkpoint.SnapshotManifest(tmp_path / "t", lock_timeout=0.2).append(
+            [0], {}, {})
+    import os
+    os.close(fd)
+    m.lock_path.unlink()
+    # lock released -> append succeeds
+    snap = m.append([0], {"docs": 0}, {"input": "x"})
+    assert snap["completed_buckets"] == [0]

@@ -80,6 +80,39 @@ def test_jvm_only_operators_have_no_python_eval(documents):
         assert "EvalPython" not in plan, plan[:2000]
 
 
+def test_simhash_signatures_plan_is_shuffle_free(documents):
+    """The 64-bit SimHash signature is a pure per-row projection — no
+    Exchange anywhere in its plan (the round-1 explode+groupBy form had
+    one); at 100 TB this keeps signatures inside the scan stage."""
+    plan = _plan(dedup.simhash_signatures(documents))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_metadata_and_search_have_no_python_eval(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import metadata
+
+    docs = fixtures.docs_to_spark(spark, fixtures.build_metadata_docs())
+    assert "EvalPython" not in _plan(metadata.extract_doc_metadata(docs))
+    search = metadata.search_spans(docs, "core", limit=10)
+    plan = _plan(search)
+    assert "EvalPython" not in plan
+    # LIMIT must short-circuit, not sort-then-limit the full scan output
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_f8_guard_does_not_explode_spans(spark):
+    """page_range_warnings computes n_pages via array_max over the nested
+    column — exactly one Generate (the tiny requested-pages array), never
+    one per span."""
+    from rca_pdf_extraction_pipeline_spark.operators import tablegrid
+
+    docs = fixtures.docs_to_spark(spark, [fixtures.build_grid_doc()])
+    plan = _plan(tablegrid.page_range_warnings(docs, [1, 2, 99]))
+    assert plan.count("Generate") == 1
+    assert "EvalPython" not in plan
+
+
 def test_extraction_is_single_arrow_stage_no_shuffle(spark):
     docs = fixtures.docs_to_spark(spark, fixtures.build_classify_docs())
     plan = _plan(extraction.extract_documents(docs))

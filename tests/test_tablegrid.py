@@ -1,0 +1,202 @@
+"""S9 table-grid inference, F8 page guard, S5 metadata, span search, and
+the pure-numpy BMP codec — semantic tests beyond the DuckDB oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rca_pdf_extraction_pipeline_spark.kernels import tablegrid as ktg
+from rca_pdf_extraction_pipeline_spark.operators import (
+    consolidate,
+    metadata,
+    multimodal,
+    tablegrid,
+)
+from rca_pdf_extraction_pipeline_spark.operators.extraction import flatten_spans
+from rca_pdf_extraction_pipeline_spark.sources import fixtures as fx
+
+
+def _kernel_cells(docs):
+    flat = flatten_spans(fx.docs_to_pandas(docs))
+    out = ktg.infer_grid_tables(flat, key="doc_id")
+    return list(out[["doc_id", "page", "table_index", "row_idx", "col_idx",
+                     "cell", "is_header", "confidence"]]
+                .itertuples(index=False, name=None))
+
+
+def test_grid_doc_kernel_matches_expected():
+    got = [(p, t, r, c, cell, h, conf) for _, p, t, r, c, cell, h, conf
+           in _kernel_cells([fx.build_grid_doc()])]
+    assert got == fx.expected_grid_cells()
+
+
+def test_snap_tolerance_merges_near_rulings():
+    """The duplicate ruling at y=100.8 (within snap_tol=3 of y=100) must
+    not create a phantom 1-pt-high row: page 1 stays a 4-row grid."""
+    doc = fx.build_grid_doc()
+    rows = {r for _, p, _, r, *_ in _kernel_cells([doc]) if p == 1}
+    assert rows == {0, 1, 2}          # header + 2 surviving data rows
+
+
+def test_no_table_from_single_rect_or_single_line():
+    """<2 raw rows (1x1 rect grid) and text-only single-row pages must
+    produce nothing (reference table_extractor.py:73 len>=2 gate)."""
+    doc = {"doc_id": "neg", "spans": [
+        {"kind": "rect", "text": "1,60,500,200,560|", "media_ref": None, "offset": 0},
+        {"kind": "text", "text": "1,70,520,180,530|inside box", "media_ref": None, "offset": 1},
+    ]}
+    assert _kernel_cells([doc]) == []
+
+
+def test_fallback_requires_two_rows_and_two_cols():
+    doc = {"doc_id": "onecol", "spans": [
+        {"kind": "text", "text": f"1,40,{100 + 20 * i},120,{110 + 20 * i}|r{i}",
+         "media_ref": None, "offset": i}
+        for i in range(4)
+    ]}
+    assert _kernel_cells([doc]) == []     # 4 rows but a single x0 cluster
+
+
+def test_empty_header_row_still_counts_as_headers():
+    """Reference keeps a table whose header cells are all empty strings
+    (truthy non-empty list) as long as a data row has text."""
+    spans = []
+    off = 0
+    for y in (100, 120, 140):
+        spans.append({"kind": "line", "text": f"1,50,{y},350,{y}|",
+                      "media_ref": None, "offset": off}); off += 1
+    for x in (50, 150, 250):
+        spans.append({"kind": "line", "text": f"1,{x},100,{x},140|",
+                      "media_ref": None, "offset": off}); off += 1
+    spans.append({"kind": "text", "text": "1,90,128,110,136|datum",
+                  "media_ref": None, "offset": off})
+    cells = _kernel_cells([{"doc_id": "emptyhdr", "spans": spans}])
+    by_row = {}
+    for _, _, _, r, c, cell, h, _ in cells:
+        by_row.setdefault(r, []).append(cell)
+    assert by_row[0] == ["", ""]          # kept empty header row
+    assert by_row[1] == ["datum", ""]
+
+
+def test_operator_matches_kernel(spark):
+    docs = [fx.build_grid_doc(), fx.build_media_nosample_doc()]
+    got = sorted(
+        (r.doc_id, r.page, r.table_index, r.row_idx, r.col_idx, r.cell,
+         r.is_header, r.confidence)
+        for r in tablegrid.extract_table_cells(
+            fx.docs_to_spark(spark, docs)).collect())
+    want = sorted(_kernel_cells(docs))
+    assert got == want
+
+
+def test_page_numbers_restrict_processing(spark):
+    docs = fx.docs_to_spark(spark, [fx.build_grid_doc()])
+    only2 = tablegrid.extract_table_cells(docs, page_numbers=[2]).collect()
+    assert {r.page for r in only2} == {2}
+    assert all(r.confidence == 0.7 for r in only2)
+
+
+def test_text_fallback_flag_off(spark):
+    docs = fx.docs_to_spark(spark, [fx.build_grid_doc()])
+    cells = tablegrid.extract_table_cells(docs, text_fallback=False).collect()
+    assert {r.page for r in cells} == {1}
+
+
+def test_f8_warning_message_matches_reference(spark):
+    docs = fx.docs_to_spark(spark, [fx.build_grid_doc()])
+    w = tablegrid.page_range_warnings(docs, [0, 2, 7]).collect()
+    got = {(r.page, r.warning) for r in w}
+    # grid doc has pages 1..3 -> 0 and 7 out of range, 2 fine
+    assert got == {(0, "Page 0 out of range, skipping"),
+                   (7, "Page 7 out of range, skipping")}
+
+
+def test_nested_tables_feed_p3_consolidation(spark):
+    docs = fx.docs_to_spark(spark, [fx.build_grid_doc()])
+    cons = consolidate.consolidate_documents(
+        tablegrid.extract_tables_nested(docs)).collect()
+    assert len(cons) == 1
+    r = cons[0]
+    assert list(r.headers) == ["Alpha", "Beta", "Gamma"]
+    assert r.n_tables == 2
+    assert [list(x) for x in r.rows] == [["a1", "b1 extra", "c1"],
+                                         ["a3", "", "c3"]]
+
+
+# ---- S5 metadata ----------------------------------------------------------
+
+
+def test_metadata_pivot_and_missing_fields(spark):
+    docs = fx.docs_to_spark(spark, fx.build_metadata_docs())
+    rows = {r.doc_id: r for r in metadata.extract_doc_metadata(docs).collect()}
+    assert rows["meta-report"].title == "Routine Core Analysis W20552"
+    assert rows["meta-report"].encryption is None
+    assert rows["meta-scan"].encryption == "Standard V2"
+    assert rows["meta-min"].keywords == "core analysis,rca,permeability"
+    assert rows["meta-min"].title is None
+    census = {r.producer: r.n_docs
+              for r in metadata.metadata_census(docs).collect()}
+    assert census == {"LabPDF 1.7": 1, "ScanStation 3.2": 1, "(none)": 1}
+
+
+def test_span_search_order_and_limit(spark):
+    docs = fx.docs_to_spark(spark, [fx.build_grid_doc()])
+    hits = metadata.search_spans(docs, "a", limit=3).collect()
+    assert len(hits) == 3
+    keys = [(r.doc_id, r.offset) for r in hits]
+    assert keys == sorted(keys)
+    assert all("a" in r.content for r in hits)
+
+
+# ---- BMP codec ------------------------------------------------------------
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (3, 2), (5, 4), (16, 8)]:   # odd strides incl.
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        parsed = multimodal.decode_bmp(multimodal.encode_bmp(rgb))
+        assert parsed is not None
+        pw, ph, out = parsed
+        assert (pw, ph) == (w, h)
+        assert np.array_equal(out, rgb)
+
+
+def test_bmp_rejects_garbage_and_truncation():
+    assert multimodal.decode_bmp(b"not a bmp") is None
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    full = multimodal.encode_bmp(rgb)
+    assert multimodal.decode_bmp(full[:40]) is None      # truncated header
+    assert multimodal.decode_bmp(full[:-5]) is None      # truncated pixels
+
+
+def test_real_decode_media_bmp(spark):
+    ids = spark.range(1, 40).select(F.col("id").alias("doc_id"))
+    dec = multimodal.decode_media(multimodal.synth_bmp_media(ids),
+                                  fake=False).collect()
+    by_ref = {r.media_ref: r for r in dec}
+    r7 = by_ref["bmp-00007"]
+    assert r7.ok and r7.decoded_width == 7 % 16 + 1 \
+        and r7.decoded_height == 7 % 8 + 1
+    assert r7.features[0] == pytest.approx((7 % 256) / 255.0, abs=1e-6)
+    assert not by_ref["bmp-00010"].ok
+    assert by_ref["bmp-00010"].decoded_width == 0
+
+
+def test_fake_decode_vectorized_equals_legacy(spark):
+    """The JVM-md5 vectorized fake decode must equal the per-row hashlib
+    path bit-for-bit."""
+    import hashlib
+
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    media = multimodal.synth_bmp_media(ids)
+    dec = {r.media_ref: r for r in
+           multimodal.decode_media(media, fake=True).collect()}
+    for r in media.collect():
+        digest = hashlib.md5(bytes(r.payload)).digest()
+        want = np.frombuffer(digest, dtype=np.uint16).astype(np.float32) / 65535.0
+        got = np.asarray(dec[r.media_ref].features, dtype=np.float32)
+        assert np.array_equal(got, want), r.media_ref

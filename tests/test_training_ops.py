@@ -102,6 +102,45 @@ def test_minhash_bands_must_divide(corpus):
         dedup.minhash_band_keys(corpus, n_hashes=8, bands=3)
 
 
+def _star_corpus(spark):
+    """C (highest id) is a near-dup of BOTH A and B, but A and B are not
+    near-dups of each other — the case where greedy and CC differ."""
+    base = [f"tok{i:02d}" for i in range(50)]
+    A = " ".join(["zzA" if i == 10 else t for i, t in enumerate(base)])
+    B = " ".join(["zzB" if i == 40 else t for i, t in enumerate(base)])
+    C = " ".join(base)
+    return spark.createDataFrame([(1, A), (2, B), (3, C)],
+                                 "doc_id long, text string")
+
+
+def test_cc_dedup_differs_from_greedy_on_star(spark):
+    c = _star_corpus(spark)
+    pairs = sorted((r.id_a, r.id_b)
+                   for r in dedup.verified_near_pairs(c).collect())
+    assert pairs == [(1, 3), (2, 3)]      # star: no (1, 2) pair
+    greedy = sorted(r.doc_id for r in dedup.deduplicate_corpus(c).collect())
+    cc = sorted(r.doc_id for r in dedup.deduplicate_corpus_cc(c).collect())
+    assert greedy == [1, 2]   # judges each pair independently: only C drops
+    assert cc == [1]          # one component {A,B,C} -> keep min id only
+
+
+def test_cc_dedup_chain_propagates_min_label(spark):
+    """A~B~C chain (no direct A~C pair): min-label propagation needs two
+    rounds to pull C's label down to A through B."""
+    base = [f"tok{i:02d}" for i in range(50)]
+    A = " ".join(base)
+    B = " ".join(["zzB" if i == 10 else t for i, t in enumerate(base)])
+    C = " ".join(["zzB" if i == 10 else ("zzC" if i == 40 else t)
+                  for i, t in enumerate(base)])
+    c = spark.createDataFrame([(1, A), (2, B), (3, C)],
+                              "doc_id long, text string")
+    pairs = sorted((r.id_a, r.id_b)
+                   for r in dedup.verified_near_pairs(c).collect())
+    assert pairs == [(1, 2), (2, 3)]
+    cc = sorted(r.doc_id for r in dedup.deduplicate_corpus_cc(c).collect())
+    assert cc == [1]
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     def v(theta):
