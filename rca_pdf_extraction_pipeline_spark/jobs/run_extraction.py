@@ -19,7 +19,33 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+#: F9 output-path allowlist (reference core_analysis.py:44-51) — the
+#: Spark deployment's analogue of the reference's project/temp roots;
+#: override per-run with --allowed-roots.
+DEFAULT_ALLOWED_OUTPUT_ROOTS = [
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "/tmp/",
+]
+
+
+def validate_output_path(output_path: str,
+                         allowed_roots: list[str] | None = None) -> bool:
+    """F9 (reference core_analysis.py:751-768): ensure the output path is
+    within allowed directories.  Same contract as the reference —
+    returns True if valid, raises ValueError otherwise, matching its
+    abspath-prefix semantics and message text."""
+    roots = allowed_roots if allowed_roots is not None \
+        else DEFAULT_ALLOWED_OUTPUT_ROOTS
+    abs_path = os.path.abspath(output_path)
+    for allowed_root in roots:
+        allowed_abs = os.path.abspath(allowed_root)
+        if abs_path.startswith(allowed_abs):
+            return True
+    raise ValueError(
+        f"Output path '{output_path}' outside allowed directories")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -33,7 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument("--allowed-roots", nargs="*", default=None,
+                    help="output-path allowlist roots (F9 guard; default: "
+                         "repo root + /tmp/)")
     args = ap.parse_args(argv)
+    validate_output_path(args.output, args.allowed_roots)
 
     # import inside main so --py-files shipping is resolved by the time
     # executors deserialize tasks

@@ -151,6 +151,27 @@ def test_span_search_order_and_limit(spark):
     assert all("a" in r.content for r in hits)
 
 
+# ---- F9 output-path allowlist ---------------------------------------------
+
+
+def test_f9_output_path_allowlist_matches_reference_contract(tmp_path):
+    """Reference core_analysis.py:751-768: True when inside an allowed
+    root (abspath prefix match), ValueError with the exact message shape
+    otherwise."""
+    from rca_pdf_extraction_pipeline_spark.jobs import run_extraction as job
+
+    assert job.validate_output_path(str(tmp_path / "out"),
+                                    [str(tmp_path)]) is True
+    assert job.validate_output_path("/tmp/anything/nested") is True
+    with pytest.raises(ValueError,
+                       match=r"Output path '/etc/passwd-dir' outside "
+                             r"allowed directories"):
+        job.validate_output_path("/etc/passwd-dir", [str(tmp_path)])
+    # relative paths resolve through abspath before the prefix check
+    with pytest.raises(ValueError):
+        job.validate_output_path("../../outside", [str(tmp_path)])
+
+
 # ---- BMP codec ------------------------------------------------------------
 
 
