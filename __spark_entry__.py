@@ -872,8 +872,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_consolidated": """
             SELECT * FROM (VALUES
-              ('grid-doc', 'Alpha|Beta|Gamma', 2, 2, 0, 'a1|b1 extra|c1'),
-              ('grid-doc', 'Alpha|Beta|Gamma', 2, 2, 1, 'a3||c3')
+              ('grid-doc', 'Alpha|Beta|Gamma', 4, 2, 0, 'a1|b1 extra|c1'),
+              ('grid-doc', 'Alpha|Beta|Gamma', 4, 2, 1, 'a3||c3')
             ) AS t(doc_id, headers_joined, n_tables, n_rows, row_idx,
                    row_joined)
         """,

@@ -117,7 +117,8 @@ def _assemble_tables(cells: pd.DataFrame, confidence: float) -> pd.DataFrame:
         np.where(first_of_g, np.arange(len(sg)), 0))
     out["row_idx"] = rank[scodes].astype(np.int64)
     out["is_header"] = out["row_idx"] == 0
-    out["table_index"] = 0
+    if "table_index" not in out.columns:   # fallback path: one table/page
+        out["table_index"] = 0
     out["col_idx"] = out["col"].astype(np.int64)
     out["confidence"] = confidence
     return out[["key", *CELL_COLS]]
@@ -163,8 +164,32 @@ def infer_grid_tables(flat: pd.DataFrame, key: str = "doc_pos",
                             kind="stable").reset_index(drop=True))
 
 
+def _connected_components(n: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized connected components over n nodes and undirected edges
+    (a[i], b[i]): iterative min-label propagation with pointer jumping —
+    O(edges) numpy work per round, rounds bounded by component diameter
+    (tiny for page rulings)."""
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(64):
+        m = np.minimum(label[a], label[b])
+        new = label.copy()
+        np.minimum.at(new, a, m)
+        np.minimum.at(new, b, m)
+        new = new[new]                 # pointer jumping
+        if np.array_equal(new, label):
+            break
+        label = new
+    return label
+
+
 def _primary_grid_tables(f: pd.DataFrame, key: str,
                          snap_tol: float) -> pd.DataFrame:
+    """Lines-strategy grids, pdfplumber-faithful: rulings snap into
+    boundary clusters, h/v clusters that INTERSECT (extent overlap within
+    snap_tol) connect into components, and each component is one table —
+    so a page carries any number of tables, ordered top-to-bottom /
+    left-to-right into ``table_index`` exactly like ``find_tables``."""
+    empty = pd.DataFrame(columns=[key, *CELL_COLS])
     lines = f[f["kind"] == "line"]
     rects = f[f["kind"] == "rect"]
 
@@ -173,57 +198,81 @@ def _primary_grid_tables(f: pd.DataFrame, key: str,
     is_h = dy < 2
     is_v = (~is_h) & (dx < 2)
 
+    def _part(df, orient, pos_a, pos_b, lo_a, lo_b):
+        return pd.DataFrame({
+            key: df[key].to_numpy(), "page": df["page"].to_numpy(),
+            "orient": orient,
+            "pos": ((df[pos_a] + df[pos_b]) / 2).to_numpy(),
+            "lo": np.minimum(df[lo_a].to_numpy(), df[lo_b].to_numpy()),
+            "hi": np.maximum(df[lo_a].to_numpy(), df[lo_b].to_numpy()),
+        })
+
     parts = []
     if is_h.any():
-        h = lines[is_h]
-        parts.append(pd.DataFrame({
-            key: h[key].to_numpy(), "page": h["page"].to_numpy(),
-            "orient": 0, "pos": ((h["y0"] + h["y1"]) / 2).to_numpy()}))
+        parts.append(_part(lines[is_h], 0, "y0", "y1", "x0", "x1"))
     if is_v.any():
-        v = lines[is_v]
-        parts.append(pd.DataFrame({
-            key: v[key].to_numpy(), "page": v["page"].to_numpy(),
-            "orient": 1, "pos": ((v["x0"] + v["x1"]) / 2).to_numpy()}))
+        parts.append(_part(lines[is_v], 1, "x0", "x1", "y0", "y1"))
     if len(rects):
-        for orient, a, b in ((0, "y0", "y1"), (1, "x0", "x1")):
-            for edge in (a, b):
-                parts.append(pd.DataFrame({
-                    key: rects[key].to_numpy(),
-                    "page": rects["page"].to_numpy(),
-                    "orient": orient, "pos": rects[edge].to_numpy()}))
+        for orient, pos_edge, lo_a, lo_b in (
+                (0, "y0", "x0", "x1"), (0, "y1", "x0", "x1"),
+                (1, "x0", "y0", "y1"), (1, "x1", "y0", "y1")):
+            parts.append(_part(rects, orient, pos_edge, pos_edge, lo_a, lo_b))
     if not parts:
-        return pd.DataFrame(columns=[key, *CELL_COLS])
+        return empty
     rul = pd.concat(parts, ignore_index=True)
 
     pcode = _page_codes(rul, key)
+    rul = rul.assign(pcode=pcode)
     gkey = pcode * 2 + rul["orient"].to_numpy()
-    cid, order, rep = _cluster_1d(gkey, rul["pos"].to_numpy(dtype=np.float64),
-                                  snap_tol)
-    # one row per boundary cluster
-    first = np.empty(len(order), dtype=bool)
-    first[0] = True
-    first[1:] = cid[1:] != cid[:-1]
-    bidx = order[first]
-    bounds = pd.DataFrame({
-        key: rul[key].to_numpy()[bidx],
-        "page": rul["page"].to_numpy()[bidx],
-        "orient": rul["orient"].to_numpy()[bidx],
-        "pos": rep[cid[first]],
-    }).sort_values([key, "page", "orient", "pos"], kind="stable")
+    cid, order, _ = _cluster_1d(gkey, rul["pos"].to_numpy(dtype=np.float64),
+                                snap_tol)
+    rs = rul.iloc[order].reset_index(drop=True)
+    rs["cl"] = cid
+    cl = (rs.groupby("cl", sort=True)
+          .agg(**{key: (key, "first")}, page=("page", "first"),
+               pcode=("pcode", "first"), orient=("orient", "first"),
+               pos=("pos", "mean"), lo=("lo", "min"), hi=("hi", "max"))
+          .reset_index())
 
-    counts = (bounds.groupby([key, "page", "orient"], sort=True)
-              .size().unstack("orient", fill_value=0)
-              .reindex(columns=[0, 1], fill_value=0))
-    grids = counts[(counts[0] >= 3) & (counts[1] >= 2)].reset_index()
+    # intersection edges: an h-cluster meets a v-cluster when each one's
+    # position falls inside the other's extent (pdfplumber's
+    # edge-intersection rule, tolerance = snap_tol)
+    hb_cl = cl[cl["orient"] == 0]
+    vb_cl = cl[cl["orient"] == 1]
+    if len(hb_cl) == 0 or len(vb_cl) == 0:
+        return empty
+    e = hb_cl.merge(vb_cl, on="pcode", suffixes=("_h", "_v"))
+    hit = ((e["pos_h"] >= e["lo_v"] - snap_tol)
+           & (e["pos_h"] <= e["hi_v"] + snap_tol)
+           & (e["pos_v"] >= e["lo_h"] - snap_tol)
+           & (e["pos_v"] <= e["hi_h"] + snap_tol))
+    edges = e.loc[hit, ["cl_h", "cl_v"]]
+    if len(edges) == 0:
+        return empty
+    cl["comp"] = _connected_components(
+        len(cl), edges["cl_h"].to_numpy(), edges["cl_v"].to_numpy())
+
+    cl["is_h"] = (cl["orient"] == 0).astype(np.int64)
+    cl["is_v"] = 1 - cl["is_h"]
+    cl["pos_h"] = np.where(cl["is_h"] == 1, cl["pos"], np.inf)
+    cl["pos_v"] = np.where(cl["is_v"] == 1, cl["pos"], np.inf)
+    gr = (cl.groupby("comp", sort=True)
+          .agg(**{key: (key, "first")}, page=("page", "first"),
+               n_h=("is_h", "sum"), n_v=("is_v", "sum"),
+               min_y=("pos_h", "min"), min_x=("pos_v", "min"))
+          .reset_index())
     # n_h>=3 <=> raw rows >= 2 (header + >=1 data, table_extractor.py:73)
+    grids = gr[(gr["n_h"] >= 3) & (gr["n_v"] >= 2)].copy()
     if len(grids) == 0:
-        return pd.DataFrame(columns=[key, *CELL_COLS])
-    grids = grids.rename(columns={0: "n_h", 1: "n_v"})
+        return empty
+    grids = grids.sort_values([key, "page", "min_y", "min_x"],
+                              kind="stable").reset_index(drop=True)
     grids["gid"] = np.arange(len(grids))
+    grids["table_index"] = grids.groupby([key, "page"]).cumcount()
     n_rows = (grids["n_h"] - 1).to_numpy(dtype=np.int64)
     n_cols = (grids["n_v"] - 1).to_numpy(dtype=np.int64)
 
-    bounds = (bounds.merge(grids[[key, "page", "gid"]], on=[key, "page"])
+    bounds = (cl.merge(grids[["comp", "gid"]], on="comp")
               .sort_values(["gid", "orient", "pos"], kind="stable"))
     hb = bounds[bounds["orient"] == 0]
     vb = bounds[bounds["orient"] == 1]
@@ -232,10 +281,16 @@ def _primary_grid_tables(f: pd.DataFrame, key: str,
     h_keys = hb["gid"].to_numpy() * KEY_STRIDE + hb["pos"].to_numpy()
     v_keys = vb["gid"].to_numpy() * KEY_STRIDE + vb["pos"].to_numpy()
 
-    text = f[f["kind"] == "text"].merge(grids[[key, "page", "gid"]],
-                                        on=[key, "page"])
+    # containment: fan text out to the page's candidate grids, keep the
+    # (at most one) grid whose cell lattice contains the span center; a
+    # center inside several overlapping grids goes to the lowest
+    # table_index (deterministic)
+    text = f[f["kind"] == "text"].reset_index(drop=True)
+    text["span_idx"] = np.arange(len(text))
+    text = text.merge(grids[[key, "page", "gid"]], on=[key, "page"])
     if len(text) == 0:
-        return pd.DataFrame(columns=[key, *CELL_COLS])
+        return empty
+    text = text.sort_values(["span_idx", "gid"], kind="stable")
     g = text["gid"].to_numpy()
     cy = ((text["y0"] + text["y1"]) / 2).to_numpy(dtype=np.float64)
     cx = ((text["x0"] + text["x1"]) / 2).to_numpy(dtype=np.float64)
@@ -244,6 +299,8 @@ def _primary_grid_tables(f: pd.DataFrame, key: str,
     col = np.searchsorted(v_keys, g * KEY_STRIDE + cx, side="right") - 1 \
         - v_starts[g]
     inside = (row >= 0) & (row < n_rows[g]) & (col >= 0) & (col < n_cols[g])
+    keep_first = ~text["span_idx"].where(inside).duplicated()
+    inside = inside & keep_first.to_numpy()
     located = pd.DataFrame({
         "gid": g[inside], "row": row[inside], "col": col[inside],
         "y0": text["y0"].to_numpy()[inside], "x0": text["x0"].to_numpy()[inside],
@@ -256,7 +313,7 @@ def _primary_grid_tables(f: pd.DataFrame, key: str,
     dense = pd.DataFrame({"gid": gid, "row": drow, "col": dcol})
     dense = dense.merge(joined, on=["gid", "row", "col"], how="left")
     dense["cell"] = dense["cell"].fillna("")
-    dense = dense.merge(grids[["gid", key, "page"]], on="gid")
+    dense = dense.merge(grids[["gid", key, "page", "table_index"]], on="gid")
     return _finish(dense, key, 1.0)
 
 

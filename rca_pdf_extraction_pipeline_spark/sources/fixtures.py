@@ -316,6 +316,25 @@ def build_grid_doc(doc_id: str = "grid-doc") -> dict:
     # --- page 3: a lone rect = 1x1 grid -> no table either way
     spans.append(_span("rect", _geom(3, 60, 500, 200, 560, ""), None, off)); off += 1
     text(3, 70, 520, 180, 530, "figure box")
+
+    # --- page 4: TWO stacked ruled tables (disconnected ruling
+    #     components) -> table_index 0 (top) and 1 (bottom)
+    for y in (500, 515, 530):
+        line(4, 50, y, 250, y)
+    for x in (50, 150, 250):
+        line(4, x, 500, x, 530)
+    for y in (600, 615, 630):
+        line(4, 60, y, 260, y)
+    for x in (60, 160, 260):
+        line(4, x, 600, x, 630)
+    top = {(0, 0): "TA", (0, 1): "TB", (1, 0): "t1", (1, 1): "t2"}
+    for (r, c), content in sorted(top.items()):
+        cx, cy = (50 + 100 * c + 50 + 100 * (c + 1)) / 2, (500 + 15 * r + 500 + 15 * (r + 1)) / 2
+        text(4, cx - 10, cy - 3, cx + 10, cy + 3, content)
+    bot = {(0, 0): "BA", (0, 1): "BB", (1, 0): "b1", (1, 1): "b2"}
+    for (r, c), content in sorted(bot.items()):
+        cx, cy = (60 + 100 * c + 60 + 100 * (c + 1)) / 2, (600 + 15 * r + 600 + 15 * (r + 1)) / 2
+        text(4, cx - 10, cy - 3, cx + 10, cy + 3, content)
     return {"doc_id": doc_id, "spans": spans}
 
 
@@ -339,6 +358,15 @@ def expected_grid_cells() -> list[tuple]:
     for row_idx, cells, is_hdr in page2:
         for col_idx, cell in enumerate(cells):
             out.append((2, 0, row_idx, col_idx, cell, is_hdr, 0.7))
+    page4 = [
+        (0, [(0, ["TA", "TB"], True), (1, ["t1", "t2"], False)]),
+        (1, [(0, ["BA", "BB"], True), (1, ["b1", "b2"], False)]),
+    ]
+    for table_index, rows in page4:
+        for row_idx, cells, is_hdr in rows:
+            for col_idx, cell in enumerate(cells):
+                out.append((4, table_index, row_idx, col_idx, cell,
+                            is_hdr, 1.0))
     return out
 
 

@@ -102,7 +102,17 @@ def test_page_numbers_restrict_processing(spark):
 def test_text_fallback_flag_off(spark):
     docs = fx.docs_to_spark(spark, [fx.build_grid_doc()])
     cells = tablegrid.extract_table_cells(docs, text_fallback=False).collect()
-    assert {r.page for r in cells} == {1}
+    assert {r.page for r in cells} == {1, 4}   # ruled grids only
+
+
+def test_two_stacked_tables_get_distinct_indices():
+    cells = [(p, t, r, c, cell) for _, p, t, r, c, cell, _, _
+             in _kernel_cells([fx.build_grid_doc()])]
+    p4 = [(t, r, c, cell) for p, t, r, c, cell in cells if p == 4]
+    assert [(t, cell) for t, r, c, cell in p4 if r == 0] == \
+        [(0, "TA"), (0, "TB"), (1, "BA"), (1, "BB")]
+    assert {(t, cell) for t, r, c, cell in p4 if r == 1} == \
+        {(0, "t1"), (0, "t2"), (1, "b1"), (1, "b2")}
 
 
 def test_f8_warning_message_matches_reference(spark):
@@ -121,7 +131,7 @@ def test_nested_tables_feed_p3_consolidation(spark):
     assert len(cons) == 1
     r = cons[0]
     assert list(r.headers) == ["Alpha", "Beta", "Gamma"]
-    assert r.n_tables == 2
+    assert r.n_tables == 4    # pages 1, 2 and the two stacked page-4 tables
     assert [list(x) for x in r.rows] == [["a1", "b1 extra", "c1"],
                                          ["a3", "", "c3"]]
 
