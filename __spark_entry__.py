@@ -563,7 +563,26 @@ def _q_sim_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     k=10, n_bits=8)
 
 
+def _q_sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.bucketed_topk_multiprobe(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=8, nprobe=4)
+
+
 # ---- text analytics over documents ----------------------------------------
+
+
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style frequent-line removal: every doc gets a synthetic
+    shared footer + nav line (df = corpus size, banned) around its own
+    text (df small, kept) — the cleaned text must be exactly the
+    original body unless the body itself repeats across >= min_df docs."""
+    d = _t(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("HOME | ABOUT | CONTACT"), F.col("text"),
+                    F.lit("(c) example.org - all rights reserved"))
+         .alias("text"))
+    return boilerplate.remove_frequent_lines(wrapped, min_df=5)
 
 
 def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,9 +781,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_lsh_buckets": _q_sim_lsh_buckets,
         "sim_bucketed_topk": _q_sim_bucketed_topk,
+        "sim_multiprobe_topk": _q_sim_multiprobe_topk,
         # HTML boilerplate stripping + multimodal + C2 structural
         "html_boilerplate": _q_html_boilerplate,
         "html_block_scores": _q_html_block_scores,
+        "boilerplate_lines": _q_boilerplate_lines,
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_bmp": _q_multimodal_decode_bmp,
@@ -1261,7 +1282,47 @@ def oracle_sql() -> dict[str, str]:
             FROM b, q WHERE b.bucket = q.q_bucket AND vec_id <> query_id
             ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
         """,
+        "sim_multiprobe_topk": f"""
+            WITH b AS (SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec, bucket AS q_bucket
+                  FROM b WHERE vec_id = 0),
+            flips AS (
+              SELECT j FROM q, (SELECT unnest(generate_series(0, 7)) AS j)
+              ORDER BY abs(q_vec[j + 1]), j LIMIT 3),
+            probes AS (
+              SELECT q_bucket AS pb FROM q
+              UNION ALL
+              SELECT xor(q.q_bucket, (1 << f.j)::BIGINT) FROM q, flips f)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], q_vec), 6) AS cosine_sim
+            FROM b, q
+            WHERE b.bucket IN (SELECT pb FROM probes) AND vec_id <> query_id
+            ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
         # ---- HTML boilerplate / multimodal / C2 ---------------------------
+        "boilerplate_lines": """
+            WITH wrapped AS (
+              SELECT doc_id,
+                     'HOME | ABOUT | CONTACT' || chr(10) || text || chr(10)
+                       || '(c) example.org - all rights reserved' AS text
+              FROM documents),
+            base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM wrapped),
+            lines AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     unnest(generate_series(1, len(ls))) AS pos
+              FROM base),
+            dfc AS (
+              SELECT md5(line) AS h, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1),
+            banned AS (SELECT h FROM dfc WHERE df >= 5),
+            kept AS (
+              SELECT doc_id, line, pos FROM lines
+              WHERE md5(line) NOT IN (SELECT h FROM banned))
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        """,
         "html_boilerplate": f"""
             WITH {_SQL_DOM_BLOCKS},
             {_SQL_DOM_SCORED}

@@ -76,3 +76,43 @@ def extract_main_text(blocks: DataFrame, id_col: str = "doc_id") -> DataFrame:
         joined.alias("main_text"),
         F.count(F.lit(1)).alias("n_blocks"),
     )
+
+
+def remove_frequent_lines(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          min_df: int = 5) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the CCNet / C4 paragraph
+    dedup heuristic, public): a line whose DOCUMENT frequency reaches
+    ``min_df`` is boilerplate (nav bars, footers, cookie banners) and is
+    dropped from every document; the remaining lines reassemble in
+    original order.
+
+    Returns (id, clean_text, n_kept); documents whose every line was
+    boilerplate are absent.
+
+    Scale shape: two aggregations and NO big-big join —
+      1. document frequency per md5(line) with map-side partial agg
+         (distinct (doc, line) pairs first, so a line repeated within
+         one doc counts once);
+      2. the banned set (df >= min_df) is TINY by construction — a line
+         frequent across a 10^12-doc corpus is rare in kind, not count —
+         so it broadcasts and the removal is a broadcast anti-join
+         inside the line scan, not a shuffle of every line;
+      3. one groupBy(doc) to reassemble, order carried by the exploded
+         position (never partition order).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("h", F.md5("line"))
+    df_counts = (lines.select("h", id_col).distinct()
+                 .groupBy("h").agg(F.count(F.lit(1)).alias("df")))
+    banned = df_counts.filter(F.col("df") >= min_df).select("h")
+    kept = lines.join(F.broadcast(banned), "h", "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+        lambda s: s["line"])
+    return kept.groupBy(id_col).agg(
+        F.array_join(ordered, "\n").alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

@@ -57,6 +57,55 @@ def bucket_histogram(embs: DataFrame, n_bits: int = 8,
     )
 
 
+def bucketed_topk_multiprobe(embs: DataFrame, query_id: int, k: int = 10,
+                             n_bits: int = 8, nprobe: int = 4,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe IVF top-k (Lv et al., VLDB'07 multi-probe LSH): probe
+    the query's sign-LSH bucket PLUS the ``nprobe - 1`` buckets reached
+    by flipping the hyperplane bits with the smallest margin
+    (|query[j]| — the dims where the sign decision was least confident).
+    Recovers most of the recall nprobe=1 loses while still scanning only
+    nprobe/2^bits of the corpus.
+
+    Deterministic: margin ties flip the lower dim first; similarity
+    rounded to 6 dp, final ties by ascending id."""
+    if not 1 <= nprobe <= 2 ** n_bits:
+        raise ValueError(f"nprobe must be in [1, 2^{n_bits}]; got {nprobe}")
+    with_bucket = embs.withColumn("bucket", V.sign_bucket(F.col(vec_col), n_bits))
+    margins = F.array_sort(F.array(*[
+        F.struct(F.abs(F.element_at(F.col(vec_col), j + 1).cast("double"))
+                 .alias("m"), F.lit(j).alias("j"))
+        for j in range(n_bits)
+    ]))
+    flips = F.slice(margins, 1, nprobe - 1) if nprobe > 1 \
+        else F.array().cast("array<struct<m:double,j:int>>")
+    q = (
+        with_bucket.filter(F.col(id_col) == query_id)
+        .select(F.col(id_col).alias("query_id"),
+                V.as_double(F.col(vec_col)).alias("q_vec"),
+                F.col("bucket").alias("q_bucket"),
+                flips.alias("flips"))
+        .select("query_id", "q_vec",
+                F.concat(
+                    F.array(F.col("q_bucket")),
+                    F.transform(
+                        "flips",
+                        lambda f: F.col("q_bucket").bitwiseXOR(
+                            F.pow(F.lit(2.0), f["j"]).cast("long"))),
+                ).alias("probes"))
+    )
+    sim = F.round(V.cosine(V.as_double(F.col(vec_col)), F.col("q_vec")), 6)
+    return (
+        with_bucket.join(F.broadcast(q),
+                         F.array_contains(q["probes"], with_bucket["bucket"]))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def bucketed_topk(embs: DataFrame, query_id: int, k: int = 10, n_bits: int = 8,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the

@@ -82,6 +82,30 @@ def test_decode_media_deterministic(spark, media_df):
            sorted([(r["media_ref"], list(r["features"])) for r in b])
 
 
+def test_remove_frequent_lines_semantics(spark):
+    """Shared footer banned at min_df, unique bodies kept in order,
+    within-doc repeats count once toward df, all-boilerplate docs
+    disappear."""
+    from rca_pdf_extraction_pipeline_spark.operators import boilerplate as bp
+
+    foot = "footer"
+    rows = [
+        (1, f"alpha\n{foot}\nbeta"),
+        (2, f"{foot}\ngamma"),
+        (3, f"delta\n{foot}\n{foot}"),   # repeated footer: df += 1, not 2
+        (4, foot),                        # only boilerplate -> absent
+        (5, f"epsilon\n{foot}"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_kept)
+           for r in bp.remove_frequent_lines(d, min_df=5).collect()}
+    assert out == {1: ("alpha\nbeta", 2), 2: ("gamma", 1),
+                   3: ("delta", 1), 5: ("epsilon", 1)}
+    # min_df above the footer's df (5 docs) -> nothing banned
+    out2 = {r.doc_id for r in bp.remove_frequent_lines(d, min_df=6).collect()}
+    assert out2 == {1, 2, 3, 4, 5}
+
+
 def test_decode_media_real_path_graceful_on_non_bmp(spark, media_df):
     """fake=False now REALLY decodes BMP; non-BMP payloads (these are
     UTF-8 text bytes) come back ok=False with zero geometry instead of

@@ -72,3 +72,42 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
            for r in spark.sql("select * from winagg").collect()}
     assert got == batch
     assert len(batch) > 10
+
+
+def test_stateful_running_totals_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState across micro-batches: the last update per
+    user must equal the batch aggregate exactly (integer-cents state, so
+    batch boundaries cannot drift the totals)."""
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.streaming import stateful
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev_state")
+    ev.repartition(3).write.parquet(in_dir)  # 3 files -> >=3 micro-batches
+
+    batch = {r["user_id"]: (r["n"], r["cents"]) for r in
+             ev.groupBy("user_id").agg(
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("cents")).collect()}
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stateful.running_user_totals(stream)
+         .writeStream.format("memory").queryName("usertotals")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # memory sink accumulates every update; the final row per user is the
+    # one with the highest n_events (monotone), carrying its own cents
+    rows = spark.sql(
+        "SELECT user_id, max(struct(n_events, total_cents)) AS fin "
+        "FROM usertotals GROUP BY user_id").collect()
+    got = {r["user_id"]: (r["fin"]["n_events"], r["fin"]["total_cents"])
+           for r in rows}
+    assert got == batch

@@ -157,6 +157,25 @@ def test_cosine_topk_orders_by_angle(vectors):
     assert sims[0] == pytest.approx(math.cos(0.05 - 0.01), abs=1e-6)
 
 
+def test_multiprobe_expands_recall_by_margin_flips(vectors):
+    """nprobe=1 == single-bucket result; enough probes reach vec 4 in
+    the opposite-sign bucket; invalid nprobe fails loudly."""
+    one = {r.vec_id for r in similarity.bucketed_topk_multiprobe(
+        vectors, query_id=0, k=10, n_bits=2, nprobe=1).collect()}
+    base = {r.vec_id for r in similarity.bucketed_topk(
+        vectors, query_id=0, k=10, n_bits=2).collect()}
+    assert one == base
+    three = {r.vec_id for r in similarity.bucketed_topk_multiprobe(
+        vectors, query_id=0, k=10, n_bits=2, nprobe=3).collect()}
+    assert base <= three
+    assert 4 in three                 # negative-x bucket reached via flip
+    exact = {r.vec_id for r in similarity.cosine_topk(
+        vectors, query_id=0, k=10).collect()}
+    assert three <= exact
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.bucketed_topk_multiprobe(vectors, 0, nprobe=0)
+
+
 def test_bucketed_topk_prunes_to_query_bucket(vectors):
     # vec 4 has negative x -> different sign bucket than the query
     top = similarity.bucketed_topk(vectors, query_id=0, k=10, n_bits=2).collect()
