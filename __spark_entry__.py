@@ -373,6 +373,11 @@ def _q_o3_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_j5_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 fuzzy matching, relational demo.  The crossJoin is over the
+    DISTINCT p_type domain — a BOUNDED dictionary (150 values in TPC-H,
+    fixed regardless of scale factor), so the quadratic pairing is
+    O(150^2) constants, not O(N^2) rows; unbounded-domain fuzzy joins
+    go through the blocked paths (dedup.jaccard_pairs / LSH) instead."""
     p = _t(spark, sf_dir, "part").select("p_type").distinct()
     a = p.select(F.col("p_type").alias("p_type_a"))
     b = p.select(F.col("p_type").alias("p_type_b"))

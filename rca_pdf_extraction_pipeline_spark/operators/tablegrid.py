@@ -95,14 +95,18 @@ def extract_table_cells(docs: DataFrame,
 
 def extract_tables_nested(docs: DataFrame, **kw) -> DataFrame:
     """Cell rows regrouped to the P3 consolidation input shape
-    (doc_id, table_id, headers:array<string>, rows:array<array<string>>).
+    (doc_id, table_id, headers:array<string>, rows:array<array<string>>)."""
+    return tables_nested_from_cells(extract_table_cells(docs, **kw))
 
-    Pure DataFrame composition over :func:`extract_table_cells`: two
-    ordered collect_lists under groupBy — the only shuffle is on
-    (doc_id, page, table_index), whose cardinality is the table count,
-    not the cell count.
+
+def tables_nested_from_cells(cells: DataFrame) -> DataFrame:
+    """(doc_id, page, table_index, row_idx, col_idx, cell, is_header)
+    -> (doc_id, table_id, headers, rows).
+
+    Pure DataFrame composition: two ordered collect_lists under groupBy —
+    the only shuffle is on (doc_id, page, table_index), whose cardinality
+    is the table count, not the cell count.
     """
-    cells = extract_table_cells(docs, **kw)
     rows = (cells.groupBy("doc_id", "page", "table_index", "row_idx",
                           "is_header")
             .agg(F.array_sort(F.collect_list(F.struct("col_idx", "cell")))

@@ -127,3 +127,38 @@ def bundle_json_bytes(
         "warnings": warnings,
     }
     return json.dumps(data, indent=2).encode("utf-8")
+
+
+def write_media_files(media, out_dir, ref_col: str = "media_ref",
+                      payload_col: str = "payload") -> int:
+    """K6 media file sink (reference elementizer/extractor.py:176-184):
+    one binary file per media row, named by its ``media_ref`` (the
+    reference's ``page%04d_img%04d.<ext>`` pattern — X13), null/empty
+    payloads skipped like the reference's ``if image_data`` gate.
+
+    Executor-side ``foreachPartition`` writes — each task streams its
+    partition's payloads straight to storage (shared FS here; object-
+    store puts on a cluster), so payload bytes never collect to the
+    driver.  Returns the number of files written (computed as a count
+    on the same filtered frame, not by mutating driver state)."""
+    import os
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    target = str(out)
+
+    writable = media.select(ref_col, payload_col).filter(
+        F.col(payload_col).isNotNull() & (F.length(payload_col) > 0))
+
+    def write_part(rows) -> None:
+        for r in rows:
+            # basename() guards media_ref path traversal into other dirs
+            name = os.path.basename(r[ref_col])
+            with open(os.path.join(target, name), "wb") as f:
+                f.write(bytes(r[payload_col]))
+
+    writable.foreachPartition(write_part)
+    return writable.count()

@@ -80,3 +80,30 @@ def test_k3_bundle_shape_and_union_types(spark, golden_docs):
     assert by_sample["1-8"]["saturation_water_pct"] == "**"
     assert by_sample["1-2(F)"]["porosity_ncs_pct"] is None  # '+' branch: NCS empty
     assert isinstance(by_sample["1-1"]["depth_feet"], float)
+
+
+def test_k6_media_file_sink_writes_payload_bytes(spark, tmp_path):
+    """K6: every non-empty payload lands in a file named by media_ref
+    with identical bytes; the X13 naming pattern is preserved."""
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.operators import multimodal
+    from rca_pdf_extraction_pipeline_spark.sources import sinks
+
+    ids = spark.range(1, 9).select(F.col("id").alias("doc_id"))
+    media = multimodal.synth_bmp_media(ids)
+    out = tmp_path / "media_out"
+    n = sinks.write_media_files(media, out)
+    rows = media.collect()
+    assert n == len(rows) == 8
+    for r in rows:
+        path = out / r.media_ref
+        assert path.exists(), r.media_ref
+        assert path.read_bytes() == bytes(r.payload)
+
+    # empty payloads are skipped (reference's `if image_data` gate)
+    empty = spark.createDataFrame(
+        [("skip-me.bin", None), ("also-skip.bin", b"")],
+        "media_ref string, payload binary")
+    assert sinks.write_media_files(empty, out) == 0
+    assert not (out / "skip-me.bin").exists()

@@ -136,6 +136,74 @@ def test_nested_tables_feed_p3_consolidation(spark):
                                          ["a3", "", "c3"]]
 
 
+def _grid_doc_from_spec(xb, yb, filled):
+    """Build a ruled-grid doc from boundary lists + {(r,c): text}."""
+    spans, off = [], 0
+    for y in yb:
+        spans.append({"kind": "line", "text": f"1,{xb[0]},{y},{xb[-1]},{y}|",
+                      "media_ref": None, "offset": off}); off += 1
+    for x in xb:
+        spans.append({"kind": "line", "text": f"1,{x},{yb[0]},{x},{yb[-1]}|",
+                      "media_ref": None, "offset": off}); off += 1
+    for (r, c), content in sorted(filled.items()):
+        cx = (xb[c] + xb[c + 1]) / 2
+        cy = (yb[r] + yb[r + 1]) / 2
+        spans.append({"kind": "text",
+                      "text": f"1,{cx - 2},{cy - 2},{cx + 2},{cy + 2}|{content}",
+                      "media_ref": None, "offset": off}); off += 1
+    return {"doc_id": "prop", "spans": spans}
+
+
+import hypothesis.strategies as st  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+
+
+@st.composite
+def _grid_specs(draw):
+    n_rows = draw(st.integers(2, 5))
+    n_cols = draw(st.integers(1, 4))
+    xg = draw(st.lists(st.integers(8, 60), min_size=n_cols, max_size=n_cols))
+    yg = draw(st.lists(st.integers(8, 60), min_size=n_rows, max_size=n_rows))
+    xb = [10]
+    for g in xg:
+        xb.append(xb[-1] + g)
+    yb = [20]
+    for g in yg:
+        yb.append(yb[-1] + g)
+    mask = draw(st.lists(st.booleans(), min_size=n_rows * n_cols,
+                         max_size=n_rows * n_cols))
+    filled = {(r, c): f"r{r}c{c}"
+              for r in range(n_rows) for c in range(n_cols)
+              if mask[r * n_cols + c]}
+    return xb, yb, n_rows, n_cols, filled
+
+
+@settings(max_examples=25, deadline=None)
+@given(_grid_specs())
+def test_grid_inference_roundtrips_random_grids(spec):
+    """Any ruled grid with boundary gaps above snap tolerance must
+    round-trip: cells land where they were placed, all-empty data rows
+    compact away, and the table exists iff some data row has text."""
+    xb, yb, n_rows, n_cols, filled = spec
+    cells = _kernel_cells([_grid_doc_from_spec(xb, yb, filled)])
+
+    data_rows = [r for r in range(1, n_rows)
+                 if any((r, c) in filled for c in range(n_cols))]
+    if not data_rows:
+        assert cells == []
+        return
+    want = []
+    for col in range(n_cols):   # header row always present
+        want.append((1, 0, 0, col, filled.get((0, col), ""), True, 1.0))
+    for new_r, r in enumerate(data_rows, start=1):
+        for col in range(n_cols):
+            want.append((1, 0, new_r, col, filled.get((r, col), ""),
+                         False, 1.0))
+    got = [(p, t, r, c, cell, h, conf)
+           for _, p, t, r, c, cell, h, conf in cells]
+    assert got == want
+
+
 # ---- S5 metadata ----------------------------------------------------------
 
 
@@ -231,3 +299,37 @@ def test_fake_decode_vectorized_equals_legacy(spark):
         want = np.frombuffer(digest, dtype=np.uint16).astype(np.float32) / 65535.0
         got = np.asarray(dec[r.media_ref].features, dtype=np.float32)
         assert np.array_equal(got, want), r.media_ref
+
+
+# ---- legacy full pipeline (jobs/run_full.py) ------------------------------
+
+
+def test_full_pipeline_composition(spark, tmp_path):
+    """analyze -> C2 classify -> S9 on table pages -> P3 -> artifacts
+    (reference main.py:237-283). Cells must come only from pages the
+    structural classifier called 'table'; artifacts carry the K1 BOM."""
+    from rca_pdf_extraction_pipeline_spark.jobs import run_full
+
+    docs = fx.docs_to_spark(spark, [fx.build_grid_doc()]
+                            + fx.build_classify_docs())
+    stages = run_full.full_pipeline(docs)
+
+    cls = {(r.doc_id, r.page): r.page_type
+           for r in stages["classifications"].collect()}
+    cells = stages["cells"].collect()
+    assert cells, "grid pages should classify as table and yield cells"
+    for r in cells:
+        assert cls[(r.doc_id, r.page)] == "table", (r.doc_id, r.page)
+
+    cons = {r.doc_id: r for r in stages["consolidated"].collect()}
+    assert "grid-doc" in cons
+    summ = {r.doc_id: r for r in stages["summaries"].collect()}
+    assert summ["grid-doc"].n_pages == 4
+    assert summ["classify-text"].n_tables is None   # no tables -> left join
+
+    files = run_full.save_outputs(stages["consolidated"], tmp_path / "out")
+    assert files
+    csvs = [f for f in files if f.endswith(".csv")]
+    for f in csvs:
+        data = open(f, "rb").read()
+        assert data.startswith(b"\xef\xbb\xbf")     # K1 BOM
