@@ -32,12 +32,14 @@ def extract_doc_metadata(docs: DataFrame) -> DataFrame:
     Missing fields are null (the reference's ``meta.get(...)``)."""
     s = docs.select("doc_id", F.explode("spans").alias("s")) \
             .filter(F.col("s.kind") == "meta")
-    content = F.split(F.col("s.text"), r"\|", 2)[1]
+    # F.get (not [1]) so payloads without the separator yield null under
+    # ANSI mode instead of INVALID_ARRAY_INDEX
+    content = F.get(F.split(F.col("s.text"), r"\|", 2), 1)
     kv = s.select(
         "doc_id",
-        F.split(content, "=", 2)[0].alias("k"),
-        F.split(content, "=", 2)[1].alias("v"),
-    )
+        F.get(F.split(content, "=", 2), 0).alias("k"),
+        F.get(F.split(content, "=", 2), 1).alias("v"),
+    ).filter(F.col("k").isNotNull())
     return (kv.groupBy("doc_id")
             .pivot("k", METADATA_FIELDS)
             .agg(F.first("v"))
@@ -63,7 +65,7 @@ def search_spans(docs: DataFrame, needle: str, limit: int = 100) -> DataFrame:
     CollectLimit so Spark stops scanning once enough partitions produced
     ``limit`` rows."""
     s = docs.select("doc_id", F.explode("spans").alias("s"))
-    content = F.split(F.col("s.text"), r"\|", 2)[1]
+    content = F.get(F.split(F.col("s.text"), r"\|", 2), 1)
     return (s.select("doc_id", F.col("s.kind").alias("kind"),
                      F.col("s.offset").alias("offset"),
                      content.alias("content"))

@@ -137,9 +137,12 @@ def page_range_warnings(docs: DataFrame,
     per (doc, requested page) outside [1, n_pages], with the reference's
     exact message text.  ``n_pages`` is the max span page per document —
     an ``array_max`` over the nested column, no explode, no shuffle."""
+    # try_cast: payloads without a numeric page head (malformed docs)
+    # must yield null, not an ANSI cast error
     page_of = F.transform(
         "spans",
-        lambda s: F.split(F.split(s["text"], r"\|")[0], ",")[0].cast("int"))
+        lambda s: F.split(F.split(s["text"], r"\|")[0], ",")[0]
+                   .try_cast("int"))
     n_pages = F.array_max(page_of)
     req = F.array(*[F.lit(int(p)) for p in sorted(set(page_numbers))])
     return (docs.select("doc_id", n_pages.alias("n_pages"),
