@@ -113,6 +113,28 @@ def test_f8_guard_does_not_explode_spans(spark):
     assert "EvalPython" not in plan
 
 
+def test_frequent_line_removal_broadcasts_banned_set(documents):
+    """remove_frequent_lines' claim: the banned-line set joins as a
+    BROADCAST anti-join inside the line scan — never a shuffled big-big
+    join of every line against every line."""
+    q = boilerplate.remove_frequent_lines(documents, min_df=5)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_multiprobe_topk_is_broadcast_and_takeordered(documents, spark):
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = similarity.bucketed_topk_multiprobe(emb, query_id=0, k=5, nprobe=4)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
 def test_extraction_is_single_arrow_stage_no_shuffle(spark):
     docs = fixtures.docs_to_spark(spark, fixtures.build_classify_docs())
     plan = _plan(extraction.extract_documents(docs))
