@@ -75,24 +75,29 @@ def _extraction_corpus(spark, sf_dir: str):
     return skew.salted_repartition(wrapped.unionByName(fixtures.docs_to_spark(spark, heavy)))
 
 
-def _warmup(spark, sf_dir: str) -> float:
+#: tiny scale dir used ONLY to warm codegen/JIT — never the timed input
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _warmup(spark, qs) -> float:
     """Pre-trigger the expensive one-time costs a cold session pays on its
-    first real query — JVM JIT + janino codegen of the md5/shingle/agg/
-    join shapes, Arrow/pandas worker spin-up, and the OS page cache for
-    the input parquet — so the timed runs measure the operators, not the
-    session.  A real deployment amortizes these across a long-lived app."""
+    first real query — JVM JIT + janino codegen, Arrow/pandas worker
+    spin-up — so the timed runs measure the operators, not the session.
+
+    Each headline query runs ONCE at sf0.001 (50 docs): the plan shapes,
+    expression trees and generated classes are identical to the sf0.1
+    runs (same schema, same FileScan pipeline), so janino's source cache
+    and the JVM JIT warm the exact code the timed runs execute, while
+    the timed sf0.1 input itself is never touched.  A real deployment
+    amortizes these costs across a long-lived app; this makes the
+    single-shot statistic measure the operator, not class loading."""
     t0 = time.time()
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
-    d = d.repartition(8).persist()
-    d.count()
-    # md5-shingle + aggregate + self-join shapes (the dedup hot paths)
-    from rca_pdf_extraction_pipeline_spark.operators import dedup as _dd
-    _materialize(_dd.simhash_signatures(d))
-    _materialize(_dd.minhash_candidate_pairs(d))
-    # Arrow extraction path
-    _materialize(extraction.extract_documents(
-        fixtures.docs_to_spark(spark, fixtures.build_parser_branch_docs())))
-    d.unpersist()
+    for name in BENCH_QUERIES:
+        if name == "extract_flagship":
+            _materialize(extraction.extract_documents(
+                fixtures.docs_to_spark(spark, fixtures.build_parser_branch_docs())))
+        else:
+            _materialize(qs[name](spark, WARMUP_SF_DIR))
     return round(time.time() - t0, 3)
 
 
@@ -105,7 +110,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     n_docs = None
-    warmup_s = _warmup(spark, sf_dir)
+    warmup_s = _warmup(spark, qs)
 
     for name in BENCH_QUERIES:
         if name == "extract_flagship":

@@ -80,6 +80,50 @@ def minhash_int_array(tokens: Column, seeds: list[tuple[int, int]] | None = None
     return F.aggregate(hashed, init, step)
 
 
+def minhash_band_key_array(tokens: Column, bands: int,
+                           seeds: list[tuple[int, int]] | None = None) -> Column:
+    """LSH band keys as ONE expression: the signature fold's ``finish``
+    lambda concatenates each band's signature values into its key, so a
+    consumer (e.g. ``posexplode``) that evaluates the expression once
+    pays the md5-per-token fold exactly once.
+
+    This matters because Spark's ``Generate`` (explode) node evaluates
+    its generator input without subexpression elimination — building the
+    band keys from 8 separately-projected ``sig_i`` columns re-runs the
+    fold once per referenced column (measured ~8x slower at sf0.1).
+
+    DuckDB twin: unchanged — per-seed ``list_aggregate`` minima joined
+    with '-' per band (the oracle recomputes the mins independently).
+    """
+    seeds = seeds or MINHASH_SEEDS
+    if len(seeds) % bands != 0:
+        raise ValueError(f"bands={bands} must divide n_hashes={len(seeds)}")
+    rows_per_band = len(seeds) // bands
+    hashed = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    init = F.array(*[F.lit(MINHASH_MOD).cast("long") for _ in seeds])
+
+    def step(acc: Column, h: Column) -> Column:
+        return F.array(*[
+            F.least(F.element_at(acc, i + 1),
+                    (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD))
+            for i, (a, b) in enumerate(seeds)
+        ])
+
+    def finish(acc: Column) -> Column:
+        return F.array(*[
+            F.concat_ws("-", *[
+                F.element_at(acc, b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ])
+            for b in range(bands)
+        ])
+
+    return F.aggregate(hashed, init, step, finish)
+
+
 def rolling_fingerprint(tokens: Column) -> Column:
     """Order-sensitive rolling polynomial hash over a token sequence:
     ``acc = (acc*31 + hash32(tok)) % FINGERPRINT_MOD`` starting at 0.

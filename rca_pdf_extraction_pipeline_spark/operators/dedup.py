@@ -80,23 +80,23 @@ def minhash_band_keys(docs: DataFrame, text_col: str = "text",
     """(id, band, band_key) — one row per band; equal band_key =>
     LSH candidate pair.
 
-    Single-pass: the signature row explodes into its band keys via
-    ``posexplode`` so the (expensive) md5-per-shingle signature lineage
-    is evaluated exactly once, not once per band."""
+    Single-pass: the band-key array is produced by the signature fold's
+    ``finish`` lambda (functions/hashing.minhash_band_key_array), so the
+    ``posexplode`` generator input is ONE expression and the expensive
+    md5-per-shingle fold runs exactly once per document.  (Building the
+    keys from separately-projected sig columns re-evaluates the fold
+    under ``Generate``, which does no subexpression elimination —
+    measured ~8x slower at sf0.1.)"""
     if n_hashes % bands != 0:
         raise ValueError(
             f"bands={bands} must divide n_hashes={n_hashes} exactly — a "
             f"remainder would silently drop trailing signature values and "
             f"weaken the requested S-curve")
-    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_size)
-    rows_per_band = n_hashes // bands
-    band_keys = F.array(*[
-        F.concat_ws("-", *[F.col(f"sig_{b * rows_per_band + r}").cast("string")
-                           for r in range(rows_per_band)])
-        for b in range(bands)
-    ])
-    return sigs.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    keys = H.minhash_band_key_array(
+        T.shingle_set(F.col(text_col), shingle_size), bands,
+        H.MINHASH_SEEDS[:n_hashes])
+    return docs.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
     )
 
 
