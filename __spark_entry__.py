@@ -40,8 +40,10 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     extraction,
     metadata,
     multimodal,
+    search,
     similarity,
     skew,
+    substring_dedup,
     tablegrid,
     textanalysis,
 )
@@ -606,6 +608,44 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textanalysis.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+#: deterministic contact-line suffix so the PII census has matches on a
+#: corpus that contains none organically — same expression in the oracle
+def _with_contacts(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin@example.org see http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.net/p"), F.col("doc_id").cast("string"),
+        ))
+
+
+def _q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textanalysis.pii_stats(_with_contacts(_t(spark, sf_dir, "documents")))
+
+
+def _q_substr_dup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dedup.duplicated_ranges(_t(spark, sf_dir, "documents"))
+
+
+def _q_substr_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dedup.duplication_profile(_t(spark, sf_dir, "documents"))
+
+
+#: bag-of-words query for the BM25 demo — mid-frequency corpus terms
+BM25_TERMS = ["table", "spark", "join", "query"]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=20)
+
+
 # ---- HTML boilerplate stripping (north_rule; synthetic DOM blocks) --------
 
 
@@ -800,6 +840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
+        "text_pii": _q_text_pii,
+        # training-data pipeline: exact-substring dedup + retrieval
+        "substr_dup_ranges": _q_substr_dup_ranges,
+        "substr_dup_profile": _q_substr_dup_profile,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -1485,5 +1531,174 @@ def oracle_sql() -> dict[str, str]:
                   list_transform(toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
                 (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
             FROM t
+        """,
+        "text_repetition": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS tk
+              FROM documents),
+            g2 AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+              FROM d, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+              WHERE len(tk) >= 2),
+            m2 AS (
+              SELECT doc_id, gram, COUNT(*) AS cnt,
+                     COUNT(*) * length(gram) AS mass
+              FROM g2 GROUP BY doc_id, gram),
+            r2 AS (
+              SELECT doc_id, MAX(mass)::DOUBLE / SUM(mass)::DOUBLE AS top2
+              FROM m2 GROUP BY doc_id),
+            g5 AS (
+              SELECT doc_id,
+                     tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                     || tk[i+3] || ' ' || tk[i+4] AS gram
+              FROM d, unnest(generate_series(1, len(tk) - 4)) AS t(i)
+              WHERE len(tk) >= 5),
+            m5 AS (
+              SELECT doc_id, gram, COUNT(*) AS cnt,
+                     COUNT(*) * length(gram) AS mass
+              FROM g5 GROUP BY doc_id, gram),
+            r5 AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN cnt >= 2 THEN mass ELSE 0 END)::DOUBLE
+                       / SUM(mass)::DOUBLE AS dup5
+              FROM m5 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(COALESCE(r2.top2, 0.0), 6) AS top_2gram_frac,
+                   round(COALESCE(r5.dup5, 0.0), 6) AS dup_5gram_frac
+            FROM d LEFT JOIN r2 ON d.doc_id = r2.doc_id
+                   LEFT JOIN r5 ON d.doc_id = r5.doc_id
+        """,
+        "text_pii": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                     || '@example.com or admin@example.org see http://site'
+                     || (doc_id % 7)::VARCHAR || '.example.net/p'
+                     || doc_id::VARCHAR AS text
+              FROM documents),
+            e AS (
+              SELECT doc_id, text,
+                regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS emails,
+                regexp_extract_all(text,
+                  'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+') AS urls
+              FROM d)
+            SELECT doc_id,
+              len(emails)::INT AS n_emails,
+              len(urls)::INT AS n_urls,
+              list_aggregate(
+                list_sort(list_distinct(
+                  list_transform(emails, x -> regexp_extract(x, '@(.*)$', 1)))),
+                'string_agg', ',') AS email_domains,
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS masked_text
+            FROM e
+        """,
+        "substr_dup_ranges": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS tk
+              FROM documents),
+            grams AS (
+              SELECT doc_id, (i - 1)::INT AS pos,
+                     substr(md5(list_aggregate(tk[i:i+7], 'string_agg', ' ')),
+                            1, 16) AS gh
+              FROM d, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+              WHERE len(tk) >= 8),
+            dup AS (
+              SELECT gh FROM grams
+              GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+            pos AS (
+              SELECT doc_id, pos FROM grams
+              WHERE gh IN (SELECT gh FROM dup)),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM pos)
+            SELECT doc_id,
+                   MIN(pos)::INT AS start_tok,
+                   (MAX(pos) + 7)::INT AS end_tok,
+                   (MAX(pos) + 7 - MIN(pos) + 1)::INT AS n_dup_tokens
+            FROM isl GROUP BY doc_id, grp
+            ORDER BY doc_id, start_tok
+        """,
+        "substr_dup_profile": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS tk
+              FROM documents),
+            grams AS (
+              SELECT doc_id, (i - 1)::INT AS pos,
+                     substr(md5(list_aggregate(tk[i:i+7], 'string_agg', ' ')),
+                            1, 16) AS gh
+              FROM d, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+              WHERE len(tk) >= 8),
+            dup AS (
+              SELECT gh FROM grams
+              GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+            pos AS (
+              SELECT doc_id, pos FROM grams
+              WHERE gh IN (SELECT gh FROM dup)),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM pos),
+            r AS (
+              SELECT doc_id, MAX(pos) + 7 - MIN(pos) + 1 AS n_dup
+              FROM isl GROUP BY doc_id, grp),
+            per_doc AS (
+              SELECT doc_id, SUM(n_dup)::BIGINT AS dup_tokens
+              FROM r GROUP BY doc_id)
+            SELECT d.doc_id,
+                   len(d.tk)::INT AS n_tokens,
+                   COALESCE(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   round(COALESCE(p.dup_tokens, 0)::DOUBLE
+                         / greatest(len(d.tk), 1), 6) AS dup_frac
+            FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
+        "bm25_topk": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS tk
+              FROM documents),
+            p AS (
+              SELECT doc_id, len(tk)::INT AS dl,
+                len(list_filter(tk, x -> x = 'table'))::INT AS tf_0,
+                len(list_filter(tk, x -> x = 'spark'))::INT AS tf_1,
+                len(list_filter(tk, x -> x = 'join'))::INT AS tf_2,
+                len(list_filter(tk, x -> x = 'query'))::INT AS tf_3
+              FROM d),
+            s AS (
+              SELECT COUNT(*)::BIGINT AS n_docs, AVG(dl) AS avgdl,
+                SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_0,
+                SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_1,
+                SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_2,
+                SUM(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_3
+              FROM p),
+            scored AS (
+              SELECT doc_id, tf_0, tf_1, tf_2, tf_3,
+                round(
+                    ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                    * (tf_0::DOUBLE * 2.2
+                       / (tf_0::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                    * (tf_1::DOUBLE * 2.2
+                       / (tf_1::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                    * (tf_2::DOUBLE * 2.2
+                       / (tf_2::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                + ln(1.0 + (n_docs - df_3 + 0.5) / (df_3 + 0.5))
+                    * (tf_3::DOUBLE * 2.2
+                       / (tf_3::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                6) AS bm25
+              FROM p, s)
+            SELECT doc_id, tf_0 AS tf_table, tf_1 AS tf_spark,
+                   tf_2 AS tf_join, tf_3 AS tf_query, bm25
+            FROM scored WHERE bm25 > 0
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 20
         """,
     }

@@ -66,6 +66,82 @@ def language_id(docs: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021,
+    public filter heuristics), used to drop template/spam pages:
+
+      * ``top_2gram_frac``  — fraction of the document's 2-gram character
+        mass held by its single most frequent 2-gram (high => slogan /
+        keyword-stuffing repetition).
+      * ``dup_5gram_frac``  — fraction of 5-gram character mass in
+        5-grams occurring more than once (high => copy-pasted blocks).
+
+    Character mass of a gram = occurrences x gram length; overlapping
+    grams double-count characters, which is the standard (documented)
+    behavior of these heuristics.  Both metrics are 0.0 for documents
+    too short to form a gram.
+
+    Plan: two posexplodes -> groupBy(doc, gram) with map-side partial
+    aggregation -> per-doc roll-up -> broadcast-free join on doc_id.
+    At 100 TB each gram table is ~n_tokens rows; the heavy exchange
+    hashes on (doc_id, gram) where skew is bounded by document length.
+    """
+    c = F.col(text_col)
+
+    def gram_mass(k: int, agg_expr):
+        per_gram = (docs.select(F.col(id_col),
+                                F.explode(
+                                    F.when(T.n_tokens(c) >= k, T.shingles(c, k))
+                                    .otherwise(F.array().cast("array<string>"))
+                                ).alias("gram"))
+                    .groupBy(id_col, "gram")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .withColumn("mass", F.col("cnt") * F.length("gram")))
+        return per_gram.groupBy(id_col).agg(agg_expr)
+
+    top2 = gram_mass(2, (F.max("mass") / F.sum("mass")).alias("top2_raw"))
+    dup5 = gram_mass(5, (F.sum(F.when(F.col("cnt") >= 2, F.col("mass"))
+                               .otherwise(F.lit(0))) / F.sum("mass"))
+                     .alias("dup5_raw"))
+    return (docs.select(F.col(id_col))
+            .join(top2, id_col, "left")
+            .join(dup5, id_col, "left")
+            .select(F.col(id_col),
+                    F.round(F.coalesce(F.col("top2_raw"), F.lit(0.0)), 6)
+                    .alias("top_2gram_frac"),
+                    F.round(F.coalesce(F.col("dup5_raw"), F.lit(0.0)), 6)
+                    .alias("dup_5gram_frac")))
+
+
+#: cross-engine-safe patterns (same semantics under Java regex and RE2):
+#: no backreferences, no lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+"
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII / link census — the redaction pre-pass of a training-data
+    pipeline: per document, how many e-mail addresses and URLs occur,
+    the distinct e-mail domains (sorted), and the text with e-mails
+    masked.  Pure regexp column expressions; at 100 TB this is a narrow
+    scan-stage pass (no shuffle, full pushdown).
+    """
+    c = F.col(text_col)
+    emails = F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)
+    urls = F.regexp_extract_all(c, F.lit(URL_RE), 0)
+    domains = F.array_sort(F.array_distinct(
+        F.transform(emails, lambda e: F.regexp_extract(e, "@(.*)$", 1))))
+    return docs.select(
+        F.col(id_col),
+        F.size(emails).alias("n_emails"),
+        F.size(urls).alias("n_urls"),
+        F.concat_ws(",", domains).alias("email_domains"),
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>").alias("masked_text"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint) — order-sensitive rolling token hash

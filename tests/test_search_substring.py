@@ -1,0 +1,160 @@
+"""Exact-substring dedup (Lee et al. n-gram formulation), Gopher
+repetition metrics, PII census, BM25 retrieval — hand-computed
+expectations on tiny corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from rca_pdf_extraction_pipeline_spark.operators import search, substring_dedup
+from rca_pdf_extraction_pipeline_spark.operators.textanalysis import (
+    pii_stats,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+# ---- exact-substring dedup ------------------------------------------------
+
+SHARED = "one two three four five six seven eight nine ten"  # 10 tokens
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    return _docs(spark, [
+        ("a", f"alpha beta {SHARED} gamma delta"),       # shared at tok 2..11
+        ("b", f"{SHARED} epsilon zeta eta theta iota"),  # shared at tok 0..9
+        ("c", "unrelated words only here nothing repeats at all in this doc"),
+    ])
+
+
+def test_duplicated_ranges_maximal(dup_corpus):
+    got = {(r["doc_id"], r["start_tok"], r["end_tok"], r["n_dup_tokens"])
+           for r in substring_dedup.duplicated_ranges(dup_corpus, k=8).collect()}
+    # 10 shared tokens => k-gram starts span 3 positions, one maximal range
+    assert got == {("a", 2, 11, 10), ("b", 0, 9, 10)}
+
+
+def test_duplicated_ranges_min_tokens_filter(dup_corpus):
+    got = substring_dedup.duplicated_ranges(dup_corpus, k=8, min_tokens=11).collect()
+    assert got == []
+
+
+def test_within_doc_repeat_is_not_cross_doc_dup(spark):
+    d = _docs(spark, [
+        ("solo", f"{SHARED} filler {SHARED}"),  # repeats only inside one doc
+        ("other", "totally different content with no overlap whatsoever ok"),
+    ])
+    assert substring_dedup.duplicated_ranges(d, k=8).collect() == []
+
+
+def test_short_docs_emit_no_grams(spark):
+    d = _docs(spark, [("x", "a b c"), ("y", "a b c")])
+    assert substring_dedup.duplicated_ranges(d, k=8).collect() == []
+
+
+def test_duplication_profile(dup_corpus):
+    rows = {r["doc_id"]: r for r in
+            substring_dedup.duplication_profile(dup_corpus, k=8).collect()}
+    assert rows["a"]["n_tokens"] == 14 and rows["a"]["dup_tokens"] == 10
+    assert rows["a"]["dup_frac"] == pytest.approx(round(10 / 14, 6))
+    assert rows["c"]["dup_tokens"] == 0 and rows["c"]["dup_frac"] == 0.0
+
+
+def test_two_disjoint_ranges_sum_in_profile(spark):
+    other = "p q r s t u v w"  # 8 tokens, its own duplicated unit
+    d = _docs(spark, [
+        ("a", f"{SHARED} mid1 mid2 {other}"),
+        ("b", f"{SHARED} xxx yyy zzz www qqq {other}"),
+    ])
+    ranges = substring_dedup.duplicated_ranges(d, k=8).collect()
+    a_ranges = sorted((r["start_tok"], r["end_tok"])
+                      for r in ranges if r["doc_id"] == "a")
+    assert a_ranges == [(0, 9), (12, 19)]
+    prof = {r["doc_id"]: r["dup_tokens"]
+            for r in substring_dedup.duplication_profile(d, k=8).collect()}
+    assert prof["a"] == 18
+
+
+# ---- Gopher repetition metrics --------------------------------------------
+
+def test_repetition_stats_uniform_doc(spark):
+    # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> top "a b" cnt 3
+    # mass(a b)=3*3=9, mass(b a)=2*3=6, top2 = 9/15
+    d = _docs(spark, [("r", "a b a b a b")])
+    row = repetition_stats(d).collect()[0]
+    assert row["top_2gram_frac"] == pytest.approx(round(9 / 15, 6))
+    # 5-grams: [a b a b a, b a b a b] each once -> dup5 = 0
+    assert row["dup_5gram_frac"] == 0.0
+
+
+def test_repetition_stats_dup5(spark):
+    # 12 tokens "x y z w v" repeated: 5-gram "x y z w v" occurs twice
+    d = _docs(spark, [("r", "x y z w v x y z w v")])
+    row = repetition_stats(d).collect()[0]
+    assert row["dup_5gram_frac"] > 0.0
+    assert 0.0 < row["top_2gram_frac"] < 1.0
+
+
+def test_repetition_stats_short_doc_zero(spark):
+    d = _docs(spark, [("s", "single")])
+    row = repetition_stats(d).collect()[0]
+    assert row["top_2gram_frac"] == 0.0 and row["dup_5gram_frac"] == 0.0
+
+
+# ---- PII census ------------------------------------------------------------
+
+def test_pii_stats(spark):
+    d = _docs(spark, [
+        ("p", "mail bob@x.com and alice@y.org twice bob@x.com "
+              "link https://a.example.com/path?q=1 and http://b.net/z"),
+        ("q", "no contacts here"),
+    ])
+    rows = {r["doc_id"]: r for r in pii_stats(d).collect()}
+    assert rows["p"]["n_emails"] == 3 and rows["p"]["n_urls"] == 2
+    assert rows["p"]["email_domains"] == "x.com,y.org"
+    assert "bob@x.com" not in rows["p"]["masked_text"]
+    assert rows["p"]["masked_text"].count("<EMAIL>") == 3
+    assert rows["q"]["n_emails"] == 0 and rows["q"]["email_domains"] == ""
+    assert rows["q"]["masked_text"] == "no contacts here"
+
+
+# ---- BM25 ------------------------------------------------------------------
+
+def test_bm25_hand_computed(spark):
+    d = _docs(spark, [
+        ("d1", "cat dog cat"),
+        ("d2", "cat fish"),
+        ("d3", "bird bird bird"),
+    ])
+    rows = search.bm25_topk(d, ["cat"], k=10).collect()
+    # df=2, N=3 -> idf = ln(1 + 1.5/2.5); avgdl = (3+2+3)/3
+    avgdl = 8 / 3
+    idf = math.log(1 + 1.5 / 2.5)
+
+    def score(tf, dl):
+        return idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+
+    got = {r["doc_id"]: r["bm25"] for r in rows}
+    assert set(got) == {"d1", "d2"}  # d3 has no query term
+    assert got["d1"] == pytest.approx(round(score(2, 3), 6))
+    assert got["d2"] == pytest.approx(round(score(1, 2), 6))
+    # higher tf ranks first
+    assert [r["doc_id"] for r in rows] == ["d1", "d2"]
+
+
+def test_bm25_ties_break_by_id(spark):
+    d = _docs(spark, [("b", "x y"), ("a", "x y"), ("c", "z z")])
+    rows = search.bm25_topk(d, ["x"], k=10).collect()
+    assert [r["doc_id"] for r in rows] == ["a", "b"]
+
+
+def test_bm25_requires_terms(spark):
+    d = _docs(spark, [("a", "x")])
+    with pytest.raises(ValueError):
+        search.bm25_topk(d, [])
