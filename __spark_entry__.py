@@ -570,6 +570,16 @@ def _q_sim_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     k=10, n_bits=8)
 
 
+def _q_ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_centroids(_t(spark, sf_dir, "embeddings"),
+                                       k=4, iters=2)
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0,
+                               k=10, n_centroids=4, iters=2, nprobe=2)
+
+
 def _q_sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bucketed_topk_multiprobe(
         _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=8, nprobe=4)
@@ -827,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_buckets": _q_sim_lsh_buckets,
         "sim_bucketed_topk": _q_sim_bucketed_topk,
         "sim_multiprobe_topk": _q_sim_multiprobe_topk,
+        "ann_kmeans_centroids": _q_ann_kmeans_centroids,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         # HTML boilerplate stripping + multimodal + C2 structural
         "html_boilerplate": _q_html_boilerplate,
         "html_block_scores": _q_html_block_scores,
@@ -906,6 +918,38 @@ def oracle_sql() -> dict[str, str]:
         for col, h in enumerate(GOLDEN_EXTRACTED_HEADERS[:-1])
     )
     stopwords_sql = "['the','and','a','of','to','in','is','on','for','it','with','as','at','by','from']"
+
+    def _kmeans_iter(prev: str, n: int) -> str:
+        """One unrolled Lloyd iteration on the integer lattice — exact
+        BIGINT arithmetic end-to-end (see similarity.KMEANS_SCALE)."""
+        return f"""
+            p{n} AS (SELECT e.vec_id, e.qv, c.cid,
+                     list_aggregate(list_transform(generate_series(1, len(e.qv)),
+                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                       'sum') AS d2
+                   FROM e CROSS JOIN {prev} c),
+            a{n} AS (SELECT vec_id, qv, cid FROM (
+                     SELECT p{n}.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p{n})
+                   WHERE rn = 1),
+            u{n} AS (SELECT cid, i AS dim,
+                     floor(SUM(qv[i])::DOUBLE / COUNT(*))::BIGINT AS cvi
+                   FROM a{n}, unnest(generate_series(1, len(qv))) AS t(i)
+                   GROUP BY cid, i),
+            c{n} AS (SELECT cid, list(cvi ORDER BY dim) AS cv
+                   FROM u{n} GROUP BY cid)"""
+
+    kmeans_ctes = (
+        """
+            e AS (SELECT vec_id, embedding,
+                    list_transform(embedding,
+                      x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+                  FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, qv AS cv FROM e
+                   ORDER BY vec_id LIMIT 4),"""
+        + _kmeans_iter("c0", 1) + ","
+        + _kmeans_iter("c1", 2)
+    )
 
     return {
         # ---- extraction: golden-artifact oracles --------------------------
@@ -1317,6 +1361,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[], q_vec), 6) AS cosine_sim
             FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_kmeans_centroids": f"""
+            WITH {kmeans_ctes}
+            SELECT cid, cv FROM c2
+        """,
+        "ann_ivf_topk": f"""
+            WITH {kmeans_ctes},
+            p3 AS (SELECT e.vec_id, e.embedding, c.cid,
+                     list_aggregate(list_transform(generate_series(1, len(e.qv)),
+                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                       'sum') AS d2
+                   FROM e CROSS JOIN c2 c),
+            a3 AS (SELECT vec_id, embedding, cid FROM (
+                     SELECT p3.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p3)
+                   WHERE rn = 1),
+            probes AS (SELECT cid FROM p3 WHERE vec_id = 0
+                       ORDER BY d2, cid LIMIT 2),
+            q AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings
+                  WHERE vec_id = 0)
+            SELECT a3.vec_id, a3.cid,
+                   round(list_cosine_similarity(a3.embedding::DOUBLE[], q_vec),
+                         6) AS cosine_sim
+            FROM a3 JOIN probes USING (cid), q
+            WHERE a3.vec_id <> 0
             ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
         """,
         "sim_lsh_buckets": f"""

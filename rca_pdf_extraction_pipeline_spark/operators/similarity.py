@@ -106,6 +106,124 @@ def bucketed_topk_multiprobe(embs: DataFrame, query_id: int, k: int = 10,
     )
 
 
+#: fixed-point grid for k-means arithmetic: round(x * 1000) as bigint.
+#: All Lloyd-iteration math (distances, centroid updates) is then EXACT
+#: integer arithmetic in both engines — zero cross-engine float risk —
+#: while final ranking still uses true double cosine on the raw floats.
+#: (Quantized coarse clustering is standard ANN practice, cf. int8
+#: product quantization; 3 decimal digits is far finer than any IVF
+#: assignment boundary matters.)
+KMEANS_SCALE = 1000
+
+
+def _lattice(embs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    qv = F.transform(
+        V.as_double(F.col(vec_col)),
+        lambda x: F.round(x * KMEANS_SCALE, 0).cast("long"))
+    return embs.select(F.col(id_col), F.col(vec_col), qv.alias("qv"))
+
+
+def _l2sq(a, b) -> F.Column:
+    """Exact squared L2 between two bigint lattice vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _assign(lat: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids, exact
+    integer distances, ties broken by ascending cid (struct-min)."""
+    pairs = lat.crossJoin(F.broadcast(cents))
+    scored = pairs.select(
+        F.col(id_col), F.col("qv"),
+        F.struct(_l2sq(F.col("qv"), F.col("cv")).alias("d2"),
+                 F.col("cid")).alias("dc"))
+    return (scored.groupBy(id_col)
+            .agg(F.min("dc").alias("m"), F.first("qv").alias("qv"))
+            .select(F.col(id_col), F.col("m.cid").alias("cid"), F.col("qv")))
+
+
+def kmeans_centroids(embs: DataFrame, k: int = 4, iters: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column —
+    (cid, cv) with ``cv`` an ``array<bigint>`` lattice centroid.
+
+    Trained coarse quantizer for IVF ANN (the codebook step brute-force
+    sign-LSH buckets skip).  Deterministic by construction: seeds are
+    the ``k`` embeddings with the smallest ids (cid = seed id), a fixed
+    number of Lloyd iterations, argmin ties break on ascending cid, and
+    centroid updates floor-divide on the integer lattice — every engine
+    reproduces the exact same centroids bit-for-bit.
+
+    Scale (10^12 vectors): each iteration is one broadcast crossJoin
+    (k rows) + one groupBy(id) argmin + one (cid, dim) partial-agg
+    shuffle whose cardinality is k x dims, independent of N.  Lazy
+    DataFrame throughout — no driver-side collect; production would
+    train on a sample and hold centroids in a table, which is exactly
+    the shape this returns.
+    """
+    lat = _lattice(embs, id_col, vec_col)
+    cents = (lat.orderBy(F.col(id_col)).limit(k)
+             .select(F.col(id_col).cast("long").alias("cid"),
+                     F.col("qv").alias("cv")))
+    for _ in range(iters):
+        assigned = _assign(lat, cents, id_col)
+        per_dim = (assigned.select("cid", F.posexplode("qv").alias("dim", "v"))
+                   .groupBy("cid", "dim")
+                   .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                   .select("cid", "dim",
+                           F.floor(F.col("s") / F.col("n")).cast("long")
+                           .alias("cv_i")))
+        cents = (per_dim.groupBy("cid")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("dim", "cv_i"))).alias("pairs"))
+                 .select("cid",
+                         F.transform("pairs", lambda p: p["cv_i"]).alias("cv")))
+    return cents
+
+
+def ivf_topk(embs: DataFrame, query_id: int, k: int = 10,
+             n_centroids: int = 4, iters: int = 2, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: k-means codebook,
+    assign every vector to its nearest centroid, probe the ``nprobe``
+    centroids nearest the query, exact cosine rank inside the probed
+    cells only.  (The IVF-flat design of Jégou et al., TPAMI'11 —
+    trained centroids adapt to the data distribution, unlike the
+    axis-aligned sign-LSH buckets of :func:`bucketed_topk`.)
+
+    Returns (vec_id, cid, cosine_sim) — top-``k`` by (cosine desc, id),
+    the query itself excluded.  At scale, write the corpus partitioned
+    by ``cid``: each query then scans nprobe/k of the files.
+    """
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError(f"nprobe must be in [1, {n_centroids}]; got {nprobe}")
+    cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
+    lat = _lattice(embs, id_col, vec_col)
+    assigned = (lat.crossJoin(F.broadcast(cents))
+                .select(F.col(id_col), F.col(vec_col),
+                        F.struct(_l2sq(F.col("qv"), F.col("cv")).alias("d2"),
+                                 F.col("cid")).alias("dc"))
+                .groupBy(id_col)
+                .agg(F.min("dc").alias("m"), F.first(vec_col).alias(vec_col))
+                .select(F.col(id_col), F.col("m.cid").alias("cid"),
+                        F.col(vec_col)))
+    probes = (lat.filter(F.col(id_col) == query_id)
+              .crossJoin(F.broadcast(cents))
+              .select(F.col("cid"),
+                      _l2sq(F.col("qv"), F.col("cv")).alias("d2"))
+              .orderBy("d2", "cid").limit(nprobe).select("cid"))
+    q = _query_vec(embs, query_id, id_col, vec_col)
+    sim = F.round(V.cosine(V.as_double(F.col(vec_col)), F.col("q_vec")), 6)
+    return (assigned.join(F.broadcast(probes), "cid")
+            .crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select(F.col(id_col), F.col("cid"), sim.alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def bucketed_topk(embs: DataFrame, query_id: int, k: int = 10, n_bits: int = 8,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the

@@ -266,3 +266,57 @@ def test_embedding_near_pairs(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert (0, 3) not in pairs    # different sign bucket, never compared
     assert (0, 2) not in pairs or pairs.get((0, 2), 0) >= 0.9
+
+
+# ---- trained-IVF ANN (k-means coarse quantizer) ---------------------------
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    """Two tight, well-separated clusters around (1,0,...) and (0,1,...).
+    Ids interleave A/B so the two smallest-id k-means seeds (ids 0, 1)
+    start one per cluster."""
+    rows = []
+    for i, eps in enumerate([0.00, 0.01, 0.02, -0.01]):
+        rows.append((2 * i, [1.0 + eps, eps] + [0.0] * 6))      # cluster A
+        rows.append((2 * i + 1, [eps, 1.0 + eps] + [0.0] * 6))  # cluster B
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_separates_clusters(clustered_vecs):
+    cents = similarity.kmeans_centroids(clustered_vecs, k=2, iters=2).collect()
+    assert len(cents) == 2
+    # lattice scale 1000: one centroid near (1000, 0), one near (0, 1000)
+    by_axis = sorted((r["cv"][0], r["cv"][1]) for r in cents)
+    assert by_axis[0][0] < 100 and by_axis[0][1] > 900
+    assert by_axis[1][0] > 900 and by_axis[1][1] < 100
+
+
+def test_kmeans_partition_invariant(clustered_vecs):
+    a = {(r["cid"], tuple(r["cv"]))
+         for r in similarity.kmeans_centroids(clustered_vecs, k=2, iters=2).collect()}
+    b = {(r["cid"], tuple(r["cv"]))
+         for r in similarity.kmeans_centroids(
+             clustered_vecs.repartition(7), k=2, iters=2).collect()}
+    assert a == b
+
+
+def test_ivf_topk_probes_own_cluster(clustered_vecs):
+    got = similarity.ivf_topk(clustered_vecs, query_id=0, k=3,
+                              n_centroids=2, iters=2, nprobe=1).collect()
+    # nprobe=1: only cluster-A members (even ids) are candidates
+    assert {r["vec_id"] for r in got} == {2, 4, 6}
+    sims = [r["cosine_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_full_probe_equals_brute_force(clustered_vecs):
+    ivf = similarity.ivf_topk(clustered_vecs, query_id=0, k=5,
+                              n_centroids=2, iters=2, nprobe=2).collect()
+    bf = similarity.cosine_topk(clustered_vecs, query_id=0, k=5).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in ivf] == \
+        [(r["vec_id"], r["cosine_sim"]) for r in bf]
+
+
+def test_ivf_nprobe_guard(clustered_vecs):
+    with pytest.raises(ValueError):
+        similarity.ivf_topk(clustered_vecs, query_id=0, nprobe=9, n_centroids=4)
