@@ -36,6 +36,7 @@ from rca_pdf_extraction_pipeline_spark.functions import classify_expr
 from rca_pdf_extraction_pipeline_spark.operators import (
     boilerplate,
     consolidate,
+    curation,
     dedup,
     extraction,
     metadata,
@@ -652,6 +653,10 @@ def _q_substr_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_TERMS = ["table", "spark", "join", "query"]
 
 
+def _q_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.curation_signals(_t(spark, sf_dir, "documents"))
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=20)
 
@@ -858,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dup_ranges": _q_substr_dup_ranges,
         "substr_dup_profile": _q_substr_dup_profile,
         "bm25_topk": _q_bm25_topk,
+        "curation_flags": _q_curation_flags,
     }
 
 
@@ -918,6 +924,79 @@ def oracle_sql() -> dict[str, str]:
         for col, h in enumerate(GOLDEN_EXTRACTED_HEADERS[:-1])
     )
     stopwords_sql = "['the','and','a','of','to','in','is','on','for','it','with','as','at','by','from']"
+
+    quality_sql = f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks,
+                     greatest(length(text), 1)::DOUBLE AS total,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digit
+              FROM documents),
+            r AS (
+              SELECT doc_id, alpha / total AS alpha_ratio, digit / total AS digit_ratio,
+                     len(list_filter(toks, x -> list_contains({stopwords_sql}, lower(x))))::DOUBLE
+                       / greatest(len(toks), 1)::DOUBLE AS stop_ratio
+              FROM t)
+            SELECT doc_id,
+              round(alpha_ratio, 6) AS alpha_ratio,
+              round(digit_ratio, 6) AS digit_ratio,
+              round(stop_ratio, 6) AS stopword_ratio,
+              round(0.5 * alpha_ratio + 0.3 * stop_ratio + 0.2 * (1.0 - digit_ratio), 6)
+                AS quality_score
+            FROM r
+    """
+    langid_sql = f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> list_contains({stopwords_sql}, lower(x))))::DOUBLE
+                       / greatest(len(toks), 1)::DOUBLE AS ratio
+              FROM t)
+            SELECT doc_id, round(ratio, 6) AS stopword_ratio,
+                   CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'und' END AS pred_lang
+            FROM r
+    """
+    repetition_sql = """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS tk
+              FROM documents),
+            g2 AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+              FROM d, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+              WHERE len(tk) >= 2),
+            m2 AS (
+              SELECT doc_id, gram, COUNT(*) AS cnt,
+                     COUNT(*) * length(gram) AS mass
+              FROM g2 GROUP BY doc_id, gram),
+            r2 AS (
+              SELECT doc_id, MAX(mass)::DOUBLE / SUM(mass)::DOUBLE AS top2
+              FROM m2 GROUP BY doc_id),
+            g5 AS (
+              SELECT doc_id,
+                     tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                     || tk[i+3] || ' ' || tk[i+4] AS gram
+              FROM d, unnest(generate_series(1, len(tk) - 4)) AS t(i)
+              WHERE len(tk) >= 5),
+            m5 AS (
+              SELECT doc_id, gram, COUNT(*) AS cnt,
+                     COUNT(*) * length(gram) AS mass
+              FROM g5 GROUP BY doc_id, gram),
+            r5 AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN cnt >= 2 THEN mass ELSE 0 END)::DOUBLE
+                       / SUM(mass)::DOUBLE AS dup5
+              FROM m5 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(COALESCE(r2.top2, 0.0), 6) AS top_2gram_frac,
+                   round(COALESCE(r5.dup5, 0.0), 6) AS dup_5gram_frac
+            FROM d LEFT JOIN r2 ON d.doc_id = r2.doc_id
+                   LEFT JOIN r5 ON d.doc_id = r5.doc_id
+    """
 
     def _kmeans_iter(prev: str, n: int) -> str:
         """One unrolled Lloyd iteration on the integer lattice — exact
@@ -1555,41 +1634,8 @@ def oracle_sql() -> dict[str, str]:
               round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 6) AS distinct_ratio
             FROM t
         """,
-        "text_quality": f"""
-            WITH t AS (
-              SELECT doc_id, text,
-                     list_filter(string_split(text, ' '), x -> x != '') AS toks,
-                     greatest(length(text), 1)::DOUBLE AS total,
-                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha,
-                     length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digit
-              FROM documents),
-            r AS (
-              SELECT doc_id, alpha / total AS alpha_ratio, digit / total AS digit_ratio,
-                     len(list_filter(toks, x -> list_contains({stopwords_sql}, lower(x))))::DOUBLE
-                       / greatest(len(toks), 1)::DOUBLE AS stop_ratio
-              FROM t)
-            SELECT doc_id,
-              round(alpha_ratio, 6) AS alpha_ratio,
-              round(digit_ratio, 6) AS digit_ratio,
-              round(stop_ratio, 6) AS stopword_ratio,
-              round(0.5 * alpha_ratio + 0.3 * stop_ratio + 0.2 * (1.0 - digit_ratio), 6)
-                AS quality_score
-            FROM r
-        """,
-        "text_langid": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     list_filter(string_split(text, ' '), x -> x != '') AS toks
-              FROM documents),
-            r AS (
-              SELECT doc_id,
-                     len(list_filter(toks, x -> list_contains({stopwords_sql}, lower(x))))::DOUBLE
-                       / greatest(len(toks), 1)::DOUBLE AS ratio
-              FROM t)
-            SELECT doc_id, round(ratio, 6) AS stopword_ratio,
-                   CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'und' END AS pred_lang
-            FROM r
-        """,
+        "text_quality": quality_sql,
+        "text_langid": langid_sql,
         "text_fingerprint": """
             WITH t AS (
               SELECT doc_id,
@@ -1602,43 +1648,7 @@ def oracle_sql() -> dict[str, str]:
                 (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
             FROM t
         """,
-        "text_repetition": """
-            WITH d AS (
-              SELECT doc_id,
-                     list_filter(string_split(text, ' '), x -> x != '') AS tk
-              FROM documents),
-            g2 AS (
-              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
-              FROM d, unnest(generate_series(1, len(tk) - 1)) AS t(i)
-              WHERE len(tk) >= 2),
-            m2 AS (
-              SELECT doc_id, gram, COUNT(*) AS cnt,
-                     COUNT(*) * length(gram) AS mass
-              FROM g2 GROUP BY doc_id, gram),
-            r2 AS (
-              SELECT doc_id, MAX(mass)::DOUBLE / SUM(mass)::DOUBLE AS top2
-              FROM m2 GROUP BY doc_id),
-            g5 AS (
-              SELECT doc_id,
-                     tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
-                     || tk[i+3] || ' ' || tk[i+4] AS gram
-              FROM d, unnest(generate_series(1, len(tk) - 4)) AS t(i)
-              WHERE len(tk) >= 5),
-            m5 AS (
-              SELECT doc_id, gram, COUNT(*) AS cnt,
-                     COUNT(*) * length(gram) AS mass
-              FROM g5 GROUP BY doc_id, gram),
-            r5 AS (
-              SELECT doc_id,
-                     SUM(CASE WHEN cnt >= 2 THEN mass ELSE 0 END)::DOUBLE
-                       / SUM(mass)::DOUBLE AS dup5
-              FROM m5 GROUP BY doc_id)
-            SELECT d.doc_id,
-                   round(COALESCE(r2.top2, 0.0), 6) AS top_2gram_frac,
-                   round(COALESCE(r5.dup5, 0.0), 6) AS dup_5gram_frac
-            FROM d LEFT JOIN r2 ON d.doc_id = r2.doc_id
-                   LEFT JOIN r5 ON d.doc_id = r5.doc_id
-        """,
+        "text_repetition": repetition_sql,
         "text_pii": r"""
             WITH d AS (
               SELECT doc_id,
@@ -1730,6 +1740,21 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(d.tk), 1), 6) AS dup_frac
             FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
+        "curation_flags": f"""
+            WITH q AS ({{Q}}),
+            l AS ({{L}}),
+            r AS ({{R}})
+            SELECT l.doc_id, l.pred_lang, q.quality_score,
+                   r.top_2gram_frac, r.dup_5gram_frac,
+                   CASE WHEN l.pred_lang NOT IN ('en') THEN 'lang'
+                        WHEN q.quality_score < 0.45 THEN 'quality'
+                        WHEN r.top_2gram_frac > 0.35
+                             OR r.dup_5gram_frac > 0.35 THEN 'repetition'
+                        ELSE 'keep' END AS reject_reason
+            FROM l JOIN q ON l.doc_id = q.doc_id
+                   JOIN r ON l.doc_id = r.doc_id
+        """.replace("{Q}", quality_sql).replace(
+            "{L}", langid_sql).replace("{R}", repetition_sql),
         "bm25_topk": """
             WITH d AS (
               SELECT doc_id,

@@ -111,3 +111,80 @@ def test_stateful_running_totals_stream_equals_batch(spark, tmp_path):
     got = {r["user_id"]: (r["fin"]["n_events"], r["fin"]["total_cents"])
            for r in rows}
     assert got == batch
+
+
+# ---- streaming dedup (ingest-time keep-first) -----------------------------
+
+def _dedup_stream_input(spark, tmp_path):
+    """Three files -> three micro-batches; duplicates within and across
+    batches. Returns (in_dir, batch_df)."""
+    import datetime as dt
+    rows = [
+        # (doc_id, text, event_time, file)
+        (1, "alpha body", dt.datetime(2026, 1, 1, 10, 0, 0), 0),
+        (2, "beta body", dt.datetime(2026, 1, 1, 10, 0, 10), 0),
+        (3, "alpha body", dt.datetime(2026, 1, 1, 10, 0, 20), 1),  # dup of 1
+        (4, "gamma body", dt.datetime(2026, 1, 1, 10, 0, 30), 1),
+        (5, "beta body", dt.datetime(2026, 1, 1, 10, 0, 40), 2),   # dup of 2
+        (6, "alpha body", dt.datetime(2026, 1, 1, 10, 0, 50), 2),  # dup of 1
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        "doc_id long, text string, event_time timestamp")
+    in_dir = str(tmp_path / "sin")
+    for f in (0, 1, 2):
+        ids = [r[0] for r in rows if r[3] == f]
+        df.filter(df.doc_id.isin(ids)).coalesce(1).write.parquet(
+            f"{in_dir}/f{f}")
+    import glob
+    import shutil
+    for i, p in enumerate(sorted(glob.glob(f"{in_dir}/f*/part-*.parquet"))):
+        shutil.move(p, f"{in_dir}/docs_{i}.parquet")
+    for f in (0, 1, 2):
+        shutil.rmtree(f"{in_dir}/f{f}")
+    return in_dir, df
+
+
+def test_stream_dedup_keeps_first_arrival(spark, tmp_path):
+    from rca_pdf_extraction_pipeline_spark.streaming import dedup as sdedup
+
+    in_dir, df = _dedup_stream_input(spark, tmp_path)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, event_time timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = sdedup.dedup_stream(stream, watermark_delay="10 minutes")
+    q = (out.writeStream.format("memory").queryName("sdedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = sorted(r["doc_id"] for r in spark.sql(
+        "SELECT doc_id FROM sdedup").collect())
+    assert got == [1, 2, 4]  # first arrival per content; 3/5/6 suppressed
+
+    want = sorted(r["doc_id"] for r in
+                  sdedup.batch_keep_first(df, "doc_id").collect())
+    assert got == want  # stream == batch keep-first
+
+
+def test_stream_dedup_unbounded_matches(spark, tmp_path):
+    from rca_pdf_extraction_pipeline_spark.streaming import dedup as sdedup
+
+    in_dir, df = _dedup_stream_input(spark, tmp_path)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, event_time timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = sdedup.dedup_stream_unbounded(stream)
+    q = (out.writeStream.format("memory").queryName("sdedup2")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {r["content_hash"] for r in spark.sql(
+        "SELECT content_hash FROM sdedup2").collect()}
+    assert len(got) == 3
