@@ -154,3 +154,61 @@ def test_whole_stage_codegen_covers_scalar_projection(lineitem):
     )
     # the '*(n)' prefix marks a WholeStageCodegen-compiled span
     assert "*(1) Project" in _plan(q)
+
+
+def test_new_text_ops_no_python_eval(documents):
+    """substring dedup, repetition/PII stats, BM25, curation signals —
+    all pure built-in expressions; any EvalPython means a UDF regressed
+    into the hot path."""
+    from rca_pdf_extraction_pipeline_spark.operators import (
+        curation,
+        search,
+        substring_dedup,
+    )
+
+    for q in [
+        substring_dedup.duplicated_ranges(documents),
+        substring_dedup.duplication_profile(documents),
+        textanalysis.repetition_stats(documents),
+        textanalysis.pii_stats(documents),
+        search.bm25_topk(documents, ["table", "spark"]),
+        curation.curation_signals(documents),
+    ]:
+        plan = _plan(q)
+        assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_bm25_topk_is_take_ordered(documents):
+    """Final ranking must be TakeOrderedAndProject (O(k) per task), and
+    the corpus-stats side must come in via broadcast, not a shuffle of
+    the corpus."""
+    from rca_pdf_extraction_pipeline_spark.operators import search
+
+    plan = _plan(search.bm25_topk(documents, ["table", "spark"]))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+
+
+def test_substring_gram_strings_never_shuffle(documents):
+    """The duplicated-gram join must shuffle the 16-char md5 prefix,
+    never the raw k-gram strings: no Exchange output should carry a
+    column wider than the hash."""
+    from rca_pdf_extraction_pipeline_spark.operators import substring_dedup
+
+    plan = _plan(substring_dedup.duplicated_ranges(documents))
+    # every Exchange carries (doc_id, pos, gh) or aggregates of gh —
+    # the gram text column is projected away before any exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "gram" not in line, line
+
+
+def test_ivf_kmeans_no_python_and_broadcast_centroids(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(similarity.ivf_topk(embs, 0, 10, 4, 2, 2))
+    assert "EvalPython" not in plan
+    # centroids / probes / query vector all arrive via broadcast
+    assert plan.count("BroadcastExchange") >= 3
+    assert "TakeOrderedAndProject" in plan
