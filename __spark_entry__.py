@@ -41,6 +41,7 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     extraction,
     metadata,
     multimodal,
+    sampling,
     search,
     similarity,
     skew,
@@ -657,6 +658,24 @@ def _q_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_signals(_t(spark, sf_dir, "documents"))
 
 
+def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.hash_sample(_t(spark, sf_dir, "documents"),
+                                rate=0.1, seed=7) \
+        .select("doc_id", "lang", "n_chars")
+
+
+def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.train_val_test_split(
+        _t(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_hash_sample(
+        _t(spark, sf_dir, "documents"), "lang",
+        rates={"en": 0.2, "de": 1.0}, default_rate=0.05, seed=3) \
+        .select("doc_id", "lang")
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=20)
 
@@ -864,6 +883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dup_profile": _q_substr_dup_profile,
         "bm25_topk": _q_bm25_topk,
         "curation_flags": _q_curation_flags,
+        "sample_hash": _q_sample_hash,
+        "sample_split": _q_sample_split,
+        "sample_stratified": _q_sample_stratified,
     }
 
 
@@ -1755,6 +1777,31 @@ def oracle_sql() -> dict[str, str]:
                    JOIN r ON l.doc_id = r.doc_id
         """.replace("{Q}", quality_sql).replace(
             "{L}", langid_sql).replace("{R}", repetition_sql),
+        "sample_hash": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 1000000 < 100000
+        """,
+        "sample_split": """
+            WITH b AS (
+              SELECT doc_id,
+                ('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                % 1000000 AS bkt
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN bkt < 800000 THEN 'train'
+                   WHEN bkt < 900000 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM b
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('3:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 1000000
+                  < CASE WHEN lang = 'en' THEN 200000
+                         WHEN lang = 'de' THEN 1000000
+                         ELSE 50000 END
+        """,
         "bm25_topk": """
             WITH d AS (
               SELECT doc_id,

@@ -320,3 +320,55 @@ def test_ivf_full_probe_equals_brute_force(clustered_vecs):
 def test_ivf_nprobe_guard(clustered_vecs):
     with pytest.raises(ValueError):
         similarity.ivf_topk(clustered_vecs, query_id=0, nprobe=9, n_centroids=4)
+
+
+# ---- deterministic sampling / splits --------------------------------------
+
+@pytest.fixture(scope="module")
+def id_frame(spark):
+    return spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+
+
+def test_hash_sample_deterministic_and_partition_invariant(id_frame):
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    a = sorted(r.doc_id for r in sampling.hash_sample(id_frame, 0.3).collect())
+    b = sorted(r.doc_id for r in
+               sampling.hash_sample(id_frame.repartition(13), 0.3).collect())
+    assert a == b and 0 < len(a) < 200
+    # close to the nominal rate on 200 ids
+    assert 0.15 < len(a) / 200 < 0.45
+    # different seed -> different (deterministic) subset
+    c = sorted(r.doc_id for r in
+               sampling.hash_sample(id_frame, 0.3, seed=99).collect())
+    assert c != a
+    # rate bounds
+    with pytest.raises(ValueError):
+        sampling.hash_sample(id_frame, 1.5)
+
+
+def test_split_disjoint_exhaustive(id_frame):
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    rows = sampling.train_val_test_split(id_frame).collect()
+    assert len(rows) == 200
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    total = sum(len(v) for v in by_split.values())
+    assert total == 200  # exhaustive, disjoint (ids unique)
+    assert len(by_split["train"]) > len(by_split["val"])
+    with pytest.raises(ValueError):
+        sampling.train_val_test_split(id_frame, weights=(0.5, 0.2, 0.2))
+
+
+def test_stratified_rates(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(400)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_hash_sample(
+        d, "lang", rates={"de": 1.0, "en": 0.0}).collect()
+    langs = {r["lang"] for r in out}
+    assert langs == {"de"} and len(out) == 200
