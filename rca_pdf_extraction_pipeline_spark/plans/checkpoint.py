@@ -54,6 +54,15 @@ def _bucket_col(n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets))
 
 
+def _bucket_files(table_dir: Path, bucket: int) -> list[str]:
+    """Data-file names currently in a bucket partition dir."""
+    d = Path(table_dir) / "data" / f"_bucket={bucket}"
+    if not d.exists():
+        return []
+    return sorted(p.name for p in d.iterdir()
+                  if p.name.endswith(".parquet") and not p.name.startswith("."))
+
+
 class SnapshotManifest:
     """The ``_snapshots.json`` sidecar: an append-only snapshot log.
 
@@ -100,7 +109,7 @@ class SnapshotManifest:
                 time.sleep(0.05)
 
     def append(self, completed_buckets: list[int], metrics: dict,
-               lineage: dict) -> dict:
+               lineage: dict, files: dict[int, list[str]] | None = None) -> dict:
         fd = self._acquire_lock()
         try:
             snaps = self.load()
@@ -113,6 +122,12 @@ class SnapshotManifest:
                 "metrics": metrics,
                 "lineage": lineage,
             }
+            if files is not None:
+                # per-bucket data-file names (relative to data/_bucket=N/):
+                # the Iceberg-style file-level commit — a later snapshot
+                # naming the same bucket REPLACES its file list (compaction)
+                snap["files"] = {str(int(b)): sorted(fl)
+                                 for b, fl in files.items()}
             snaps.append(snap)
             tmp = self.path.with_suffix(".tmp")
             tmp.write_text(json.dumps({"snapshots": snaps}, indent=1))
@@ -121,6 +136,21 @@ class SnapshotManifest:
         finally:
             os.close(fd)
             self.lock_path.unlink(missing_ok=True)
+
+    def committed_files(self) -> dict[int, list[str] | None]:
+        """bucket -> committed file names (later snapshots override
+        earlier ones per bucket), or None for legacy dir-level snapshots
+        (read the whole partition directory)."""
+        per_bucket: dict[int, list[str] | None] = {}
+        for snap in self.load():
+            files = snap.get("files")
+            if files is not None:
+                for b, fl in files.items():
+                    per_bucket[int(b)] = list(fl)
+            else:
+                for b in snap["completed_buckets"]:
+                    per_bucket.setdefault(int(b), None)
+        return per_bucket
 
 
 def extract_with_checkpoint(
@@ -198,6 +228,10 @@ def _run_wave(spark: SparkSession, sub: DataFrame, group: list[int],
     (out.write.mode("append").partitionBy("_bucket")
         .parquet(str(table_dir / "data")))
     m = obs.get
+    # every file in the group's partition dirs belongs to this wave (the
+    # scrub above removed any crashed leftovers) — record them so the
+    # snapshot pins FILES, not directories (enables safe compaction)
+    files = {int(b): _bucket_files(table_dir, int(b)) for b in group}
     return manifest.append(
         completed_buckets=list(group),
         metrics={"docs": m["docs"], "output_spans": m["rows"],
@@ -208,6 +242,7 @@ def _run_wave(spark: SparkSession, sub: DataFrame, group: list[int],
             "operation": "extract_documents",
             "n_buckets": n_buckets,
         },
+        files=files,
     )
 
 
@@ -280,18 +315,91 @@ def extract_with_checkpoint_bucketed(
 def read_extracted(spark: SparkSession, table_dir: str | Path) -> DataFrame:
     """Read back only data covered by committed snapshots.
 
-    Committed bucket partition directories are passed EXPLICITLY (with
-    ``basePath`` so ``_bucket`` still parses) instead of scanning the
-    whole data dir and filtering: a torn parquet file left by a mid-write
-    crash in an uncommitted bucket is never listed, so it can't fail
-    schema inference or footer reads — the manifest is the source of
-    truth, mirroring Iceberg's snapshot isolation."""
+    Committed FILES are passed explicitly (with ``basePath`` so
+    ``_bucket`` still parses) instead of scanning the whole data dir and
+    filtering: a torn parquet file left by a mid-write crash in an
+    uncommitted bucket is never listed, so it can't fail schema
+    inference or footer reads; and files superseded by a compaction
+    snapshot are invisible even while they still exist on disk — the
+    manifest is the source of truth, mirroring Iceberg's snapshot
+    isolation.  (Legacy dir-level snapshots fall back to the partition
+    directory path.)"""
     manifest = SnapshotManifest(table_dir)
-    done = sorted(manifest.completed_buckets())
     base = Path(table_dir) / "data"
-    paths = [str(base / f"_bucket={int(b)}") for b in done
-             if (base / f"_bucket={int(b)}").exists()]
+    paths: list[str] = []
+    for b, files in sorted(manifest.committed_files().items()):
+        bdir = base / f"_bucket={int(b)}"
+        if files is None:
+            if bdir.exists():
+                paths.append(str(bdir))
+        else:
+            paths.extend(str(bdir / f) for f in files if (bdir / f).exists())
     if not paths:
         return spark.createDataFrame([], OUTPUT_SCHEMA)
     return (spark.read.option("basePath", str(base)).parquet(*paths)
             .drop("_bucket"))
+
+
+def compact_buckets(spark: SparkSession, table_dir: str | Path,
+                    buckets: list[int] | None = None,
+                    target_files: int = 1,
+                    delete_orphans: bool = True) -> dict:
+    """Small-file compaction of committed buckets — the table-maintenance
+    half of the snapshot protocol (Iceberg ``rewrite_data_files``).
+
+    For each committed bucket with more than ``target_files`` data
+    files: rewrite its committed rows into ``target_files`` new files IN
+    THE SAME partition dir (fresh UUID names — no collision), then
+    commit ONE snapshot whose file list REPLACES the bucket's files.
+    Readers switch atomically at the manifest swap; the superseded
+    files are deleted afterwards (``delete_orphans``) and a crash
+    between commit and delete leaves only invisible orphans, never
+    missing or duplicated data.
+
+    Returns {"buckets_compacted", "files_before", "files_after"}.
+    """
+    table_dir = Path(table_dir)
+    manifest = SnapshotManifest(table_dir)
+    base = table_dir / "data"
+    committed = manifest.committed_files()
+
+    chosen: dict[int, list[str]] = {}
+    for b, files in sorted(committed.items()):
+        if buckets is not None and b not in buckets:
+            continue
+        names = files if files is not None else _bucket_files(table_dir, b)
+        if len(names) > target_files:
+            chosen[b] = names
+    if not chosen:
+        return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+
+    new_files: dict[int, list[str]] = {}
+    rows = {}
+    for b, old_names in chosen.items():
+        bdir = base / f"_bucket={b}"
+        old_paths = [str(bdir / f) for f in old_names]
+        df = (spark.read.option("basePath", str(base)).parquet(*old_paths)
+              .drop("_bucket"))
+        before = set(_bucket_files(table_dir, b))
+        # write the compacted files into the live partition dir under
+        # fresh part-UUID names; they stay invisible until the commit
+        df.coalesce(target_files).write.mode("append").parquet(str(bdir))
+        new_files[b] = sorted(set(_bucket_files(table_dir, b)) - before)
+        rows[b] = len(old_names)
+
+    snap = manifest.append(
+        completed_buckets=sorted(chosen),
+        metrics={"operation_files_before": sum(rows.values()),
+                 "operation_files_after": sum(len(v) for v in new_files.values())},
+        lineage={"operation": "compact", "target_files": target_files},
+        files=new_files,
+    )
+    if delete_orphans:
+        for b, old_names in chosen.items():
+            bdir = base / f"_bucket={b}"
+            for f in old_names:
+                (bdir / f).unlink(missing_ok=True)
+    return {"buckets_compacted": len(chosen),
+            "files_before": sum(rows.values()),
+            "files_after": sum(len(v) for v in new_files.values()),
+            "snapshot": snap["id"]}

@@ -203,3 +203,60 @@ def test_manifest_lock_blocks_second_writer(tmp_path):
     # lock released -> append succeeds
     snap = m.append([0], {"docs": 0}, {"input": "x"})
     assert snap["completed_buckets"] == [0]
+
+
+def _spans_key(rows):
+    return sorted((r["doc_id"], tuple((s["kind"], s["text"], s["media_ref"],
+                                       s["offset"]) for s in r["spans"]))
+                  for r in rows)
+
+
+def test_compaction_preserves_data_and_shrinks_files(spark, docs, tmp_path):
+    table = tmp_path / "extracted"
+    checkpoint.extract_with_checkpoint(docs, table, n_buckets=4, waves=2,
+                                       input_desc="fixtures")
+    before_rows = _spans_key(checkpoint.read_extracted(spark, table).collect())
+    n_before = sum(len(checkpoint._bucket_files(table, b)) for b in range(4))
+    assert n_before > 4  # salted repartition => many small files per bucket
+
+    r = checkpoint.compact_buckets(spark, table, target_files=1)
+    assert r["buckets_compacted"] >= 1
+    assert r["files_after"] == r["buckets_compacted"]
+    assert r["files_before"] > r["files_after"]
+
+    after_rows = _spans_key(checkpoint.read_extracted(spark, table).collect())
+    assert after_rows == before_rows
+    # orphans physically removed; surviving files match the manifest
+    files = checkpoint.SnapshotManifest(table).committed_files()
+    for b, names in files.items():
+        assert names is not None
+        assert set(checkpoint._bucket_files(table, int(b))) == set(names)
+
+
+def test_compaction_commit_point_is_the_manifest(spark, docs, tmp_path):
+    """Superseded files still on disk stay invisible: with
+    delete_orphans=False the old files remain, but readers must see
+    exactly one copy of the data (the compacted files)."""
+    table = tmp_path / "extracted"
+    checkpoint.extract_with_checkpoint(docs, table, n_buckets=4, waves=2,
+                                       input_desc="fixtures")
+    before_rows = _spans_key(checkpoint.read_extracted(spark, table).collect())
+
+    r = checkpoint.compact_buckets(spark, table, target_files=1,
+                                   delete_orphans=False)
+    assert r["buckets_compacted"] >= 1
+    # old + new files coexist on disk ...
+    n_disk = sum(len(checkpoint._bucket_files(table, b)) for b in range(4))
+    assert n_disk > r["files_after"]
+    # ... but the manifest exposes only the compacted set: no duplicates
+    after_rows = _spans_key(checkpoint.read_extracted(spark, table).collect())
+    assert after_rows == before_rows
+
+
+def test_compaction_noop_when_already_compact(spark, docs, tmp_path):
+    table = tmp_path / "extracted"
+    checkpoint.extract_with_checkpoint(docs, table, n_buckets=4, waves=2,
+                                       input_desc="fixtures")
+    checkpoint.compact_buckets(spark, table, target_files=1)
+    r2 = checkpoint.compact_buckets(spark, table, target_files=1)
+    assert r2 == {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
