@@ -41,6 +41,7 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     extraction,
     metadata,
     multimodal,
+    profiling,
     sampling,
     search,
     similarity,
@@ -658,6 +659,10 @@ def _q_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_signals(_t(spark, sf_dir, "documents"))
 
 
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profiling.corpus_profile(_t(spark, sf_dir, "documents"))
+
+
 def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(_t(spark, sf_dir, "documents"),
                                 rate=0.1, seed=7) \
@@ -883,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dup_profile": _q_substr_dup_profile,
         "bm25_topk": _q_bm25_topk,
         "curation_flags": _q_curation_flags,
+        "corpus_profile": _q_corpus_profile,
         "sample_hash": _q_sample_hash,
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
@@ -1777,6 +1783,19 @@ def oracle_sql() -> dict[str, str]:
                    JOIN r ON l.doc_id = r.doc_id
         """.replace("{Q}", quality_sql).replace(
             "{L}", langid_sql).replace("{R}", repetition_sql),
+        "corpus_profile": """
+            SELECT lang,
+                   COUNT(*)::BIGINT AS n_docs,
+                   MIN(n_chars) AS min_val,
+                   quantile_disc(n_chars, 0.25)::BIGINT AS p25,
+                   quantile_disc(n_chars, 0.50)::BIGINT AS p50,
+                   quantile_disc(n_chars, 0.75)::BIGINT AS p75,
+                   quantile_disc(n_chars, 0.90)::BIGINT AS p90,
+                   quantile_disc(n_chars, 0.99)::BIGINT AS p99,
+                   MAX(n_chars) AS max_val,
+                   round(AVG(n_chars), 6) AS mean_val
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
         "sample_hash": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -372,3 +372,19 @@ def test_stratified_rates(spark):
         d, "lang", rates={"de": 1.0, "en": 0.0}).collect()
     langs = {r["lang"] for r in out}
     assert langs == {"de"} and len(out) == 200
+
+
+def test_corpus_profile_exact_percentiles(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import profiling
+
+    rows = [(i, "a", v) for i, v in enumerate([10, 20, 30, 40, 100])] + \
+           [(10 + i, "b", 7) for i in range(3)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = {r["lang"]: r for r in profiling.corpus_profile(d).collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["min_val"], a["max_val"]) == (5, 10, 100)
+    assert a["p50"] == 30          # discrete: an actual data value
+    assert a["p99"] == 100
+    assert a["mean_val"] == 40.0
+    b = out["b"]
+    assert b["p25"] == b["p50"] == b["p75"] == 7
