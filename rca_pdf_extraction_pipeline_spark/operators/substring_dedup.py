@@ -56,22 +56,33 @@ def _gram_positions(docs: DataFrame, text_col: str, id_col: str,
 
 def duplicated_ngram_positions(docs: DataFrame, text_col: str = "text",
                                id_col: str = "doc_id",
-                               k: int = DEFAULT_K) -> DataFrame:
+                               k: int = DEFAULT_K,
+                               max_docs_per_gram: int | None = None) -> DataFrame:
     """(id, pos, gh) for every token position whose k-gram also occurs
     in at least one OTHER document (cross-document duplication only —
     within-document repetition is a quality signal, not dedup;
-    see textanalysis.repetition_stats)."""
+    see textanalysis.repetition_stats).
+
+    ``max_docs_per_gram`` drops grams present in MORE than that many
+    documents: a gram shared by a large fraction of the corpus is
+    boilerplate (headers, license blurbs) — a hot join key whose
+    position fan-out is the one skew risk of this operator — and
+    belongs to the frequent-line/boilerplate removers, not substring
+    dedup.  None (default) keeps everything.
+    """
     grams = _gram_positions(docs, text_col, id_col, k)
     dup = (grams.groupBy("gh")
            .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-           .filter(F.col("n_docs") >= 2)
-           .select("gh"))
-    return grams.join(dup, "gh", "left_semi")
+           .filter(F.col("n_docs") >= 2))
+    if max_docs_per_gram is not None:
+        dup = dup.filter(F.col("n_docs") <= max_docs_per_gram)
+    return grams.join(dup.select("gh"), "gh", "left_semi")
 
 
 def duplicated_ranges(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = DEFAULT_K,
-                      min_tokens: int | None = None) -> DataFrame:
+                      min_tokens: int | None = None,
+                      max_docs_per_gram: int | None = None) -> DataFrame:
     """Maximal duplicated token ranges per document.
 
     Returns (id, start_tok, end_tok, n_dup_tokens): ``start_tok`` is the
@@ -85,7 +96,8 @@ def duplicated_ranges(docs: DataFrame, text_col: str = "text",
     use 50 BPE tokens; defaults to ``k`` = keep all).
     """
     min_tokens = k if min_tokens is None else min_tokens
-    pos = duplicated_ngram_positions(docs, text_col, id_col, k)
+    pos = duplicated_ngram_positions(docs, text_col, id_col, k,
+                                     max_docs_per_gram)
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = pos.withColumn(
         "grp", F.col("pos") - F.row_number().over(w))

@@ -158,3 +158,66 @@ def test_bm25_requires_terms(spark):
     d = _docs(spark, [("a", "x")])
     with pytest.raises(ValueError):
         search.bm25_topk(d, [])
+
+
+def test_max_docs_per_gram_drops_boilerplate(spark):
+    footer = "standard footer text appears on every single page here"
+    d = _docs(spark, [
+        ("a", f"unique alpha content one two three {footer}"),
+        ("b", f"other beta words four five six seven {footer}"),
+        ("c", f"third gamma tokens eight nine ten ok {footer}"),
+        ("d", f"fourth delta words ok fine yes done {footer}"),
+    ])
+    # unlimited: the shared 9-token footer reports as duplication
+    assert substring_dedup.duplicated_ranges(d, k=8).count() > 0
+    # capped at 3 docs: a gram in all 4 docs is boilerplate, not dup
+    capped = substring_dedup.duplicated_ranges(d, k=8, max_docs_per_gram=3)
+    assert capped.count() == 0
+
+
+def test_ranges_match_bruteforce_on_random_corpora(spark):
+    """Property: reported ranges == brute-force recomputation (every
+    duplicated k-gram start covered, maximality, nothing spurious) on
+    seeded random corpora with planted shared runs."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        shared = [f"s{i}" for i in range(rng.randint(4, 9))]
+        docs = []
+        for d in range(6):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+            if rng.random() < 0.7:
+                ins = rng.randint(0, len(toks))
+                toks = toks[:ins] + shared + toks[ins:]
+            docs.append((str(d), " ".join(toks)))
+
+        k = 4
+        # brute force in python
+        tok_lists = {i: t.split() for i, t in docs if t}
+        gram_docs = {}
+        for i, toks in tok_lists.items():
+            for p in range(len(toks) - k + 1):
+                g = tuple(toks[p:p + k])
+                gram_docs.setdefault(g, set()).add(i)
+        expect = set()
+        for i, toks in tok_lists.items():
+            dup_pos = [p for p in range(len(toks) - k + 1)
+                       if len(gram_docs[tuple(toks[p:p + k])]) >= 2]
+            # merge consecutive
+            run = []
+            for p in dup_pos:
+                if run and p == run[-1] + 1:
+                    run.append(p)
+                else:
+                    if run:
+                        expect.add((i, run[0], run[-1] + k - 1))
+                    run = [p]
+            if run:
+                expect.add((i, run[0], run[-1] + k - 1))
+
+        got = {(r["doc_id"], r["start_tok"], r["end_tok"])
+               for r in substring_dedup.duplicated_ranges(
+                   _docs(spark, docs), k=k).collect()}
+        assert got == expect, f"seed={seed}"
