@@ -621,6 +621,10 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textanalysis.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.repetition_stats(_t(spark, sf_dir, "documents"))
 
@@ -882,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
+        "text_unigram_lm": _q_text_unigram_lm,
         "text_pii": _q_text_pii,
         # training-data pipeline: exact-substring dedup + retrieval
         "substr_dup_ranges": _q_substr_dup_ranges,
@@ -1677,6 +1682,28 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "text_repetition": repetition_sql,
+        "text_unigram_lm": """
+            WITH tk AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                x -> x != '')) AS tok
+              FROM documents),
+            freq AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY tok),
+            tot AS (SELECT SUM(cnt)::BIGINT AS total FROM freq),
+            scaled AS (
+              SELECT tok,
+                     round(ln(cnt / total) * 1000000.0)::BIGINT AS lp
+              FROM freq, tot),
+            per_doc AS (
+              SELECT tk.doc_id, COUNT(*)::BIGINT AS n_tokens,
+                     SUM(lp)::BIGINT AS lp_sum
+              FROM tk JOIN scaled USING (tok) GROUP BY tk.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   round(COALESCE(p.lp_sum, 0) / 1000000.0
+                         / greatest(COALESCE(p.n_tokens, 0), 1), 6)
+                     AS mean_logprob
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
         "text_pii": r"""
             WITH d AS (
               SELECT doc_id,

@@ -142,6 +142,49 @@ def pii_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the cheap stand-in for model-based
+    perplexity filtering (CCNet-style: documents whose token
+    distribution is atypical for the corpus score low).
+
+    Returns (id, n_tokens, mean_logprob) with mean_logprob <= 0; higher
+    (closer to 0) = more typical.  Empty documents report 0.0.
+
+    Determinism: each token's log-prob is quantized to an INTEGER
+    (round(ln(count/total) * 1e6)) before the per-document sum, so the
+    cross-row aggregation is exact bigint math — no float summation-
+    order drift between engines; only the final division rounds.
+
+    Scale: one groupBy(token) for corpus frequencies (vocabulary-sized
+    output), one 1-row total broadcast, one explode+join shuffled on
+    the token, one groupBy(id) roll-up — all partial-agg friendly; the
+    frequency side of the join is vocabulary-sized and broadcasts.
+    """
+    toks = docs.select(F.col(id_col),
+                       F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scaled = (freq.crossJoin(F.broadcast(total))
+              .select("tok",
+                      F.round(F.log(F.col("cnt") / F.col("total"))
+                              * F.lit(1_000_000.0), 0).cast("long")
+                      .alias("lp")))
+    per_doc = (toks.join(scaled, "tok")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("lp").alias("lp_sum")))
+    base = docs.select(F.col(id_col))
+    return (base.join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+                    F.round(F.coalesce(F.col("lp_sum"), F.lit(0))
+                            / F.lit(1_000_000.0)
+                            / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                    .alias("mean_logprob")))
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint) — order-sensitive rolling token hash

@@ -221,3 +221,33 @@ def test_ranges_match_bruteforce_on_random_corpora(spark):
                for r in substring_dedup.duplicated_ranges(
                    _docs(spark, docs), k=k).collect()}
         assert got == expect, f"seed={seed}"
+
+
+# ---- unigram LM scorer ------------------------------------------------------
+
+def test_unigram_logprob_typicality(spark):
+    import math
+
+    from rca_pdf_extraction_pipeline_spark.operators.textanalysis import (
+        unigram_logprob,
+    )
+
+    # corpus: "a" dominates; doc "rare" uses the one rare token
+    d = _docs(spark, [
+        ("common", "a a a a"),
+        ("mix", "a a b a"),
+        ("rare", "b"),
+        ("empty", ""),
+    ])
+    rows = {r["doc_id"]: r for r in unigram_logprob(d).collect()}
+    # counts: a=7, b=2, total=9
+    lp_a = round(math.log(7 / 9) * 1e6) / 1e6
+    lp_b = round(math.log(2 / 9) * 1e6) / 1e6
+    assert rows["common"]["mean_logprob"] == pytest.approx(round(lp_a, 6))
+    assert rows["rare"]["mean_logprob"] == pytest.approx(round(lp_b, 6))
+    # typical doc scores higher (closer to 0) than the atypical one
+    assert rows["common"]["mean_logprob"] > rows["rare"]["mean_logprob"]
+    assert rows["mix"]["mean_logprob"] == pytest.approx(
+        round((3 * lp_a + lp_b) / 4, 6))
+    assert rows["empty"]["n_tokens"] == 0
+    assert rows["empty"]["mean_logprob"] == 0.0
