@@ -647,6 +647,15 @@ def _q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.pii_stats(_with_contacts(_t(spark, sf_dir, "documents")))
 
 
+def _q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark = the 10 lowest-id documents; corpus = the rest (the
+    synthetic corpus's planted near-dups provide natural overlap)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10)
+    corpus = d.filter(F.col("doc_id") >= 10)
+    return substring_dedup.contamination_report(corpus, bench)
+
+
 def _q_substr_dup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup.duplicated_ranges(_t(spark, sf_dir, "documents"))
 
@@ -890,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": _q_text_pii,
         # training-data pipeline: exact-substring dedup + retrieval
         "substr_dup_ranges": _q_substr_dup_ranges,
+        "decontaminate_report": _q_decontaminate_report,
         "substr_dup_profile": _q_substr_dup_profile,
         "bm25_topk": _q_bm25_topk,
         "curation_flags": _q_curation_flags,
@@ -1759,6 +1769,26 @@ def oracle_sql() -> dict[str, str]:
                    (MAX(pos) + 7 - MIN(pos) + 1)::INT AS n_dup_tokens
             FROM isl GROUP BY doc_id, grp
             ORDER BY doc_id, start_tok
+        """,
+        "decontaminate_report": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS tk
+              FROM documents),
+            grams AS (
+              SELECT doc_id, (i - 1)::INT AS pos,
+                     substr(md5(list_aggregate(tk[i:i+7], 'string_agg', ' ')),
+                            1, 16) AS gh
+              FROM d, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+              WHERE len(tk) >= 8),
+            bench AS (
+              SELECT DISTINCT gh FROM grams WHERE doc_id < 10),
+            hits AS (
+              SELECT doc_id, pos FROM grams
+              WHERE doc_id >= 10 AND gh IN (SELECT gh FROM bench))
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_contaminated_positions
+            FROM hits GROUP BY doc_id ORDER BY doc_id
         """,
         "substr_dup_profile": """
             WITH d AS (

@@ -111,6 +111,44 @@ def duplicated_ranges(docs: DataFrame, text_col: str = "text",
     return ranges.orderBy(id_col, "start_tok")
 
 
+def contamination_report(docs: DataFrame, benchmarks: DataFrame,
+                         k: int = DEFAULT_K, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination scan (the GPT-3-style n-gram overlap
+    check, public methodology): which training documents share any
+    token ``k``-gram with the benchmark/eval corpus, and how much.
+
+    Returns (id, n_contaminated_positions) for contaminated documents
+    only.  The benchmark side reduces to its DISTINCT gram hashes —
+    benchmark suites are tiny next to a training corpus, so that set
+    broadcasts and the scan stays narrow: no shuffle of the corpus at
+    all, just a broadcast semi-join inside the gram stage.
+    """
+    bench_grams = (
+        _gram_positions(benchmarks.select(F.col(bench_text_col).alias("text"),
+                                          F.lit("b").alias("_bid")),
+                        "text", "_bid", k)
+        .select("gh").distinct())
+    corpus_grams = _gram_positions(docs, text_col, id_col, k)
+    hits = corpus_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+    return (hits.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_contaminated_positions"))
+            .orderBy(id_col))
+
+
+def decontaminate(docs: DataFrame, benchmarks: DataFrame,
+                  k: int = DEFAULT_K, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Drop every document sharing at least one token k-gram with the
+    benchmark corpus (conservative decontamination: any overlap
+    disqualifies).  Anti-join on the contamination report."""
+    report = contamination_report(docs, benchmarks, k, text_col, id_col,
+                                  bench_text_col)
+    return docs.join(report.select(id_col), id_col, "left_anti")
+
+
 def duplication_profile(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = DEFAULT_K) -> DataFrame:
     """Per-document duplication summary — the filter signal a pipeline

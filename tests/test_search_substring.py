@@ -251,3 +251,24 @@ def test_unigram_logprob_typicality(spark):
         round((3 * lp_a + lp_b) / 4, 6))
     assert rows["empty"]["n_tokens"] == 0
     assert rows["empty"]["mean_logprob"] == 0.0
+
+
+# ---- benchmark decontamination ---------------------------------------------
+
+def test_decontamination(spark):
+    bench = _docs(spark, [("q1", "what is the capital of france paris "
+                                 "obviously everyone knows that")])
+    corpus = _docs(spark, [
+        ("clean", "totally unrelated training text about cooking pasta "
+                  "with garlic and olive oil at home"),
+        ("leak", "some filler then what is the capital of france paris "
+                 "obviously everyone knows that end"),
+    ])
+    rep = {r["doc_id"]: r["n_contaminated_positions"]
+           for r in substring_dedup.contamination_report(
+               corpus, bench, k=8).collect()}
+    assert "leak" in rep and "clean" not in rep
+    assert rep["leak"] >= 1
+
+    kept = substring_dedup.decontaminate(corpus, bench, k=8).collect()
+    assert [r["doc_id"] for r in kept] == ["clean"]
