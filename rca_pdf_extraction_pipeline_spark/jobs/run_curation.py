@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-dup5", type=float, default=0.35)
     ap.add_argument("--no-near-dedup", action="store_true")
     ap.add_argument("--no-mask", action="store_true")
+    ap.add_argument("--format", choices=("parquet", "jsonl"),
+                    default="parquet",
+                    help="curated-corpus output format (jsonl = one JSON "
+                         "document per line, the common training-data "
+                         "interchange format)")
     ap.add_argument("--allowed-roots", nargs="*", default=None)
     args = ap.parse_args(argv)
 
@@ -57,8 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     funnel = {r["reject_reason"]: r["n_docs"]
               for r in curation_report(docs, cfg).collect()}
     curated = curate(docs, cfg)
-    curated.write.mode("overwrite").parquet(str(out / "data"))
-    n_out = spark.read.parquet(str(out / "data")).count()
+    if args.format == "jsonl":
+        curated.write.mode("overwrite").json(str(out / "data"))
+        n_out = spark.read.json(str(out / "data")).count()
+    else:
+        curated.write.mode("overwrite").parquet(str(out / "data"))
+        n_out = spark.read.parquet(str(out / "data")).count()
 
     stats = {
         "input_docs": int(docs.count()),

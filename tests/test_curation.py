@@ -105,3 +105,27 @@ def test_run_curation_rejects_bad_output(tmp_path):
             "--input", str(tmp_path / "in"),
             "--output", "/etc/evil",
         ])
+
+
+def test_run_curation_jsonl_output(spark, tmp_path):
+    import glob
+
+    from rca_pdf_extraction_pipeline_spark.jobs import run_curation
+
+    rows = [(1, GOOD), (2, "zzz qqq www vvv kkk jjj")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "in"))
+    rc = run_curation.main([
+        "--input", str(tmp_path / "in"),
+        "--output", str(tmp_path / "out"),
+        "--no-near-dedup", "--format", "jsonl",
+    ])
+    assert rc == 0
+    parts = glob.glob(str(tmp_path / "out" / "data" / "part-*"))
+    assert parts
+    lines = []
+    for p in parts:
+        lines += [l for l in open(p).read().splitlines() if l]
+    recs = [json.loads(l) for l in lines]
+    assert [r["doc_id"] for r in recs] == [1]
+    assert recs[0]["text"].startswith("the quick brown fox")
