@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 from rca_pdf_extraction_pipeline_spark.config import GOLDEN_EXTRACTED_HEADERS
 from rca_pdf_extraction_pipeline_spark.functions import classify_expr
 from rca_pdf_extraction_pipeline_spark.operators import (
+    asof,
     boilerplate,
     consolidate,
     curation,
@@ -400,6 +401,26 @@ def _q_j5_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _w(ordered: bool = True) -> Window:
     return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event matched to the user's latest
+    preceding view event (point-in-time attribution)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id", F.col("value").alias("click_value"))
+    views = e.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("event_id").alias("view_event_id"),
+                F.col("value").alias("view_value"))
+    j = asof.asof_join(clicks, views, on="user_id",
+                       right_cols=["view_event_id", "view_value"],
+                       prefix="m_")
+    return j.select(
+        "user_id", "event_id", "click_value",
+        F.expr("timestampdiff(MICROSECOND, m_ts, ts)").alias("us_since_view"),
+        F.col("m_view_event_id").alias("view_event_id"),
+        F.col("m_view_value").alias("view_value"),
+    )
 
 
 def _q_w1_lead_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_topk_orders": _q_o3_topk_orders,
         "j5_levenshtein_pairs": _q_j5_levenshtein_pairs,
         # windows / sequences (SURVEY §2.5)
+        "asof_click_view": _q_asof_click_view,
         "w1_lead_boundary": _q_w1_lead_boundary,
         "w2_cumsum_sessions": _q_w2_cumsum_sessions,
         "w3_reading_order": _q_w3_reading_order,
@@ -1852,6 +1874,21 @@ def oracle_sql() -> dict[str, str]:
                    MAX(n_chars) AS max_val,
                    round(AVG(n_chars), 6) AS mean_val
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "asof_click_view": """
+            WITH c AS (
+              SELECT user_id, ts, event_id, value AS click_value
+              FROM events WHERE event_type = 'click'),
+            v AS (
+              SELECT user_id, ts, event_id AS view_event_id,
+                     value AS view_value
+              FROM events WHERE event_type = 'view')
+            SELECT c.user_id, c.event_id, c.click_value,
+                   datediff('microsecond', v.ts, c.ts)::BIGINT
+                     AS us_since_view,
+                   v.view_event_id, v.view_value
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
         """,
         "sample_hash": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -388,3 +388,45 @@ def test_corpus_profile_exact_percentiles(spark):
     assert a["mean_val"] == 40.0
     b = out["b"]
     assert b["p25"] == b["p50"] == b["p75"] == 7
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from rca_pdf_extraction_pipeline_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, T(10), "L10"), (1, T(20), "L20"), (1, T(5), "L5"),
+         (2, T(30), "L30")],
+        "user_id long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, T(8), "R8"), (1, T(10), "R10"), (1, T(15), "R15"),
+         (3, T(1), "R1")],
+        "user_id long, ts timestamp, rtag string")
+    out = {r["tag"]: r for r in
+           asof_join(left, right, on="user_id").collect()}
+    assert out["L5"]["matched_rtag"] is None          # nothing precedes t=5
+    assert out["L10"]["matched_rtag"] == "R10"        # <= bound: equal ts OK
+    assert out["L20"]["matched_rtag"] == "R15"        # latest preceding
+    assert out["L30"]["matched_rtag"] is None         # user 2 has no rights
+    assert len(out) == 4                              # every left row kept
+
+
+def test_asof_join_partition_invariant(spark):
+    import datetime as dt
+
+    from rca_pdf_extraction_pipeline_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(u, T(s), u * 100 + s) for u in range(5) for s in (10, 20, 30)],
+        "user_id long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        [(u, T(s), u * 1000 + s) for u in range(5) for s in (5, 15, 25)],
+        "user_id long, ts timestamp, rid long")
+    a = sorted(tuple(r) for r in asof_join(left, right, "user_id").collect())
+    b = sorted(tuple(r) for r in asof_join(
+        left.repartition(7), right.repartition(3), "user_id").collect())
+    assert a == b
+    assert all(r[-1] is not None for r in a)  # every left has a match here
