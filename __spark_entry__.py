@@ -36,6 +36,7 @@ from rca_pdf_extraction_pipeline_spark.functions import classify_expr
 from rca_pdf_extraction_pipeline_spark.operators import (
     asof,
     boilerplate,
+    chunking,
     consolidate,
     curation,
     dedup,
@@ -697,6 +698,16 @@ def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.corpus_profile(_t(spark, sf_dir, "documents"))
 
 
+def _q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.chunk_documents(_t(spark, sf_dir, "documents"),
+                                    chunk_tokens=32, stride=24)
+
+
+def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.pack_documents(_t(spark, sf_dir, "documents"),
+                                   budget_tokens=512)
+
+
 def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(_t(spark, sf_dir, "documents"),
                                 rate=0.1, seed=7) \
@@ -926,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "curation_flags": _q_curation_flags,
         "corpus_profile": _q_corpus_profile,
+        "chunk_windows": _q_chunk_windows,
+        "pack_bins": _q_pack_bins,
         "sample_hash": _q_sample_hash,
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
@@ -1889,6 +1902,38 @@ def oracle_sql() -> dict[str, str]:
                    v.view_event_id, v.view_value
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        "chunk_windows": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS tk
+              FROM documents),
+            w AS (
+              SELECT doc_id, tk,
+                     CASE WHEN len(tk) <= 0 THEN 0
+                          ELSE floor((len(tk) - 1) / 24)::INT + 1 END AS nw
+              FROM d),
+            c AS (
+              SELECT doc_id, (i - 1)::INT AS chunk_idx,
+                     list_aggregate(tk[(i-1)*24 + 1 : (i-1)*24 + 32],
+                                    'string_agg', ' ') AS chunk_text
+              FROM w, unnest(generate_series(1, nw)) AS t(i))
+            SELECT doc_id, chunk_idx, chunk_text,
+                   len(list_filter(string_split(chunk_text, ' '),
+                                   x -> x != ''))::INT AS n_chunk_tokens
+            FROM c
+        """,
+        "pack_bins": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x != ''))::INT AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens) / 512)::BIGINT AS bin_id
+            FROM d
         """,
         "sample_hash": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -272,3 +272,50 @@ def test_decontamination(spark):
 
     kept = substring_dedup.decontaminate(corpus, bench, k=8).collect()
     assert [r["doc_id"] for r in kept] == ["clean"]
+
+
+# ---- chunking & packing -----------------------------------------------------
+
+def test_chunk_documents_sliding_windows(spark):
+    from rca_pdf_extraction_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(10)]
+    d = _docs(spark, [("a", " ".join(toks)), ("e", "")])
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+         for r in chunk_documents(d, chunk_tokens=4, stride=3).collect()))
+    # starts 0,3,6,9: windows [0:4],[3:7],[6:10],[9:10]
+    assert rows == [
+        ("a", 0, "t0 t1 t2 t3", 4),
+        ("a", 1, "t3 t4 t5 t6", 4),
+        ("a", 2, "t6 t7 t8 t9", 4),
+        ("a", 3, "t9", 1),
+    ]
+    # no-overlap default reconstructs the document exactly
+    joined = " ".join(r["chunk_text"] for r in sorted(
+        chunk_documents(d, chunk_tokens=4).collect(),
+        key=lambda r: r["chunk_idx"]))
+    assert joined == " ".join(toks)
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=4, stride=5)
+
+
+def test_pack_documents_budget_bins(spark):
+    from rca_pdf_extraction_pipeline_spark.operators.chunking import (
+        pack_documents,
+    )
+
+    d = _docs(spark, [
+        ("01", "a " * 300), ("02", "b " * 300), ("03", "c " * 300),
+        ("04", "d " * 100),
+    ])
+    out = {r["doc_id"]: r["bin_id"] for r in
+           pack_documents(d, budget_tokens=512).collect()}
+    # cumsum starts: 0, 300, 600, 900 -> bins 0, 0, 1, 1
+    assert out == {"01": 0, "02": 0, "03": 1, "04": 1}
+    # deterministic under repartition
+    out2 = {r["doc_id"]: r["bin_id"] for r in
+            pack_documents(d.repartition(5), budget_tokens=512).collect()}
+    assert out2 == out
