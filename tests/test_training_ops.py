@@ -430,3 +430,36 @@ def test_asof_join_partition_invariant(spark):
         left.repartition(7), right.repartition(3), "user_id").collect())
     assert a == b
     assert all(r[-1] is not None for r in a)  # every left has a match here
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-library reference: pandas merge_asof (direction='backward',
+    allow_exact_matches=True) implements the same <= as-of semantics."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from rca_pdf_extraction_pipeline_spark.operators.asof import asof_join
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 1, 1)
+        secs = rng.sample(range(100000), 260)
+        lrows = [(rng.randint(0, 6), base + dt.timedelta(seconds=s), i)
+                 for i, s in enumerate(secs[:130])]
+        rrows = [(rng.randint(0, 6), base + dt.timedelta(seconds=s), 1000 + i)
+                 for i, s in enumerate(secs[130:])]
+        left = spark.createDataFrame(lrows, "k long, ts timestamp, lid long")
+        right = spark.createDataFrame(rrows, "k long, ts timestamp, rid long")
+
+        got = {r["lid"]: r["matched_rid"]
+               for r in asof_join(left, right, on="k").collect()}
+
+        lp = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
+        rp = pd.DataFrame(rrows, columns=["k", "ts", "rid"]).sort_values("ts")
+        ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                            allow_exact_matches=True)
+        want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                for r in ref.itertuples()}
+        assert got == want, f"seed={seed}"
