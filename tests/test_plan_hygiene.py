@@ -212,3 +212,36 @@ def test_ivf_kmeans_no_python_and_broadcast_centroids(spark):
     # centroids / probes / query vector all arrive via broadcast
     assert plan.count("BroadcastExchange") >= 3
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_and_chunking_no_python_eval(spark, documents):
+    import datetime as dt
+
+    from rca_pdf_extraction_pipeline_spark.operators import chunking
+    from rca_pdf_extraction_pipeline_spark.operators.asof import asof_join
+
+    T = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, T, 1)], "k long, ts timestamp, lid long")
+    right = spark.createDataFrame([(1, T, 2)], "k long, ts timestamp, rid long")
+    for q in [
+        asof_join(left, right, on="k"),
+        chunking.chunk_documents(documents),
+        chunking.pack_documents(documents),
+    ]:
+        plan = _plan(q)
+        assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_asof_join_is_one_exchange_per_side(spark):
+    """The as-of join must cost ONE hash exchange on the key (union +
+    window), never a nested-loop inequality join."""
+    import datetime as dt
+
+    T = dt.datetime(2024, 1, 1)
+    from rca_pdf_extraction_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, T, 1)], "k long, ts timestamp, lid long")
+    right = spark.createDataFrame([(1, T, 2)], "k long, ts timestamp, rid long")
+    plan = _plan(asof_join(left, right, on="k"))
+    assert "NestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning(k#") == 1
