@@ -557,6 +557,26 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), prefix_len=32)
 
 
+def _q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup: exact-duplicate groups over the normalized
+    text (casefold + punctuation strip + whitespace collapse) — catches
+    case/punctuation variants plain exact dedup misses."""
+    from rca_pdf_extraction_pipeline_spark.functions.text import (
+        normalize_for_dedup,
+    )
+    d = _t(spark, sf_dir, "documents")
+    # deterministic case/punct variants of the 40 lowest-id docs: the
+    # corpus has no organic ones, so synthesize UPPER + '!!' twins that
+    # ONLY normalization can collapse back onto their originals
+    variants = (d.filter(F.col("doc_id") < 40)
+                .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                        F.concat(F.upper(F.col("text")), F.lit(" !!"))
+                        .alias("text")))
+    u = d.select("doc_id", "text").unionByName(variants)
+    return dedup.exact_duplicates(
+        u.withColumn("text", normalize_for_dedup(F.col("text"))))
+
+
 def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
 
@@ -900,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_distinct_agg": _q_a11_distinct_agg,
         # training-data pipeline: dedup
         "dedup_exact": _q_dedup_exact,
+        "dedup_exact_normalized": _q_dedup_exact_normalized,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
@@ -1113,6 +1134,24 @@ def oracle_sql() -> dict[str, str]:
         "extract_flagship": f"""
             SELECT doc_id, kind, text, media_ref, "offset"
             FROM '{GOLDEN}/golden_extracted_spans.parquet'
+        """,
+        "dedup_exact_normalized": r"""
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     upper(text) || ' !!' AS text
+              FROM documents WHERE doc_id < 40),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[!-/:-@\[-`{-~]', '', 'g'), ' +', ' ', 'g'))
+                       AS text
+              FROM u)
+            SELECT md5(text) AS content_hash,
+                   COUNT(*)::BIGINT AS dup_count,
+                   MIN(doc_id) AS canonical_id
+            FROM n GROUP BY md5(text) HAVING COUNT(*) > 1
         """,
         "c1_classify_golden": f"""
             SELECT page, page_type

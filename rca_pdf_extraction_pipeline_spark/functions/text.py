@@ -62,6 +62,21 @@ def normalize_ws(col: Column) -> Column:
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
+def normalize_for_dedup(col: Column) -> Column:
+    """Canonical dedup key text (the C4/RefinedWeb-style "fuzzy exact"
+    normalization): casefold, strip ASCII punctuation, collapse
+    whitespace — so case/punctuation variants of the same content hash
+    identically.
+
+    DuckDB twin: ``trim(regexp_replace(regexp_replace(lower(x),
+    '[!-/:-@\\[-`{-~]', '', 'g'), ' +', ' ', 'g'))`` (the three ASCII
+    punctuation ranges, avoiding locale-dependent classes).
+    """
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, r"[!-/:-@\[-`{-~]", "")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
 def alpha_chars(col: Column) -> Column:
     """Count of ASCII letters. DuckDB: length(regexp_replace(x, '[^a-zA-Z]', '', 'g'))."""
     return F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))

@@ -319,3 +319,25 @@ def test_pack_documents_budget_bins(spark):
     out2 = {r["doc_id"]: r["bin_id"] for r in
             pack_documents(d.repartition(5), budget_tokens=512).collect()}
     assert out2 == out
+
+
+def test_normalize_for_dedup_collapses_variants(spark):
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.functions.text import (
+        normalize_for_dedup,
+    )
+    from rca_pdf_extraction_pipeline_spark.operators import dedup
+
+    d = _docs(spark, [
+        ("1", "Hello, World!  How are you?"),
+        ("2", "hello world how are you"),
+        ("3", "HELLO  WORLD -- HOW ARE YOU!!"),
+        ("4", "entirely different text"),
+    ])
+    n = d.withColumn("text", normalize_for_dedup(F.col("text")))
+    texts = {r["doc_id"]: r["text"] for r in n.collect()}
+    assert texts["1"] == texts["2"] == texts["3"] == "hello world how are you"
+    groups = dedup.exact_duplicates(n, id_col="doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 3 and groups[0]["canonical_id"] == "1"
