@@ -728,6 +728,10 @@ def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    budget_tokens=512)
 
 
+def _q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.source_report(_t(spark, sf_dir, "documents"))
+
+
 def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(_t(spark, sf_dir, "documents"),
                                 rate=0.1, seed=7) \
@@ -957,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dup_profile": _q_substr_dup_profile,
         "bm25_topk": _q_bm25_topk,
         "curation_flags": _q_curation_flags,
+        "source_report": _q_source_report,
         "corpus_profile": _q_corpus_profile,
         "chunk_windows": _q_chunk_windows,
         "pack_bins": _q_pack_bins,
@@ -1942,6 +1947,36 @@ def oracle_sql() -> dict[str, str]:
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
         """,
+        "source_report": f"""
+            WITH q AS ({{Q}}),
+            l AS ({{L}}),
+            r AS ({{R}}),
+            flags AS (
+              SELECT l.doc_id, q.quality_score,
+                     CASE WHEN l.pred_lang NOT IN ('en') THEN 'lang'
+                          WHEN q.quality_score < 0.45 THEN 'quality'
+                          WHEN r.top_2gram_frac > 0.35
+                               OR r.dup_5gram_frac > 0.35 THEN 'repetition'
+                          ELSE 'keep' END AS reject_reason
+              FROM l JOIN q ON l.doc_id = q.doc_id
+                     JOIN r ON l.doc_id = r.doc_id),
+            j AS (
+              SELECT d.source, f.quality_score, f.reject_reason
+              FROM documents d JOIN flags f ON d.doc_id = f.doc_id)
+            SELECT source,
+                   COUNT(*)::BIGINT AS n_docs,
+                   round(SUM(round(quality_score * 1000000.0)::BIGINT)
+                         / 1000000.0 / COUNT(*), 6) AS mean_quality,
+                   SUM((reject_reason = 'keep')::INT)::BIGINT AS n_keep,
+                   SUM((reject_reason = 'lang')::INT)::BIGINT AS n_lang,
+                   SUM((reject_reason = 'quality')::INT)::BIGINT AS n_quality,
+                   SUM((reject_reason = 'repetition')::INT)::BIGINT
+                     AS n_repetition,
+                   round(SUM((reject_reason = 'keep')::INT)::BIGINT
+                         / COUNT(*), 6) AS keep_rate
+            FROM j GROUP BY source ORDER BY source
+        """.replace("{Q}", quality_sql).replace(
+            "{L}", langid_sql).replace("{R}", repetition_sql),
         "chunk_windows": """
             WITH d AS (
               SELECT doc_id,

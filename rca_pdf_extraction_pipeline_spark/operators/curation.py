@@ -113,3 +113,39 @@ def curation_report(docs: DataFrame, cfg: CurationConfig = DEFAULT_CURATION,
     return (curation_signals(docs, cfg, text_col, id_col)
             .groupBy("reject_reason")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def source_report(docs: DataFrame, cfg: CurationConfig = DEFAULT_CURATION,
+                  source_col: str = "source", text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-source curation dashboard (the per-domain quality table of
+    RefinedWeb-style pipelines): for each source, document count, mean
+    quality score, keep rate through the gates, and the per-reason
+    rejection counts — the table a curator reads to decide which
+    sources to drop wholesale.
+
+    One join of the per-doc signals back to the source column, then one
+    aggregation on the tiny source key.  Deterministic: means divide
+    exact integer sums of the already-rounded per-doc signals.
+    """
+    sig = curation_signals(docs, cfg, text_col, id_col)
+    j = docs.select(F.col(id_col), F.col(source_col)).join(sig, id_col)
+    # exact mean: per-doc scores are 6-dp-rounded doubles; quantize to
+    # integer micro-units so the cross-row sum has no float order drift
+    q_micro = F.round(F.col("quality_score") * F.lit(1_000_000.0), 0) \
+        .cast("long")
+    return (j.groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(q_micro) / F.lit(1_000_000.0)
+                         / F.count(F.lit(1)), 6).alias("mean_quality"),
+                 F.sum((F.col("reject_reason") == "keep").cast("long"))
+                 .alias("n_keep"),
+                 F.sum((F.col("reject_reason") == "lang").cast("long"))
+                 .alias("n_lang"),
+                 F.sum((F.col("reject_reason") == "quality").cast("long"))
+                 .alias("n_quality"),
+                 F.sum((F.col("reject_reason") == "repetition").cast("long"))
+                 .alias("n_repetition"))
+            .withColumn("keep_rate",
+                        F.round(F.col("n_keep") / F.col("n_docs"), 6))
+            .orderBy(source_col))

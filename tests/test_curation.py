@@ -129,3 +129,23 @@ def test_run_curation_jsonl_output(spark, tmp_path):
     recs = [json.loads(l) for l in lines]
     assert [r["doc_id"] for r in recs] == [1]
     assert recs[0]["text"].startswith("the quick brown fox")
+
+
+def test_source_report_funnel(spark):
+    from rca_pdf_extraction_pipeline_spark.operators.curation import (
+        source_report,
+    )
+
+    rows = [
+        (1, GOOD, "srcA"),
+        (2, "zzz qqq www vvv kkk jjj", "srcA"),           # lang reject
+        (3, GOOD, "srcB"),
+        (4, GOOD + " and more of the same words here", "srcB"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_report(d).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert (a["n_docs"], a["n_keep"], a["n_lang"]) == (2, 1, 1)
+    assert a["keep_rate"] == 0.5
+    assert (b["n_docs"], b["n_keep"], b["keep_rate"]) == (2, 2, 1.0)
+    assert b["mean_quality"] > a["mean_quality"]
