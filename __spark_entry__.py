@@ -743,6 +743,12 @@ def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")).select("doc_id", "split")
 
 
+def _q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.per_group_sample(
+        _t(spark, sf_dir, "documents"), "lang", k=5, seed=11) \
+        .select("doc_id", "lang")
+
+
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_hash_sample(
         _t(spark, sf_dir, "documents"), "lang",
@@ -968,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _q_sample_hash,
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
+        "sample_per_group": _q_sample_per_group,
     }
 
 
@@ -2025,6 +2032,19 @@ def oracle_sql() -> dict[str, str]:
                    WHEN bkt < 900000 THEN 'val'
                    ELSE 'test' END AS split
             FROM b
+        """,
+        "sample_per_group": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                ('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                % 1000000 AS bkt
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY bkt, doc_id) AS rk
+              FROM b)
+            SELECT doc_id, lang FROM r WHERE rk <= 5
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

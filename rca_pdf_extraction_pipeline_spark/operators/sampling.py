@@ -65,6 +65,26 @@ def train_val_test_split(docs: DataFrame,
     return docs.withColumn("split", split)
 
 
+def per_group_sample(docs: DataFrame, group_col: str, k: int,
+                     seed: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """EXACTLY ``k`` rows per group (fewer if the group is smaller) —
+    the eval-set constructor ("100 held-out docs per language").
+
+    Deterministic uniform choice: rank rows inside each group by their
+    sample bucket (ties by id) and keep rank <= k.  One window over the
+    group key — the same exchange any per-group operator needs; no
+    global sort, no collect.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        sample_bucket(F.col(id_col), seed), F.col(id_col))
+    return (docs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k).drop("_rk"))
+
+
 def stratified_hash_sample(docs: DataFrame, strata_col: str,
                            rates: dict[str, float],
                            default_rate: float = 0.0, seed: int = 0,

@@ -463,3 +463,21 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
                 for r in ref.itertuples()}
         assert got == want, f"seed={seed}"
+
+
+def test_per_group_sample_exact_k(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)] + [(1000, "tiny")]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.per_group_sample(d, "lang", k=7).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {g: len(v) for g, v in by_g.items()} == \
+        {"g0": 7, "g1": 7, "g2": 7, "tiny": 1}
+    # deterministic under repartition
+    out2 = sampling.per_group_sample(d.repartition(9), "lang", k=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    with pytest.raises(ValueError):
+        sampling.per_group_sample(d, "lang", k=0)
