@@ -630,6 +630,20 @@ def _q_sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=8, nprobe=4)
 
 
+def _q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-cluster near-duplicate pairs (trained k-means
+    clusters, exact cosine gate)."""
+    return similarity.semantic_near_pairs(
+        _t(spark, sf_dir, "embeddings"), n_centroids=4, iters=2, threshold=0.4)
+
+
+def _q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors: vectors with no lower-id semantic near-dup
+    in their cluster."""
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), n_centroids=4, iters=2, threshold=0.4)
+
+
 # ---- text analytics over documents ----------------------------------------
 
 
@@ -945,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_multiprobe_topk": _q_sim_multiprobe_topk,
         "ann_kmeans_centroids": _q_ann_kmeans_centroids,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "semantic_dedup_pairs": _q_semantic_dedup_pairs,
+        "semantic_dedup_keep": _q_semantic_dedup_keep,
         # HTML boilerplate stripping + multimodal + C2 structural
         "html_boilerplate": _q_html_boilerplate,
         "html_block_scores": _q_html_block_scores,
@@ -1596,6 +1612,47 @@ def oracle_sql() -> dict[str, str]:
             FROM a3 JOIN probes USING (cid), q
             WHERE a3.vec_id <> 0
             ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "semantic_dedup_pairs": f"""
+            WITH {kmeans_ctes},
+            p3 AS (SELECT e.vec_id, e.embedding, c.cid,
+                     list_aggregate(list_transform(generate_series(1, len(e.qv)),
+                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                       'sum') AS d2
+                   FROM e CROSS JOIN c2 c),
+            a3 AS (SELECT vec_id, embedding, cid FROM (
+                     SELECT p3.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p3)
+                   WHERE rn = 1)
+            SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                     AS cosine_sim
+            FROM a3 a JOIN a3 b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6)
+                  >= 0.4
+        """,
+        "semantic_dedup_keep": f"""
+            WITH {kmeans_ctes},
+            p3 AS (SELECT e.vec_id, e.embedding, c.cid,
+                     list_aggregate(list_transform(generate_series(1, len(e.qv)),
+                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                       'sum') AS d2
+                   FROM e CROSS JOIN c2 c),
+            a3 AS (SELECT vec_id, embedding, cid FROM (
+                     SELECT p3.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p3)
+                   WHERE rn = 1),
+            losers AS (
+              SELECT DISTINCT b.vec_id FROM a3 a JOIN a3 b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6)
+                    >= 0.4)
+            SELECT vec_id, cid FROM a3
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         """,
         "sim_lsh_buckets": f"""
             SELECT bucket, count(*) AS n_vecs FROM (

@@ -224,6 +224,75 @@ def ivf_topk(embs: DataFrame, query_id: int, k: int = 10,
             .limit(k))
 
 
+def assign_centroids(embs: DataFrame, n_centroids: int = 4, iters: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(id, cid, vec): every vector labeled with its nearest trained
+    centroid — the shared front half of IVF search and semantic dedup.
+
+    One broadcast crossJoin against the k centroids + one groupBy(id)
+    argmin; deterministic (exact integer lattice distances, ties to the
+    ascending cid)."""
+    cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
+    lat = _lattice(embs, id_col, vec_col)
+    return (lat.crossJoin(F.broadcast(cents))
+            .select(F.col(id_col), F.col(vec_col),
+                    F.struct(_l2sq(F.col("qv"), F.col("cv")).alias("d2"),
+                             F.col("cid")).alias("dc"))
+            .groupBy(id_col)
+            .agg(F.min("dc").alias("m"), F.first(vec_col).alias(vec_col))
+            .select(F.col(id_col), F.col("m.cid").alias("cid"),
+                    F.col(vec_col)))
+
+
+def semantic_near_pairs(embs: DataFrame, n_centroids: int = 4, iters: int = 2,
+                        threshold: float = 0.5, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the trained
+    k-means quantizer, then compare pairs ONLY within a cluster and gate
+    on exact cosine similarity.
+
+    Returns (cid, id_a, id_b, cosine_sim) for same-cluster pairs with
+    cosine >= threshold (rounded to 6 dp, id_a < id_b).
+
+    Scale (10^12 vectors): the all-pairs comparison SemDeDup avoids is
+    O(N^2); clustering caps it at Σ|cluster|^2 — grow n_centroids
+    linearly with N so the expected cluster size (and so per-cluster
+    join cost) stays constant.  The join shuffles on cid only; at
+    cluster scale write the corpus partitioned by cid and the
+    self-join needs no exchange at all.
+    """
+    assigned = assign_centroids(embs, n_centroids, iters, id_col, vec_col)
+    a = assigned.select(F.col("cid"), F.col(id_col).alias("id_a"),
+                        V.as_double(F.col(vec_col)).alias("va"))
+    b = assigned.select(F.col("cid"), F.col(id_col).alias("id_b"),
+                        V.as_double(F.col(vec_col)).alias("vb"))
+    sim = F.round(V.cosine(F.col("va"), F.col("vb")), 6)
+    return (a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("cid", "id_a", "id_b", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
+
+
+def semantic_dedup(embs: DataFrame, n_centroids: int = 4, iters: int = 2,
+                   threshold: float = 0.5, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semantic dedup: drop every vector that has a LOWER-id semantic
+    near-duplicate in its cluster (greedy keep-first, the same keep-min
+    convention as ``dedup.deduplicate_corpus``).  Returns the kept rows
+    of ``embs`` with their cluster id: (id, cid).
+
+    The anti-join is on the id alone, so the kept set is deterministic
+    under any partitioning of the pair table."""
+    pairs = semantic_near_pairs(embs, n_centroids, iters, threshold,
+                                id_col, vec_col)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    assigned = assign_centroids(embs, n_centroids, iters, id_col, vec_col)
+    return (assigned.join(losers, id_col, "left_anti")
+            .select(F.col(id_col), F.col("cid")))
+
+
 def bucketed_topk(embs: DataFrame, query_id: int, k: int = 10, n_bits: int = 8,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the

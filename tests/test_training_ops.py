@@ -322,6 +322,27 @@ def test_ivf_nprobe_guard(clustered_vecs):
         similarity.ivf_topk(clustered_vecs, query_id=0, nprobe=9, n_centroids=4)
 
 
+def test_semantic_near_pairs_stay_within_cluster(clustered_vecs):
+    pairs = similarity.semantic_near_pairs(
+        clustered_vecs, n_centroids=2, iters=2, threshold=0.9).collect()
+    # near-identical vectors pair up only inside their own cluster:
+    # even ids (cluster A) never pair with odd ids (cluster B)
+    assert pairs
+    for r in pairs:
+        assert r["id_a"] % 2 == r["id_b"] % 2
+        assert r["cosine_sim"] >= 0.9
+    # all-pairs within each 4-member cluster = 6 pairs each
+    assert len(pairs) == 12
+
+
+def test_semantic_dedup_keeps_min_id_per_cluster(clustered_vecs):
+    kept = similarity.semantic_dedup(
+        clustered_vecs, n_centroids=2, iters=2, threshold=0.9).collect()
+    # every vector has a lower-id near-dup except the cluster minima
+    assert {r["vec_id"] for r in kept} == {0, 1}
+    assert len({r["cid"] for r in kept}) == 2
+
+
 # ---- deterministic sampling / splits --------------------------------------
 
 @pytest.fixture(scope="module")
