@@ -40,6 +40,7 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     consolidate,
     curation,
     dedup,
+    embedding,
     extraction,
     metadata,
     multimodal,
@@ -180,6 +181,36 @@ sm AS (
     coalesce(lag(base) OVER (PARTITION BY doc_id ORDER BY idx), FALSE) AS prev_c,
     coalesce(lead(base) OVER (PARTITION BY doc_id ORDER BY idx), FALSE) AS next_c
   FROM scored)"""
+
+#: DuckDB replay of operators/embedding.hashed_vector (dim=16): one md5
+#: per token, bucket = h & 15, sign = 1 - 2*((h >> 4) & 1), signed
+#: integer counts per coordinate, L2-normalized and rounded to 6 dp.
+_HASHED_EMBED_CTES = """
+            tk AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS toks
+                   FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+            hh AS (SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+            co AS (SELECT doc_id, (h & 15) AS b,
+                     (1 - 2 * ((h >> 4) & 1)) AS s FROM hh),
+            sums AS (SELECT doc_id, b, SUM(s)::BIGINT AS v
+                     FROM co GROUP BY doc_id, b),
+            dense AS (SELECT ids.doc_id, dims.b, coalesce(s.v, 0)::BIGINT AS v
+                      FROM (SELECT DISTINCT doc_id FROM documents) ids
+                      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) dims
+                      LEFT JOIN sums s
+                        ON s.doc_id = ids.doc_id AND s.b = dims.b),
+            iv AS (SELECT doc_id, list(v ORDER BY b) AS ivec
+                   FROM dense GROUP BY doc_id),
+            emb AS (SELECT doc_id,
+                      CASE WHEN sqrt(list_aggregate(list_transform(ivec,
+                               x -> (x*x)::DOUBLE), 'sum')) > 0
+                      THEN list_transform(ivec, x -> round(x::DOUBLE /
+                             sqrt(list_aggregate(list_transform(ivec,
+                               x -> (x*x)::DOUBLE), 'sum')), 6))
+                      ELSE list_transform(ivec, x -> 0.0) END AS embedding
+                    FROM iv)"""
 
 _N_SIMHASH_BITS = 64
 _SIGN_BUCKET_SQL = "(" + " + ".join(
@@ -630,6 +661,19 @@ def _q_sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=8, nprobe=4)
 
 
+def _q_text_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings (one md5 per token, integer
+    signed counts, L2-normalized)."""
+    return embedding.embed_documents(_t(spark, sf_dir, "documents"), dim=16)
+
+
+def _q_text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text -> vector -> ANN: top-10 cosine neighbors of
+    doc 0 in the hashed-embedding space."""
+    embs = embedding.embed_documents(_t(spark, sf_dir, "documents"), dim=16)
+    return similarity.cosine_topk(embs, query_id=0, k=10, id_col="doc_id")
+
+
 def _q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup within-cluster near-duplicate pairs (trained k-means
     clusters, exact cosine gate)."""
@@ -961,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "semantic_dedup_pairs": _q_semantic_dedup_pairs,
         "semantic_dedup_keep": _q_semantic_dedup_keep,
+        "text_embed_vectors": _q_text_embed_vectors,
+        "text_embed_topk": _q_text_embed_topk,
         # HTML boilerplate stripping + multimodal + C2 structural
         "html_boilerplate": _q_html_boilerplate,
         "html_block_scores": _q_html_block_scores,
@@ -1612,6 +1658,19 @@ def oracle_sql() -> dict[str, str]:
             FROM a3 JOIN probes USING (cid), q
             WHERE a3.vec_id <> 0
             ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "text_embed_vectors": f"""
+            WITH {_HASHED_EMBED_CTES}
+            SELECT doc_id, embedding FROM emb
+        """,
+        "text_embed_topk": f"""
+            WITH {_HASHED_EMBED_CTES},
+            q AS (SELECT embedding AS qv FROM emb WHERE doc_id = 0)
+            SELECT e.doc_id,
+                   round(list_cosine_similarity(e.embedding, q.qv), 6)
+                     AS cosine_sim
+            FROM emb e, q WHERE e.doc_id <> 0
+            ORDER BY cosine_sim DESC, doc_id ASC LIMIT 10
         """,
         "semantic_dedup_pairs": f"""
             WITH {kmeans_ctes},

@@ -89,6 +89,16 @@ def test_simhash_signatures_plan_is_shuffle_free(documents):
     assert "EvalPython" not in plan
 
 
+def test_hashed_embedding_is_narrow_and_python_free(documents):
+    """embed_documents is a pure column fold: no Exchange (narrow,
+    pipelines inside the scan stage at 100 TB) and no Python eval."""
+    from rca_pdf_extraction_pipeline_spark.operators import embedding
+
+    plan = _plan(embedding.embed_documents(documents))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_metadata_and_search_have_no_python_eval(spark):
     from rca_pdf_extraction_pipeline_spark.operators import metadata
 

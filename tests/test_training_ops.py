@@ -11,7 +11,12 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from rca_pdf_extraction_pipeline_spark.operators import dedup, similarity, textanalysis
+from rca_pdf_extraction_pipeline_spark.operators import (
+    dedup,
+    embedding,
+    similarity,
+    textanalysis,
+)
 
 BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
         "into the deep green forest to hide from the loud hunting party")
@@ -341,6 +346,38 @@ def test_semantic_dedup_keeps_min_id_per_cluster(clustered_vecs):
     # every vector has a lower-id near-dup except the cluster minima
     assert {r["vec_id"] for r in kept} == {0, 1}
     assert len({r["cid"] for r in kept}) == 2
+
+
+# ---- hashing-trick text embeddings ----------------------------------------
+
+
+def test_hashed_embedding_dim_guard(corpus):
+    with pytest.raises(ValueError):
+        embedding.embed_documents(corpus, dim=12)
+
+
+def test_hashed_embedding_unit_norm_and_dup_recovery(spark):
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),   # exact dup
+            (2, "the quick brown fox leaps over the lazy dog"),   # near dup
+            (3, "completely different words about spark shuffles")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    embs = embedding.embed_documents(docs, dim=16)
+    got = {r["doc_id"]: r["embedding"] for r in embs.collect()}
+    for v in got.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-4   # unit sphere
+    assert got[0] == got[1]                              # deterministic
+    top = similarity.cosine_topk(embs, query_id=0, k=3, id_col="doc_id").collect()
+    assert top[0]["doc_id"] == 1 and top[0]["cosine_sim"] == 1.0
+    assert top[1]["doc_id"] == 2 and top[1]["cosine_sim"] > top[2]["cosine_sim"]
+
+
+def test_hashed_embedding_unnormalized_is_signed_count(spark):
+    docs = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    v = embedding.embed_documents(docs, dim=8, normalize=False).collect()[0]["embedding"]
+    # 3 tokens, each contributing ±1 to one coordinate
+    assert sum(abs(x) for x in v) <= 3
+    assert all(isinstance(x, int) for x in v)
 
 
 # ---- deterministic sampling / splits --------------------------------------
