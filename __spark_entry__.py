@@ -47,6 +47,7 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     profiling,
     sampling,
     search,
+    sessions,
     similarity,
     skew,
     substring_dedup,
@@ -467,6 +468,23 @@ def _q_w1_lead_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via native
+    session_window; timestamps projected as ms offsets from a fixed
+    NTZ epoch for cross-engine comparison."""
+    s = sessions.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+    def ms(col: str) -> F.Column:
+        return F.expr(
+            f"timestampdiff(MILLISECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', "
+            f"cast({col} as timestamp_ntz))")
+
+    return s.select("user_id",
+                    ms("session_start").alias("start_ms"),
+                    ms("session_end").alias("end_ms"),
+                    "n_events", "total_value")
+
+
 def _q_w2_cumsum_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sess = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(_w())
@@ -659,6 +677,16 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bucketed_topk_multiprobe(
         _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=8, nprobe=4)
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary by total term frequency (ties by token)."""
+    return textanalysis.vocabulary(_t(spark, sf_dir, "documents"), top_v=50)
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage / OOV rate of a top-100 vocabulary."""
+    return textanalysis.vocab_coverage(_t(spark, sf_dir, "documents"), top_v=100)
 
 
 def _q_text_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_levenshtein_pairs": _q_j5_levenshtein_pairs,
         # windows / sequences (SURVEY §2.5)
         "asof_click_view": _q_asof_click_view,
+        "session_windows": _q_session_windows,
         "w1_lead_boundary": _q_w1_lead_boundary,
         "w2_cumsum_sessions": _q_w2_cumsum_sessions,
         "w3_reading_order": _q_w3_reading_order,
@@ -1007,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_keep": _q_semantic_dedup_keep,
         "text_embed_vectors": _q_text_embed_vectors,
         "text_embed_topk": _q_text_embed_topk,
+        "vocab_topk": _q_vocab_topk,
+        "vocab_coverage": _q_vocab_coverage,
         # HTML boilerplate stripping + multimodal + C2 structural
         "html_boilerplate": _q_html_boilerplate,
         "html_block_scores": _q_html_block_scores,
@@ -1659,6 +1690,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE a3.vec_id <> 0
             ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
         """,
+        "vocab_topk": """
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                t -> t != '')) AS token
+              FROM documents)
+            SELECT token, COUNT(*)::BIGINT AS tf,
+                   COUNT(DISTINCT doc_id)::BIGINT AS df
+            FROM tok GROUP BY token
+            ORDER BY tf DESC, token ASC LIMIT 50
+        """,
+        "vocab_coverage": """
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                t -> t != '')) AS token
+              FROM documents),
+            freq AS (
+              SELECT token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY token),
+            totals AS (
+              SELECT COUNT(*)::BIGINT AS vocab_size,
+                     SUM(tf)::BIGINT AS total_tokens FROM freq),
+            top AS (
+              SELECT SUM(tf)::BIGINT AS covered_tokens FROM (
+                SELECT tf FROM freq ORDER BY tf DESC, token ASC LIMIT 100))
+            SELECT vocab_size, total_tokens, covered_tokens,
+                   round(1.0 - covered_tokens::DOUBLE / total_tokens, 6)
+                     AS oov_rate
+            FROM totals, top
+        """,
         "text_embed_vectors": f"""
             WITH {_HASHED_EMBED_CTES}
             SELECT doc_id, embedding FROM emb
@@ -2054,6 +2113,35 @@ def oracle_sql() -> dict[str, str]:
                    MAX(n_chars) AS max_val,
                    round(AVG(n_chars), 6) AS mean_val
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "session_windows": """
+            WITH m AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m),
+            g AS (
+              SELECT user_id, sid, min(ts) AS st,
+                     max(ts) + INTERVAL 30 MINUTE AS en,
+                     COUNT(*)::BIGINT AS n_events,
+                     round(SUM(round(value * 1000000)::BIGINT)::DOUBLE
+                           / 1000000, 2) AS total_value
+              FROM s GROUP BY user_id, sid)
+            SELECT user_id,
+                   datediff('millisecond',
+                            TIMESTAMP '2024-01-01 00:00:00', st)::BIGINT
+                     AS start_ms,
+                   datediff('millisecond',
+                            TIMESTAMP '2024-01-01 00:00:00', en)::BIGINT
+                     AS end_ms,
+                   n_events, total_value
+            FROM g
         """,
         "asof_click_view": """
             WITH c AS (

@@ -193,3 +193,53 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         H.rolling_fingerprint(T.tokens(F.col(text_col))).alias("fingerprint"),
     )
+
+
+def vocabulary(docs: DataFrame, top_v: int | None = None,
+               min_count: int = 1, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary: (token, tf, df) — total occurrences and
+    document frequency per distinct token, the tokenizer-training /
+    vocab-construction primitive of a training-data pipeline.
+
+    ``top_v`` keeps the most frequent tokens (ties broken by ascending
+    token, so the cut is deterministic); ``min_count`` drops the long
+    tail before the sort.
+
+    Scale: one hash shuffle on the token (map-side partial counts; the
+    token strings themselves are the only shuffled payload, each once
+    per distinct (token, partition)).  ``top_v`` compiles to
+    TakeOrderedAndProject — O(top_v) memory per task, no global sort.
+    """
+    tok = docs.select(F.col(id_col),
+                      F.explode(T.tokens(F.col(text_col))).alias("token"))
+    freq = (tok.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.countDistinct(id_col).alias("df")))
+    if min_count > 1:
+        freq = freq.filter(F.col("tf") >= min_count)
+    if top_v is not None:
+        freq = freq.orderBy(F.col("tf").desc(), F.col("token").asc()) \
+                   .limit(top_v)
+    return freq
+
+
+def vocab_coverage(docs: DataFrame, top_v: int, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """One row: (vocab_size, total_tokens, covered_tokens, oov_rate) —
+    what fraction of the corpus token mass a top-``top_v`` vocabulary
+    covers (the tokenizer-budget / OOV-rate planning query).
+
+    Derived entirely from the frequency table — the corpus is scanned
+    once; no second pass joins docs against the vocab."""
+    freq = vocabulary(docs, text_col=text_col, id_col=id_col)
+    totals = freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("tf").alias("total_tokens"))
+    top = (freq.orderBy(F.col("tf").desc(), F.col("token").asc())
+           .limit(top_v)
+           .agg(F.sum("tf").alias("covered_tokens")))
+    return (totals.crossJoin(top)
+            .select("vocab_size", "total_tokens", "covered_tokens",
+                    F.round(F.lit(1.0) - F.col("covered_tokens").cast("double")
+                            / F.col("total_tokens"), 6).alias("oov_rate")))

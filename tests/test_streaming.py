@@ -74,6 +74,35 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert len(batch) > 10
 
 
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    """Gap-based session windows: streaming (complete mode) sessions ==
+    batch sessions over the same events — one code path, state merged
+    by session_window itself."""
+    from rca_pdf_extraction_pipeline_spark.operators import sessions
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "sess_ev")
+    ev.coalesce(2).write.parquet(in_dir)
+
+    key = ["user_id", "session_start", "session_end"]
+    batch = {tuple(r[k] for k in key): (r["n_events"], r["total_value"])
+             for r in sessions.sessionize(ev, gap_minutes=30).collect()}
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (sessions.sessionize(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("sessagg")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r[k] for k in key): (r["n_events"], r["total_value"])
+           for r in spark.sql("select * from sessagg").collect()}
+    assert got == batch
+    assert len(batch) > 5
+
+
 def test_stateful_running_totals_stream_equals_batch(spark, tmp_path):
     """applyInPandasWithState across micro-batches: the last update per
     user must equal the batch aggregate exactly (integer-cents state, so

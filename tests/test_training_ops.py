@@ -348,6 +348,58 @@ def test_semantic_dedup_keeps_min_id_per_cluster(clustered_vecs):
     assert len({r["cid"] for r in kept}) == 2
 
 
+# ---- gap-based sessionization ---------------------------------------------
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from rca_pdf_extraction_pipeline_spark.operators import sessions
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [(1, t(0), 1.0), (1, t(10), 2.0),   # chain (gap 10 < 30)
+            (1, t(40), 4.0),   # exactly at prev close (10+30): still chains
+            (1, t(41), 5.0),   # 41 - 40 = 1 < 30: chains
+            (2, t(5), 8.0),
+            (2, t(45), 9.0)]   # 45 - 5 = 40 > 30: new session
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = sorted(((r["user_id"], r["session_start"].minute,
+                   r["session_end"].minute + 60 * r["session_end"].hour,
+                   r["n_events"], r["total_value"])
+                  for r in sessions.sessionize(ev, gap_minutes=30).collect()))
+    assert got == [(1, 0, 71, 4, 12.0),   # closes at 41-min event + 30-min gap
+                   (2, 5, 35, 1, 8.0),
+                   (2, 45, 75, 1, 9.0)]
+    with pytest.raises(ValueError):
+        sessions.sessionize(ev, gap_minutes=0)
+
+
+# ---- vocabulary construction ----------------------------------------------
+
+
+def test_vocabulary_counts_and_topv(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "a b b"), (2, "c")],
+        "doc_id long, text string")
+    freq = {r["token"]: (r["tf"], r["df"])
+            for r in textanalysis.vocabulary(docs).collect()}
+    assert freq == {"a": (3, 2), "b": (3, 2), "c": (2, 2)}
+    # top_v=2 with tf tie between a and b -> ascending-token tie-break
+    top = textanalysis.vocabulary(docs, top_v=2).collect()
+    assert [r["token"] for r in top] == ["a", "b"]
+    assert [r["token"] for r in textanalysis.vocabulary(docs, min_count=3)
+            .orderBy("token").collect()] == ["a", "b"]
+
+
+def test_vocab_coverage_arithmetic(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c")], "doc_id long, text string")
+    row = textanalysis.vocab_coverage(docs, top_v=2).collect()[0]
+    assert (row["vocab_size"], row["total_tokens"], row["covered_tokens"]) \
+        == (3, 6, 5)
+    assert abs(row["oov_rate"] - (1 - 5 / 6)) < 1e-6
+
+
 # ---- hashing-trick text embeddings ----------------------------------------
 
 
