@@ -835,6 +835,23 @@ def _q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
 
 
+def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling: 50 docs with probability proportional to
+    n_chars (length-weighted subcorpus)."""
+    return sampling.weighted_priority_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", k=50, seed=3) \
+        .select("doc_id", "n_chars", F.round("priority", 4).alias("priority"))
+
+
+def _q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture construction: ~40 docs from src0, ~20 from src1,
+    everything from src2 (target above its size)."""
+    return sampling.mixture_sample(
+        _t(spark, sf_dir, "documents"), "source",
+        {"src0": 40, "src1": 20, "src2": 10_000}, seed=5) \
+        .select("doc_id", "source", "lang")
+
+
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_hash_sample(
         _t(spark, sf_dir, "documents"), "lang",
@@ -1068,6 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
         "sample_per_group": _q_sample_per_group,
+        "sample_weighted": _q_sample_weighted,
+        "sample_mixture": _q_sample_mixture,
     }
 
 
@@ -2219,6 +2238,32 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                           - n_tokens) / 512)::BIGINT AS bin_id
             FROM d
+        """,
+        "sample_weighted": """
+            WITH p AS (
+              SELECT doc_id, n_chars,
+                     n_chars::DOUBLE * 1000000 /
+                     ((('0x' || substr(md5('3:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 1000000) + 1) AS pri
+              FROM documents WHERE n_chars > 0)
+            SELECT doc_id, n_chars, round(pri, 4) AS priority
+            FROM p ORDER BY pri DESC, doc_id ASC LIMIT 50
+        """,
+        "sample_mixture": """
+            WITH c AS (
+              SELECT source, COUNT(*)::BIGINT AS n FROM documents
+              WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+            cuts AS (
+              SELECT source,
+                     least(1000000, round((CASE source
+                         WHEN 'src0' THEN 40 WHEN 'src1' THEN 20
+                         ELSE 10000 END)::DOUBLE * 1000000 / n)::BIGINT)
+                       AS cut
+              FROM c)
+            SELECT d.doc_id, d.source, d.lang
+            FROM documents d JOIN cuts ON d.source = cuts.source
+            WHERE ('0x' || substr(md5('5:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 1000000 < cut
         """,
         "sample_hash": """
             SELECT doc_id, lang, n_chars FROM documents

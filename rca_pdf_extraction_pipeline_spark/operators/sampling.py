@@ -85,6 +85,65 @@ def per_group_sample(docs: DataFrame, group_col: str, k: int,
             .filter(F.col("_rk") <= k).drop("_rk"))
 
 
+def weighted_priority_sample(docs: DataFrame, weight_col: str, k: int,
+                             seed: int = 0,
+                             id_col: str = "doc_id") -> DataFrame:
+    """EXACTLY ``k`` rows sampled without replacement with probability
+    proportional to ``weight_col`` — priority sampling (Duffield, Lund
+    & Thorup, JACM 2007): row priority = w / u for a per-row uniform
+    u in (0, 1], keep the k largest priorities.  The quality-weighted /
+    importance-weighted subcorpus constructor (e.g. sample docs
+    proportional to length or quality score).
+
+    Deterministic AND cross-engine exact: u = (bucket+1)/1e6 from the
+    md5 bucket, so priority = w * 1e6 / (bucket+1) is a single IEEE
+    division of two exact integers — bit-identical in any engine; ties
+    broken by id.  Rows with non-positive weight are excluded.
+
+    Scale: narrow scan + TakeOrderedAndProject — O(k) memory per task,
+    no global sort, no shuffle of the data itself."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    w = F.col(weight_col).cast("double")
+    pri = (w * SAMPLE_BUCKETS
+           / (sample_bucket(F.col(id_col), seed) + 1).cast("double"))
+    return (docs.filter(w > 0)
+            .withColumn("priority", pri)
+            .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def mixture_sample(docs: DataFrame, source_col: str,
+                   targets: dict[str, int], seed: int = 0,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic data-mixture construction: keep ~``targets[s]``
+    rows of each source ``s`` (all of them when the source is smaller
+    than its target) — the "mix 30% web / 30% code / 40% books" recipe
+    step of a training-data pipeline, as one declarative plan.
+
+    Per-source keep-rate = min(1, target/n) becomes an integer bucket
+    cut (round(target*1e6/n) — one exact-integer IEEE division, so any
+    engine derives the identical cut), and membership is the same
+    content-independent hash filter as ``hash_sample``.  Sources absent
+    from ``targets`` are dropped.
+
+    Scale: one tiny counts aggregate (|sources| rows, broadcast back) +
+    a narrow filter on the scan — no data shuffle."""
+    for s, t in targets.items():
+        if t < 0:
+            raise ValueError(f"negative target for source {s!r}: {t}")
+    tgt = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
+    counts = (docs.filter(F.col(source_col).isin(*targets.keys()))
+              .groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+              .withColumn("_cut", F.least(
+                  F.lit(SAMPLE_BUCKETS).cast("bigint"),
+                  F.round(tgt[F.col(source_col)].cast("double")
+                          * SAMPLE_BUCKETS / F.col("_n")).cast("bigint"))))
+    return (docs.join(F.broadcast(counts), source_col)
+            .filter(sample_bucket(F.col(id_col), seed) < F.col("_cut"))
+            .drop("_n", "_cut"))
+
+
 def stratified_hash_sample(docs: DataFrame, strata_col: str,
                            rates: dict[str, float],
                            default_rate: float = 0.0, seed: int = 0,

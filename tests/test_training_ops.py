@@ -348,6 +348,46 @@ def test_semantic_dedup_keeps_min_id_per_cluster(clustered_vecs):
     assert len({r["cid"] for r in kept}) == 2
 
 
+# ---- weighted / mixture sampling ------------------------------------------
+
+
+def test_weighted_priority_sample_semantics(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    rows = [(i, 1) for i in range(100)] + [(100, 10_000_000), (101, 0), (102, -5)]
+    docs = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sampling.weighted_priority_sample(docs, "w", k=10, seed=1).collect()
+    assert len(got) == 10
+    ids = {r["doc_id"] for r in got}
+    assert 100 in ids                      # overwhelming weight always wins
+    assert ids.isdisjoint({101, 102})      # non-positive weights excluded
+    pris = [r["priority"] for r in got]
+    assert pris == sorted(pris, reverse=True)
+    # deterministic under repartitioning
+    again = {r["doc_id"] for r in sampling.weighted_priority_sample(
+        docs.repartition(7), "w", k=10, seed=1).collect()}
+    assert again == ids
+    with pytest.raises(ValueError):
+        sampling.weighted_priority_sample(docs, "w", k=0)
+
+
+def test_mixture_sample_targets(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    rows = [(i, "a" if i < 100 else "b" if i < 200 else "c") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sampling.mixture_sample(docs, "source",
+                                  {"a": 30, "b": 1000}, seed=2).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert set(by_src) == {"a", "b"}            # 'c' not in the recipe
+    assert len(by_src["b"]) == 100              # target > size: keep all
+    assert 15 <= len(by_src["a"]) <= 45         # ~30 of 100 by hash cut
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(docs, "source", {"a": -1})
+
+
 # ---- gap-based sessionization ---------------------------------------------
 
 
