@@ -753,6 +753,12 @@ def _q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM typicality (word-order-aware perplexity
+    stand-in)."""
+    return textanalysis.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.repetition_stats(_t(spark, sf_dir, "documents"))
 
@@ -1070,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
         "text_unigram_lm": _q_text_unigram_lm,
+        "text_bigram_lm": _q_text_bigram_lm,
         "text_pii": _q_text_pii,
         # training-data pipeline: exact-substring dedup + retrieval
         "substr_dup_ranges": _q_substr_dup_ranges,
@@ -1991,6 +1998,42 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
                    round(COALESCE(p.lp_sum, 0) / 1000000.0
                          / greatest(COALESCE(p.n_tokens, 0), 1), 6)
+                     AS mean_logprob
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
+        "text_bigram_lm": """
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split(text, ' '),
+                                         x -> x != '') AS toks
+              FROM documents),
+            flat AS (
+              SELECT doc_id, unnest(toks) AS tok FROM tk),
+            freq AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM flat GROUP BY tok),
+            tot AS (SELECT SUM(cnt)::BIGINT AS total FROM freq),
+            pos AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(2, len(toks)), i -> toks[i - 1])) AS prev,
+                     unnest(list_transform(
+                       generate_series(2, len(toks)), i -> toks[i])) AS cur
+              FROM tk WHERE len(toks) >= 2),
+            big AS (SELECT prev, cur, COUNT(*)::BIGINT AS cb
+                    FROM pos GROUP BY prev, cur),
+            scored AS (
+              SELECT b.prev, b.cur,
+                     round(ln(0.5 * (b.cb::DOUBLE / fp.cnt)
+                              + 0.5 * (fc.cnt::DOUBLE / tot.total))
+                           * 1000000.0)::BIGINT AS lp
+              FROM big b
+              JOIN freq fp ON fp.tok = b.prev
+              JOIN freq fc ON fc.tok = b.cur, tot),
+            per_doc AS (
+              SELECT pos.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                     SUM(lp)::BIGINT AS lp_sum
+              FROM pos JOIN scored USING (prev, cur) GROUP BY pos.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   round(COALESCE(p.lp_sum, 0) / 1000000.0
+                         / greatest(COALESCE(p.n_bigrams, 0), 1), 6)
                      AS mean_logprob
             FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,

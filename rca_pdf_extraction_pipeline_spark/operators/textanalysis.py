@@ -185,6 +185,72 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
                     .alias("mean_logprob")))
 
 
+def bigram_logprob(docs: DataFrame, lam: float = 0.5,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability under the
+    corpus's own n-gram statistics — one step up from
+    ``unigram_logprob`` toward model-based perplexity filtering:
+    position i scores ln(lam*P(w_i | w_{i-1}) + (1-lam)*P(w_i)), so
+    documents with corpus-typical word ORDER (not just typical word
+    choice) score higher.  Word-salad shuffles of typical words, which
+    the unigram scorer cannot see, drop here.
+
+    Returns (id, n_bigrams, mean_logprob); docs with < 2 tokens have
+    n_bigrams = 0 and score 0.  Same determinism contract as the
+    unigram scorer: per-position log-probs quantized to integers
+    (round(ln(p) * 1e6)) before the exact bigint per-document sum.
+
+    Scale: bigram extraction is NARROW (built from the token array, no
+    window/lag exchange); the (prev,cur) count table is
+    distinct-bigram sized with map-side partial counts; per-position
+    scoring joins on the bigram key.  All shuffles carry short strings
+    or bigints, never documents.
+    """
+    toks = T.tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(2), n),
+        lambda i: F.struct(F.element_at(toks, i - 1).alias("prev"),
+                           F.element_at(toks, i).alias("cur")))) \
+        .otherwise(F.array())
+    pos = docs.select(F.col(id_col), F.explode(pairs).alias("bg")) \
+              .select(F.col(id_col), F.col("bg.prev").alias("prev"),
+                      F.col("bg.cur").alias("cur"))
+
+    uni = docs.select(F.explode(toks).alias("tok")) \
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("total"))
+    big = pos.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+
+    # p = lam * cb/cp + (1-lam) * cu/total, evaluated in this exact
+    # operation order in BOTH engines (each step is one IEEE rounding)
+    scored = (big
+              .join(uni.select(F.col("tok").alias("prev"),
+                               F.col("cnt").alias("cp")), "prev")
+              .join(uni.select(F.col("tok").alias("cur"),
+                               F.col("cnt").alias("cu")), "cur")
+              .crossJoin(F.broadcast(total))
+              .select("prev", "cur",
+                      F.round(F.log(
+                          F.lit(lam) * (F.col("cb") / F.col("cp"))
+                          + F.lit(1.0 - lam) * (F.col("cu") / F.col("total")))
+                          * F.lit(1_000_000.0), 0).cast("long").alias("lp")))
+
+    per_doc = (pos.join(scored, ["prev", "cur"])
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum("lp").alias("lp_sum")))
+    base = docs.select(F.col(id_col))
+    return (base.join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+                    F.round(F.coalesce(F.col("lp_sum"), F.lit(0))
+                            / F.lit(1_000_000.0)
+                            / F.greatest(F.col("n_bigrams"), F.lit(1)), 6)
+                    .alias("mean_logprob")))
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint) — order-sensitive rolling token hash

@@ -348,6 +348,27 @@ def test_semantic_dedup_keeps_min_id_per_cluster(clustered_vecs):
     assert len({r["cid"] for r in kept}) == 2
 
 
+# ---- bigram LM typicality --------------------------------------------------
+
+
+def test_bigram_lm_sees_word_order(spark):
+    # docs 0-3 establish "a b" as the typical order; doc 4 has the same
+    # unigram profile as doc 0 but reversed order
+    rows = [(i, "a b a b a b") for i in range(4)] + [(4, "b a b a b a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r["doc_id"]: r["mean_logprob"]
+           for r in textanalysis.unigram_logprob(docs).collect()}
+    assert uni[0] == uni[4]                     # unigram scorer is blind
+    big = {r["doc_id"]: r["mean_logprob"]
+           for r in textanalysis.bigram_logprob(docs).collect()}
+    assert big[0] > big[4]                      # bigram scorer is not
+    short = spark.createDataFrame([(0, "one"), (1, "")],
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+           for r in textanalysis.bigram_logprob(short).collect()}
+    assert got == {0: (0, 0.0), 1: (0, 0.0)}
+
+
 # ---- weighted / mixture sampling ------------------------------------------
 
 
