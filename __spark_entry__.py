@@ -753,6 +753,11 @@ def _q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token budget vs whitespace word count."""
+    return textanalysis.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM typicality (word-order-aware perplexity
     stand-in)."""
@@ -1077,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_unigram_lm": _q_text_unigram_lm,
         "text_bigram_lm": _q_text_bigram_lm,
+        "text_token_bpe": _q_text_token_bpe,
         "text_pii": _q_text_pii,
         # training-data pipeline: exact-substring dedup + retrieval
         "substr_dup_ranges": _q_substr_dup_ranges,
@@ -2000,6 +2006,20 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(COALESCE(p.n_tokens, 0), 1), 6)
                      AS mean_logprob
             FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
+        "text_token_bpe": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))::INT
+                       AS n_bpe_tokens,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x != ''))::INT AS n_word_tokens
+              FROM documents)
+            SELECT doc_id, n_bpe_tokens, n_word_tokens,
+                   round(n_bpe_tokens::DOUBLE
+                         / greatest(n_word_tokens, 1), 6) AS tokens_per_word
+            FROM t
         """,
         "text_bigram_lm": """
             WITH tk AS (

@@ -77,6 +77,22 @@ def normalize_for_dedup(col: Column) -> Column:
     return F.trim(F.regexp_replace(stripped, " +", " "))
 
 
+#: GPT-2-style pre-tokenizer classes, simplified to the engine-portable
+#: core (letter runs | digit runs | single non-alnum-non-space marks) —
+#: the "BPE-ish" token unit used for token-budget accounting when the
+#: real tokenizer is out-of-engine.  ASCII classes only, so Java regex
+#: and RE2-family engines agree byte-for-byte.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """Sub-word-ish tokens under ``BPE_TOKEN_RE``.
+
+    DuckDB twin: ``regexp_extract_all(x, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')``.
+    """
+    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)
+
+
 def alpha_chars(col: Column) -> Column:
     """Count of ASCII letters. DuckDB: length(regexp_replace(x, '[^a-zA-Z]', '', 'g'))."""
     return F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))

@@ -34,6 +34,23 @@ def token_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def bpe_token_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, n_bpe_tokens, n_word_tokens, tokens_per_word): token-budget
+    accounting under the BPE-ish pre-tokenizer (functions/text.
+    BPE_TOKEN_RE) next to the whitespace word count — the
+    fertility-style ratio a sequence-packing budget needs when the real
+    tokenizer runs out-of-engine.  Narrow per-row expressions."""
+    nb = F.size(T.bpe_tokens(F.col(text_col)))
+    nw = T.n_tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        nb.alias("n_bpe_tokens"),
+        nw.alias("n_word_tokens"),
+        F.round(nb.cast("double") / F.greatest(nw, F.lit(1)), 6)
+        .alias("tokens_per_word"))
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality profile (CCNet/Gopher-style filters, public

@@ -99,6 +99,48 @@ def test_hashed_embedding_is_narrow_and_python_free(documents):
     assert "EvalPython" not in plan
 
 
+def test_vocab_and_weighted_sample_are_take_ordered(documents):
+    """Global top-k selections must compile to TakeOrderedAndProject
+    (O(k) per task), never a global Sort."""
+    from rca_pdf_extraction_pipeline_spark.operators import sampling, textanalysis
+
+    for q in [textanalysis.vocabulary(documents, top_v=50),
+              sampling.weighted_priority_sample(documents, "n_chars", k=50)]:
+        plan = _plan(q)
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_mixture_sample_broadcasts_cuts(documents):
+    """The per-source cut table is tiny: it must broadcast — the
+    document scan itself never hash-shuffles."""
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    plan = _plan(sampling.mixture_sample(
+        documents, "source", {"src0": 10, "src1": 5}))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_sessionize_is_single_exchange(spark):
+    """Gap sessions: one hash exchange on the user key (plus AQE reads),
+    no Python eval."""
+    from rca_pdf_extraction_pipeline_spark.operators import sessions
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(sessions.sessionize(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_bigram_lm_and_bpe_tokens_no_python_eval(documents):
+    from rca_pdf_extraction_pipeline_spark.operators import textanalysis
+
+    for q in [textanalysis.bigram_logprob(documents),
+              textanalysis.bpe_token_stats(documents)]:
+        assert "EvalPython" not in _plan(q)
+
+
 def test_metadata_and_search_have_no_python_eval(spark):
     from rca_pdf_extraction_pipeline_spark.operators import metadata
 

@@ -348,6 +348,18 @@ def test_semantic_dedup_keeps_min_id_per_cluster(clustered_vecs):
     assert len({r["cid"] for r in kept}) == 2
 
 
+def test_bpe_token_stats_splits_subwords(spark):
+    docs = spark.createDataFrame(
+        [(0, "don't stop-me now2day"), (1, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["n_word_tokens"],
+                         r["tokens_per_word"])
+           for r in textanalysis.bpe_token_stats(docs).collect()}
+    # don|'|t  stop|-|me  now|2|day -> 9 sub-word tokens over 3 words
+    assert got[0] == (9, 3, 3.0)
+    assert got[1] == (0, 0, 0.0)
+
+
 # ---- bigram LM typicality --------------------------------------------------
 
 
