@@ -874,6 +874,13 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=20)
 
 
+def _q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 + hashed-embedding cosine lists fused by
+    reciprocal-rank fusion."""
+    return search.hybrid_rrf_topk(_t(spark, sf_dir, "documents"),
+                                  BM25_TERMS, query_doc=0, k=10)
+
+
 # ---- HTML boilerplate stripping (north_rule; synthetic DOM blocks) --------
 
 
@@ -1089,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": _q_decontaminate_report,
         "substr_dup_profile": _q_substr_dup_profile,
         "bm25_topk": _q_bm25_topk,
+        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "curation_flags": _q_curation_flags,
         "source_report": _q_source_report,
         "corpus_profile": _q_corpus_profile,
@@ -2365,6 +2373,66 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 200000
                          WHEN lang = 'de' THEN 1000000
                          ELSE 50000 END
+        """,
+        "hybrid_rrf_topk": f"""
+            WITH {_HASHED_EMBED_CTES},
+            dd AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS tk
+              FROM documents),
+            p AS (
+              SELECT doc_id, len(tk)::INT AS dl,
+                len(list_filter(tk, x -> x = 'table'))::INT AS tf_0,
+                len(list_filter(tk, x -> x = 'spark'))::INT AS tf_1,
+                len(list_filter(tk, x -> x = 'join'))::INT AS tf_2,
+                len(list_filter(tk, x -> x = 'query'))::INT AS tf_3
+              FROM dd),
+            st AS (
+              SELECT COUNT(*)::BIGINT AS n_docs, AVG(dl) AS avgdl,
+                SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_0,
+                SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_1,
+                SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_2,
+                SUM(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_3
+              FROM p),
+            sc AS (
+              SELECT doc_id,
+                round(
+                    ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                    * (tf_0::DOUBLE * 2.2
+                       / (tf_0::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                    * (tf_1::DOUBLE * 2.2
+                       / (tf_1::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                    * (tf_2::DOUBLE * 2.2
+                       / (tf_2::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                + ln(1.0 + (n_docs - df_3 + 0.5) / (df_3 + 0.5))
+                    * (tf_3::DOUBLE * 2.2
+                       / (tf_3::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                6) AS bm25
+              FROM p, st),
+            lex AS (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                       ORDER BY bm25 DESC, doc_id ASC)::INT AS lex_rank
+              FROM (SELECT * FROM sc WHERE bm25 > 0
+                    ORDER BY bm25 DESC, doc_id ASC LIMIT 20)),
+            q AS (SELECT embedding AS qv FROM emb WHERE doc_id = 0),
+            sem0 AS (
+              SELECT e.doc_id,
+                     round(list_cosine_similarity(e.embedding, q.qv), 6)
+                       AS cosine_sim
+              FROM emb e, q WHERE e.doc_id <> 0
+              ORDER BY cosine_sim DESC, doc_id ASC LIMIT 20),
+            sem AS (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                       ORDER BY cosine_sim DESC, doc_id ASC)::INT AS sem_rank
+              FROM sem0)
+            SELECT coalesce(le.doc_id, se.doc_id) AS doc_id,
+                   le.lex_rank, se.sem_rank,
+                   round(coalesce(1.0 / (60 + le.lex_rank), 0)
+                         + coalesce(1.0 / (60 + se.sem_rank), 0), 6) AS rrf
+            FROM lex le FULL OUTER JOIN sem se ON le.doc_id = se.doc_id
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10
         """,
         "bm25_topk": """
             WITH d AS (

@@ -84,3 +84,51 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
             .filter(F.col("bm25") > 0)
             .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def hybrid_rrf_topk(docs: DataFrame, terms: list[str], query_doc: int,
+                    k: int = 10, n_each: int = 20, k0: int = 60,
+                    dim: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Hybrid lexical+semantic retrieval: fuse the BM25 top-``n_each``
+    for ``terms`` with the hashed-embedding cosine top-``n_each``
+    around ``query_doc`` by reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): score(d) = sum over lists of
+    1/(k0 + rank_list(d)), missing list membership contributing 0.
+
+    Returns (id, lex_rank, sem_rank, rrf) — ranks NULL where the doc
+    appears in only one list — ordered by (rrf desc, id), the standard
+    first-stage retrieval stack of a RAG / retrieval-pretraining
+    pipeline, entirely in-engine.
+
+    Scale: both candidate lists are top-``n_each`` products of
+    TakeOrderedAndProject scans; the fusion then windows/joins
+    ``2*n_each`` rows — driver-scale work regardless of corpus size.
+    RRF scores are sums of exact-integer reciprocals in fixed order, so
+    any engine reproduces them bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from . import embedding as E
+    from . import similarity as S
+
+    # rank windows run on n_each-row frames (post-limit), so the
+    # single-partition window is bounded, not a corpus-wide sort
+    lex = bm25_topk(docs, terms, k=n_each, text_col=text_col, id_col=id_col) \
+        .select(id_col, "bm25")
+    wl = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    lex = lex.select(F.col(id_col), F.row_number().over(wl).alias("lex_rank"))
+
+    embs = E.embed_documents(docs, dim=dim, text_col=text_col, id_col=id_col)
+    sem = S.cosine_topk(embs, query_id=query_doc, k=n_each, id_col=id_col)
+    ws = Window.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    sem = sem.select(F.col(id_col), F.row_number().over(ws).alias("sem_rank"))
+
+    contrib = (lambda r: F.coalesce(
+        F.lit(1.0) / (F.lit(k0) + F.col(r)).cast("double"), F.lit(0.0)))
+    return (lex.join(sem, id_col, "full_outer")
+            .select(F.col(id_col), "lex_rank", "sem_rank",
+                    F.round(contrib("lex_rank") + contrib("sem_rank"), 6)
+                    .alias("rrf"))
+            .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+            .limit(k))

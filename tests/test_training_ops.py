@@ -348,6 +348,33 @@ def test_semantic_dedup_keeps_min_id_per_cluster(clustered_vecs):
     assert len({r["cid"] for r in kept}) == 2
 
 
+def test_hybrid_rrf_fuses_both_lists(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import search
+
+    # query doc 0 has no 'alpha' so it stays out of the lexical list;
+    # n_each=2 makes list membership real (not everyone-is-a-candidate)
+    rows = [(0, "beta gamma delta"),
+            (1, "alpha beta gamma delta"),    # both lists
+            (2, "alpha alpha alpha alpha"),   # lexical only (top tf)
+            (3, "beta gamma delta zeta"),     # semantic only (no 'alpha')
+            (4, "omega psi")]                 # neither list
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = search.hybrid_rrf_topk(docs, ["alpha"], query_doc=0,
+                                 k=5, n_each=2).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert 4 not in by_id                       # in neither candidate list
+    assert by_id[2]["sem_rank"] is None         # lexical-only
+    assert by_id[3]["lex_rank"] is None         # semantic-only
+    r1 = by_id[1]
+    assert r1["lex_rank"] is not None and r1["sem_rank"] is not None
+    assert abs(r1["rrf"] - round(1 / (60 + r1["lex_rank"])
+                                 + 1 / (60 + r1["sem_rank"]), 6)) < 1e-9
+    scores = [r["rrf"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # doc in both lists beats single-list docs: worst-case 2/(60+2) > 1/(60+1)
+    assert got[0]["doc_id"] == 1
+
+
 def test_bpe_token_stats_splits_subwords(spark):
     docs = spark.createDataFrame(
         [(0, "don't stop-me now2day"), (1, "")],
