@@ -881,6 +881,21 @@ def _q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   BM25_TERMS, query_doc=0, k=10)
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped posting lists for the 30 highest-df terms (df desc, term
+    asc tie-break); cap of 8 makes truncation (postings_len < df)
+    visible in the result."""
+    idx = search.inverted_index(_t(spark, sf_dir, "documents"),
+                                min_df=5, max_postings=8)
+    return idx.orderBy(F.col("df").desc(), F.col("term").asc()).limit(30)
+
+
+def _q_source_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per source subcorpus by tf-idf."""
+    return profiling.source_tfidf_terms(_t(spark, sf_dir, "documents"),
+                                        top_k=5)
+
+
 # ---- HTML boilerplate stripping (north_rule; synthetic DOM blocks) --------
 
 
@@ -1097,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dup_profile": _q_substr_dup_profile,
         "bm25_topk": _q_bm25_topk,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
+        "inverted_index": _q_inverted_index,
+        "source_tfidf": _q_source_tfidf,
         "curation_flags": _q_curation_flags,
         "source_report": _q_source_report,
         "corpus_profile": _q_corpus_profile,
@@ -2433,6 +2450,55 @@ def oracle_sql() -> dict[str, str]:
                          + coalesce(1.0 / (60 + se.sem_rank), 0), 6) AS rrf
             FROM lex le FULL OUTER JOIN sem se ON le.doc_id = se.doc_id
             ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """,
+        "inverted_index": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                            t -> t != '')) AS term
+              FROM documents),
+            tf AS (
+              SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+              FROM tok GROUP BY 1, 2),
+            agg AS (
+              SELECT term,
+                COUNT(*)::BIGINT AS df,
+                SUM(tf)::BIGINT AS total_tf,
+                LEAST(COUNT(*), 8)::BIGINT AS postings_len,
+                array_to_string(list_transform(
+                  list_slice(list_sort(
+                    list(struct_pack(d := doc_id, t := tf))), 1, 8),
+                  r -> r.d || ':' || r.t), ',') AS postings
+              FROM tf GROUP BY term)
+            SELECT term, df, total_tf, postings_len, postings
+            FROM agg WHERE df >= 5
+            ORDER BY df DESC, term ASC LIMIT 30
+        """,
+        "source_tfidf": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(list_filter(string_split(text, ' '),
+                            t -> t != '')) AS term
+              FROM documents),
+            pairs AS (
+              SELECT source, term, COUNT(*)::BIGINT AS tf
+              FROM tok WHERE len(term) >= 3 GROUP BY 1, 2),
+            dfg AS (
+              SELECT term, COUNT(*)::BIGINT AS df_groups
+              FROM pairs GROUP BY term),
+            ng AS (
+              SELECT COUNT(DISTINCT source)::BIGINT AS n_groups
+              FROM documents),
+            scored AS (
+              SELECT source, p.term, tf, df_groups,
+                     round(tf * ln(n_groups::DOUBLE / df_groups), 6) AS tfidf
+              FROM pairs p JOIN dfg USING (term), ng)
+            SELECT source, term, tf, df_groups, tfidf, rank FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY tfidf DESC, term ASC)::INT AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
         "bm25_topk": """
             WITH d AS (

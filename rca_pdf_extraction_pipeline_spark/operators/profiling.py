@@ -39,3 +39,47 @@ def corpus_profile(docs: DataFrame, group_col: str = "lang",
         F.round(F.avg(value_col), 6).alias("mean_val"),
     ]
     return docs.groupBy(group_col).agg(*aggs).orderBy(group_col)
+
+
+def source_tfidf_terms(docs: DataFrame, top_k: int = 5,
+                       min_len: int = 3, text_col: str = "text",
+                       group_col: str = "source") -> DataFrame:
+    """Distinctive vocabulary per subcorpus: treat each ``group_col``
+    value as one aggregate document and rank its terms by tf-idf
+    (Sparck Jones 1972): ``tf * ln(n_groups / df_groups)`` — the
+    per-source keyword summary a dataset card publishes, and the
+    quickest way to spot a mislabeled or contaminated source.
+
+    Returns (source, term, tf, df_groups, tfidf, rank) for the top
+    ``top_k`` terms per group by (tfidf desc, term asc); terms shorter
+    than ``min_len`` chars are dropped (stopword-ish tail).  Scores are
+    rounded to 6 dp so any engine reproduces them exactly.
+
+    Scale: explode -> hash-agg on (group, term) — map-side combine does
+    most of the reduction — then a window over those aggregates, whose
+    row count is bounded by groups x vocabulary, not corpus size; the
+    group-count side is a one-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+
+    toks = T.tokens(F.col(text_col))
+    pairs = (docs.select(F.col(group_col).alias("source"),
+                         F.explode(toks).alias("term"))
+             .filter(F.length("term") >= min_len)
+             .groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf")))
+    n_groups = docs.select(F.countDistinct(group_col).alias("n_groups"))
+    df_groups = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_groups"))
+    scored = (pairs.join(df_groups, "term")
+              .crossJoin(F.broadcast(n_groups))
+              .select("source", "term", "tf", "df_groups",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n_groups")
+                                      / F.col("df_groups")), 6)
+                      .alias("tfidf")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k))

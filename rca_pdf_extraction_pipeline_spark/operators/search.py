@@ -132,3 +132,60 @@ def hybrid_rrf_topk(docs: DataFrame, terms: list[str], query_doc: int,
                     .alias("rrf"))
             .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def inverted_index(docs: DataFrame, min_df: int = 1,
+                   max_postings: int = 1000, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Build the batch side of a retrieval engine: one row per term with
+    its document frequency, total term frequency, and a doc-id-sorted
+    posting list (the classic MapReduce inverted-index construction,
+    Dean & Ghemawat OSDI'04 §2.3, as two hash aggregations).
+
+    Returns (term, df, total_tf, postings_len, postings) where
+    ``postings`` is the string ``"id:tf,id:tf,..."`` for the first
+    ``max_postings`` postings in ascending id order — a capped,
+    deterministic, engine-portable rendering.  ``df``/``total_tf``
+    always count ALL postings, so the cap is visible, never silent:
+    ``postings_len < df`` tells the reader the list was truncated.
+
+    Scale (100 TB): explode tokens -> hash-agg on (term, id) for tf
+    (map-side partial combine collapses repeated terms within a doc
+    before the shuffle) -> one sort-window on term that caps each
+    posting list BEFORE any list is materialized.  The cap is applied
+    via ``row_number`` inside WindowExec, whose per-group buffer spills
+    to disk — a stopword term with 10^9 postings sorts and truncates
+    without ever holding the list in memory, where a
+    ``collect_list``-then-``slice`` formulation would OOM the executor
+    (aggregation buffers don't spill mid-group).  The final groupBy
+    reuses the window's hash partitioning on term, so it adds no
+    exchange; only the <= ``max_postings`` surviving rows enter
+    ``collect_list``.  ``min_df`` prunes the hapax tail — at web scale
+    most terms occur once and are useless for retrieval.
+    """
+    from pyspark.sql import Window
+
+    toks = T.tokens(F.col(text_col))
+    tf = (docs.select(F.col(id_col), F.explode(toks).alias("term"))
+          .groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf")))
+    w_sort = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    w_all = Window.partitionBy("term")
+    ranked = tf.select(
+        "term",
+        F.concat_ws(":", F.col(id_col).cast("string"),
+                    F.col("tf").cast("string")).alias("p"),
+        F.row_number().over(w_sort).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("df"),
+        F.sum("tf").over(w_all).alias("total_tf"),
+    )
+    return (ranked.filter((F.col("rn") <= max_postings)
+                          & (F.col("df") >= min_df))
+            .groupBy("term").agg(
+                F.max("df").alias("df"),
+                F.max("total_tf").alias("total_tf"),
+                F.count(F.lit(1)).alias("postings_len"),
+                F.array_join(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("rn"), F.col("p")))),
+                    lambda s: s["p"]), ",").alias("postings"))
+            .select("term", "df", "total_tf", "postings_len", "postings"))

@@ -691,3 +691,37 @@ def test_per_group_sample_exact_k(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
     with pytest.raises(ValueError):
         sampling.per_group_sample(d, "lang", k=0)
+
+
+def test_inverted_index_postings_and_cap(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import search
+
+    rows = [(3, "b a a"), (1, "a b"), (2, "a c"), (4, "c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in
+           search.inverted_index(docs, max_postings=2).collect()}
+    a = got["a"]
+    assert (a["df"], a["total_tf"]) == (3, 4)
+    assert a["postings"] == "1:1,2:1" and a["postings_len"] == 2  # capped
+    assert got["b"]["postings"] == "1:1,3:1"
+    assert got["c"]["postings"] == "2:1,4:1"
+    # min_df prunes the hapax tail
+    only = search.inverted_index(docs, min_df=2).select("term").collect()
+    assert {r["term"] for r in only} == {"a", "b", "c"}
+
+
+def test_source_tfidf_surfaces_distinctive_terms(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import profiling
+
+    rows = [(0, "common words plus quantum quantum", "s0"),
+            (1, "common words plus farming", "s1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = profiling.source_tfidf_terms(docs, top_k=2).collect()
+    top = {r["source"]: [x for x in got if x["source"] == r["source"]]
+           for r in got}
+    s0 = sorted(top["s0"], key=lambda r: r["rank"])
+    assert s0[0]["term"] == "quantum" and s0[0]["tf"] == 2
+    assert s0[0]["tfidf"] > 0
+    assert top["s1"][0]["term"] == "farming"
+    # shared vocabulary scores ln(2/2)=0, never outranks distinctive terms
+    assert all(r["tfidf"] == 0 for r in got if r["term"] == "common")
