@@ -135,6 +135,13 @@ def main() -> None:
             df_fn = lambda: extraction.extract_documents(corpus)  # noqa: E731
         else:
             df_fn = lambda name=name: qs[name](spark, sf_dir)  # noqa: E731
+        # earlier timed queries leave the 48g heap primed for a
+        # stop-the-world full collection (measured: ~28 s landing on
+        # whichever query runs it first — dedup_simhash cold read 31.6 s
+        # vs 3.3 s warm purely from inheriting minhash's garbage); a
+        # long-lived app GCs continuously between jobs, so take it
+        # off-clock before each query, same as the post-warm-up gc
+        spark.sparkContext._jvm.System.gc()
         runs = []
         for _ in range(2):
             t0 = time.time()
