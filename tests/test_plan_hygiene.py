@@ -297,3 +297,53 @@ def test_asof_join_is_one_exchange_per_side(spark):
     plan = _plan(asof_join(left, right, on="k"))
     assert "NestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning(k#") == 1
+
+
+def test_simhash_swar_single_project_no_hof_filters(documents):
+    """The SWAR signature must evaluate the md5 transform ONCE (a single
+    non-collapsed projection feeding 16 scalar folds) — no ArrayFilter
+    passes, which allocated a filtered array per bit per row."""
+    plan = _plan(dedup.simhash_signatures(documents))
+    assert "array_filter" not in plan.lower()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    # exactly one aggregate-fold projection layer referencing hv
+    assert plan.count("md5") <= plan.count("Project") * 2
+
+
+def test_inverted_index_caps_before_collect(documents):
+    """Posting lists must be truncated by the sort-window (spillable)
+    BEFORE collect_list materializes anything: the plan's Window comes
+    strictly below the final aggregate, and the filter on rn sits
+    between them."""
+    from rca_pdf_extraction_pipeline_spark.operators import search
+
+    plan = _plan(search.inverted_index(documents, max_postings=4))
+    assert "EvalPython" not in plan
+    w = plan.index("Window")
+    agg_above = plan.rindex("ObjectHashAggregate") if "ObjectHashAggregate" \
+        in plan else plan.rindex("HashAggregate")
+    assert agg_above < w, "collect_list must consume the capped window output"
+    # exactly two exchanges total — (term, id) for tf, term for the
+    # window; the final aggregate reuses the window's partitioning
+    # instead of adding a third
+    assert plan.count("Exchange") == 2
+
+
+def test_source_tfidf_broadcasts_group_count(documents):
+    from rca_pdf_extraction_pipeline_spark.operators import profiling
+
+    plan = _plan(profiling.source_tfidf_terms(documents))
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row n_groups cross join
+
+
+def test_hybrid_rrf_windows_are_post_limit(documents):
+    """Both rank windows must sit above a LocalLimit/TakeOrdered of their
+    candidate list — the single-partition window is bounded by n_each,
+    never a corpus-wide sort."""
+    from rca_pdf_extraction_pipeline_spark.operators import search
+
+    plan = _plan(search.hybrid_rrf_topk(documents, ["table"], query_doc=0))
+    assert "EvalPython" not in plan
+    for frag in plan.split("Window")[1:]:
+        assert "TakeOrderedAndProject" in frag, frag[:800]
