@@ -48,6 +48,7 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     sampling,
     search,
     sessions,
+    sketches,
     similarity,
     skew,
     substring_dedup,
@@ -896,6 +897,12 @@ def _q_source_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         top_k=5)
 
 
+def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-token estimate per language,
+    next to the exact count (sketch correctness made visible)."""
+    return sketches.distinct_tokens_by_group(_t(spark, sf_dir, "documents"))
+
+
 # ---- HTML boilerplate stripping (north_rule; synthetic DOM blocks) --------
 
 
@@ -1114,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "inverted_index": _q_inverted_index,
         "source_tfidf": _q_source_tfidf,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
         "curation_flags": _q_curation_flags,
         "source_report": _q_source_report,
         "corpus_profile": _q_corpus_profile,
@@ -2450,6 +2458,45 @@ def oracle_sql() -> dict[str, str]:
                          + coalesce(1.0 / (60 + se.sem_rank), 0), 6) AS rrf
             FROM lex le FULL OUTER JOIN sem se ON le.doc_id = se.doc_id
             ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """,
+        "hll_distinct_tokens": """
+            WITH tok AS (
+              SELECT lang AS grp,
+                     unnest(list_filter(string_split(text, ' '),
+                            t -> t != '')) AS tok
+              FROM documents),
+            h AS (
+              SELECT grp, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h60
+              FROM tok),
+            regs AS (
+              SELECT grp, h60 >> 48 AS bucket,
+                MAX(CASE WHEN (h60 & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                         ELSE 48 - len(bin(h60 & ((1::BIGINT << 48) - 1))) + 1
+                    END) AS max_rank
+              FROM h GROUP BY 1, 2),
+            est AS (
+              SELECT grp,
+                     SUM(1::BIGINT << (49 - max_rank))::BIGINT AS si,
+                     COUNT(*)::BIGINT AS nz
+              FROM regs GROUP BY grp),
+            fin AS (
+              SELECT grp,
+                CASE WHEN ((0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                           / (si / 562949953421312.0 + (4096 - nz)))
+                          <= 2.5 * 4096
+                       AND (4096 - nz) > 0
+                     THEN round(4096 * ln(4096.0 / (4096 - nz)), 3)
+                     ELSE round((0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                           / (si / 562949953421312.0 + (4096 - nz)), 3)
+                END AS est_distinct
+              FROM est),
+            ex AS (
+              SELECT grp, COUNT(DISTINCT tok)::BIGINT AS exact_distinct
+              FROM tok GROUP BY grp)
+            SELECT f.grp AS lang, est_distinct, exact_distinct,
+                   round(abs(est_distinct - exact_distinct)
+                         / exact_distinct * 100, 3) AS rel_err_pct
+            FROM fin f JOIN ex USING (grp) ORDER BY lang
         """,
         "inverted_index": """
             WITH tok AS (

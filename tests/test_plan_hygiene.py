@@ -347,3 +347,20 @@ def test_hybrid_rrf_windows_are_post_limit(documents):
     assert "EvalPython" not in plan
     for frag in plan.split("Window")[1:]:
         assert "TakeOrderedAndProject" in frag, frag[:800]
+
+
+def test_hll_registers_shuffle_16_byte_rows_only(documents):
+    """The HLL register table must be the ONLY thing shuffled — the
+    exchange carries (group, bucket, rank) with map-side partial max,
+    never raw values; no Python eval anywhere."""
+    from rca_pdf_extraction_pipeline_spark.operators import sketches
+
+    q = sketches.hll_registers(
+        documents.select(F.col("lang"), F.col("text").alias("v")),
+        "v", ("lang",))
+    plan = _plan(q)
+    assert "EvalPython" not in plan
+    assert "partial_max" in plan          # map-side combine before exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "v#" not in line, line  # raw column never shuffles

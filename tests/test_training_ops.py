@@ -725,3 +725,34 @@ def test_source_tfidf_surfaces_distinctive_terms(spark):
     assert top["s1"][0]["term"] == "farming"
     # shared vocabulary scores ln(2/2)=0, never outranks distinctive terms
     assert all(r["tfidf"] == 0 for r in got if r["term"] == "common")
+
+
+def test_hll_estimate_accuracy_and_merge_invariance(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import sketches
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    est = sketches.hll_estimate(sketches.hll_registers(df, "v")).collect()
+    assert abs(est[0]["est_distinct"] - 20000) / 20000 < 0.05  # ~3 sigma
+    # estimate is a pure function of the value set: partitioning and
+    # duplication must not move it by a single bit
+    noisy = df.repartition(23).unionAll(df.limit(5000))
+    est2 = sketches.hll_estimate(sketches.hll_registers(noisy, "v")).collect()
+    assert est2 == est
+    # register tables merge by bucket-wise max: half+half == whole
+    lo, hi = df.filter("id < 10000"), df.filter("id >= 10000")
+    merged = (sketches.hll_registers(lo, "v")
+              .unionByName(sketches.hll_registers(hi, "v"))
+              .groupBy("bucket").agg(F.max("max_rank").alias("max_rank")))
+    est3 = sketches.hll_estimate(merged).collect()
+    assert est3 == est
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import sketches
+
+    df = spark.range(50).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    est = sketches.hll_estimate(sketches.hll_registers(df, "v")).collect()
+    assert abs(est[0]["est_distinct"] - 50) < 2   # linear counting is tight
+    with pytest.raises(ValueError, match=r"p must be"):
+        sketches.hll_registers(df, "v", p=25)
