@@ -903,6 +903,12 @@ def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.distinct_tokens_by_group(_t(spark, sf_dir, "documents"))
 
 
+def _q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token frequencies vs exact counts (sketch is an
+    upper bound; equality where no bucket collisions)."""
+    return sketches.token_counts_with_cms(_t(spark, sf_dir, "documents"))
+
+
 # ---- HTML boilerplate stripping (north_rule; synthetic DOM blocks) --------
 
 
@@ -1122,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "source_tfidf": _q_source_tfidf,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "cms_token_counts": _q_cms_token_counts,
         "curation_flags": _q_curation_flags,
         "source_report": _q_source_report,
         "corpus_profile": _q_corpus_profile,
@@ -2458,6 +2465,35 @@ def oracle_sql() -> dict[str, str]:
                          + coalesce(1.0 / (60 + se.sem_rank), 0), 6) AS rrf
             FROM lex le FULL OUTER JOIN sem se ON le.doc_id = se.doc_id
             ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """,
+        "cms_token_counts": """
+            WITH tok AS (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                            t -> t != '')) AS tok
+              FROM documents),
+            rws AS (SELECT * FROM (VALUES (0), (1), (2), (3)) d(row)),
+            counters AS (
+              SELECT row,
+                     ('0x' || substr(md5(row::VARCHAR || '|' || tok),
+                                     1, 15))::BIGINT % 1024 AS bucket,
+                     COUNT(*)::BIGINT AS cnt
+              FROM tok CROSS JOIN rws GROUP BY 1, 2),
+            q AS (SELECT DISTINCT tok AS value FROM tok),
+            est AS (
+              SELECT q.value,
+                     MIN(coalesce(c.cnt, 0))::BIGINT AS est_count
+              FROM q CROSS JOIN rws d
+              LEFT JOIN counters c
+                ON c.row = d.row
+               AND c.bucket = ('0x' || substr(
+                     md5(d.row::VARCHAR || '|' || q.value),
+                     1, 15))::BIGINT % 1024
+              GROUP BY q.value),
+            ex AS (
+              SELECT tok AS value, COUNT(*)::BIGINT AS exact_count
+              FROM tok GROUP BY tok)
+            SELECT value, est_count, exact_count
+            FROM est JOIN ex USING (value) ORDER BY value
         """,
         "hll_distinct_tokens": """
             WITH tok AS (

@@ -122,3 +122,89 @@ def distinct_tokens_by_group(docs: DataFrame, group_col: str = "lang",
                             / F.col("exact_distinct") * 100, 3)
                     .alias("rel_err_pct"))
             .orderBy(group_col))
+
+
+def cms_counters(df: DataFrame, value_col: str, depth: int = 4,
+                 width: int = 1024) -> DataFrame:
+    """Count-min sketch counter table (Cormode & Muthukrishnan, J.Alg
+    2005): ``depth x width`` counters as rows (row, bucket, cnt) — at
+    most ``depth * width`` rows regardless of input size.
+
+    Row ``r``'s bucket for value v derives from an independent slice of
+    ``md5(r || '|' || v)`` — deterministic and engine-portable like
+    :func:`hll_registers`, so a SQL oracle reproduces every counter.
+
+    Scale: the input projects to (row, bucket) pairs (``depth`` rows per
+    record via a tiny posexplode) and hash-aggregates with map-side
+    partial sums — the exchange carries at most ``depth * width``
+    grouped rows per map task, never values.  Counter tables merge by
+    bucket-wise SUM, so per-partition / per-day sketches compose.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2, "
+                         f"got {depth} x {width}")
+    rows = F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(
+                F.conv(F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(r)),
+                                      F.col(value_col).cast("string"))),
+                    1, 15), 16, 10).cast("long"),
+                F.lit(width)).alias("bucket"))
+        for r in range(depth)])
+    return (df.select(F.explode(rows).alias("rb"))
+            .select(F.col("rb.row").alias("row"),
+                    F.col("rb.bucket").alias("bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(counters: DataFrame, queries_df: DataFrame,
+                 value_col: str, depth: int = 4,
+                 width: int = 1024) -> DataFrame:
+    """Point-estimate counts for the values in ``queries_df``: the MIN
+    over the ``depth`` counters each value hashes to (overestimates
+    only, by < e*N/width with probability 1 - e^-depth).
+
+    Returns (value, est_count).  The query side re-derives its (row,
+    bucket) keys and joins the counter table; with the default 4 KB
+    sketch the counters broadcast, so estimating any number of values
+    is a narrow pass over the query list.
+    """
+    rows = F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(
+                F.conv(F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(r)),
+                                      F.col(value_col).cast("string"))),
+                    1, 15), 16, 10).cast("long"),
+                F.lit(width)).alias("bucket"))
+        for r in range(depth)])
+    keyed = (queries_df.select(F.col(value_col).alias("value"),
+                               F.explode(rows).alias("rb"))
+             .select("value", F.col("rb.row").alias("row"),
+                     F.col("rb.bucket").alias("bucket")))
+    return (keyed.join(F.broadcast(counters), ["row", "bucket"], "left")
+            .groupBy("value")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_count")))
+
+
+def token_counts_with_cms(docs: DataFrame, text_col: str = "text",
+                          depth: int = 4, width: int = 1024) -> DataFrame:
+    """Corpus token frequencies through the count-min sketch, next to
+    the exact counts (value, est_count, exact_count) ordered by value —
+    est_count >= exact_count always, equal when the value's ``depth``
+    buckets saw no collisions.  At 100 TB the exact side disappears and
+    the ``depth x width``-row counter table answers any frequency query
+    via broadcast.
+    """
+    from ..functions import text as T
+
+    toks = docs.select(F.explode(T.tokens(F.col(text_col))).alias("value"))
+    counters = cms_counters(toks, "value", depth, width)
+    est = cms_estimate(counters, toks.distinct(), "value", depth, width)
+    exact = toks.groupBy("value").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "value").orderBy("value")

@@ -756,3 +756,28 @@ def test_hll_small_range_uses_linear_counting(spark):
     assert abs(est[0]["est_distinct"] - 50) < 2   # linear counting is tight
     with pytest.raises(ValueError, match=r"p must be"):
         sketches.hll_registers(df, "v", p=25)
+
+
+def test_cms_overestimates_and_merges(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import sketches
+
+    rows = [(f"w{i % 7}",) for i in range(100)] + [("rare",)]
+    df = spark.createDataFrame(rows, "v string")
+    # narrow sketch (width=8) to force collisions: est >= exact, never <
+    got = {r["value"]: r for r in sketches.token_counts_with_cms(
+        df.select(F.col("v").alias("text")), depth=2, width=8).collect()}
+    assert all(r["est_count"] >= r["exact_count"] for r in got.values())
+    assert got["rare"]["exact_count"] == 1
+    # wide sketch: no collisions at this cardinality -> exact recovery
+    wide = sketches.token_counts_with_cms(
+        df.select(F.col("v").alias("text"))).collect()
+    assert all(r["est_count"] == r["exact_count"] for r in wide)
+    # counter tables merge by bucket-wise sum: half + half == whole
+    c_all = sketches.cms_counters(df, "v")
+    lo = sketches.cms_counters(spark.createDataFrame(rows[:50], "v string"), "v")
+    hi = sketches.cms_counters(spark.createDataFrame(rows[50:], "v string"), "v")
+    merged = (lo.unionByName(hi).groupBy("row", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    assert sorted(merged.collect()) == sorted(c_all.collect())
+    with pytest.raises(ValueError, match="depth"):
+        sketches.cms_counters(df, "v", depth=0)
