@@ -217,3 +217,38 @@ def test_stream_dedup_unbounded_matches(spark, tmp_path):
     got = {r["content_hash"] for r in spark.sql(
         "SELECT content_hash FROM sdedup2").collect()}
     assert len(got) == 3
+
+
+def test_hll_registers_stream_equals_batch(spark, tmp_path):
+    """Streaming HLL: the register table after consuming the stream ==
+    the batch register table over the same rows (monoid merge inside
+    the streaming agg), so the batch estimator reads either side."""
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.operators import sketches as S
+    from rca_pdf_extraction_pipeline_spark.streaming import sketches as SS
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select(F.col("text").alias("v"))
+    in_dir = str(tmp_path / "vals")
+    docs.coalesce(3).write.parquet(in_dir)
+
+    batch = {(r["bucket"], r["max_rank"])
+             for r in S.hll_registers(docs, "v").collect()}
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (SS.hll_register_stream(stream, "v")
+         .writeStream.format("memory").queryName("hllregs")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["bucket"], r["max_rank"])
+           for r in spark.sql("select * from hllregs").collect()}
+    assert got == batch and len(batch) > 10
+    # the batch estimator reads the streamed registers unchanged
+    est = S.hll_estimate(spark.sql("select * from hllregs")).collect()
+    est_b = S.hll_estimate(S.hll_registers(docs, "v")).collect()
+    assert est == est_b
