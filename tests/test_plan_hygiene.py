@@ -364,3 +364,46 @@ def test_hll_registers_shuffle_16_byte_rows_only(documents):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "v#" not in line, line  # raw column never shuffles
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, lineitem):
+    """Bucketing prepays the join shuffle at write time: joining two
+    same-bucketed tables must plan with ZERO Exchange (and no per-task
+    Sort either — single sorted file per bucket), where the plain
+    parquet join shuffles both sides."""
+    from rca_pdf_extraction_pipeline_spark.plans import bucketing
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the point is the co-located SMJ path (at 100 TB neither side
+    # broadcasts); stop AQE from broadcasting the test-scale dim
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketing.write_bucketed(
+            lineitem.select("l_orderkey", "l_quantity"),
+            "bktest.li_b", "l_orderkey", 8)
+        bucketing.write_bucketed(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                          "o_totalprice"),
+            "bktest.ord_b", "l_orderkey", 8)
+        q = bucketing.bucketed_join(spark, "bktest.li_b", "bktest.ord_b",
+                                    "l_orderkey")
+        plan = _plan(q)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        # note: Spark 3+/4 still plans a defensive per-task Sort (the
+        # sorted-bucket scan ordering sits behind the legacy
+        # bucketedTableScan.outputOrdering flag); the prepaid SHUFFLE
+        # elision above is the part that matters at 100 TB
+        assert "SelectedBucketsCount: 8 out of 8" in _formatted(q)
+        # same join off plain (unbucketed) parquet shuffles both sides
+        plain = lineitem.select("l_orderkey", "l_quantity").join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                          "o_totalprice").hint("merge"), "l_orderkey")
+        assert "Exchange" in _plan(plain)
+        with pytest.raises(ValueError, match="n_buckets"):
+            bucketing.write_bucketed(lineitem, "bktest.bad", "l_orderkey", 0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
