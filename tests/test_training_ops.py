@@ -781,3 +781,28 @@ def test_cms_overestimates_and_merges(spark):
     assert sorted(merged.collect()) == sorted(c_all.collect())
     with pytest.raises(ValueError, match="depth"):
         sketches.cms_counters(df, "v", depth=0)
+
+
+def test_new_ops_tolerate_null_and_empty_text(spark):
+    """Nulls and empty strings must drop out of token-derived operators,
+    never crash or fabricate rows."""
+    from rca_pdf_extraction_pipeline_spark.operators import (
+        profiling,
+        search,
+        sketches,
+    )
+
+    rows = [(1, "alpha beta", "s0"), (2, None, "s0"), (3, "", "s1"),
+            (4, "   ", "s1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    idx = {r["term"]: r for r in search.inverted_index(docs).collect()}
+    assert set(idx) == {"alpha", "beta"}
+    assert idx["alpha"]["postings"] == "1:1"
+    tfidf = profiling.source_tfidf_terms(docs, top_k=3).collect()
+    assert {r["source"] for r in tfidf} == {"s0"}   # s1 has no tokens
+    hll = sketches.hll_estimate(
+        sketches.hll_registers(
+            docs.select(F.explode(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            ).alias("v")), "v")).collect()
+    assert abs(hll[0]["est_distinct"] - 2) < 0.1
