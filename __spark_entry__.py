@@ -903,6 +903,13 @@ def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.distinct_tokens_by_group(_t(spark, sf_dir, "documents"))
 
 
+def _q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-centroid population + exact integer inertia over the trained
+    k-means quantizer (corpus map of embedding space)."""
+    return similarity.cluster_profile(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch token frequencies vs exact counts (sketch is an
     upper bound; equality where no bucket collisions)."""
@@ -1129,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_tfidf": _q_source_tfidf,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_token_counts": _q_cms_token_counts,
+        "cluster_profile": _q_cluster_profile,
         "curation_flags": _q_curation_flags,
         "source_report": _q_source_report,
         "corpus_profile": _q_corpus_profile,
@@ -1739,6 +1747,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": f"""
             WITH {kmeans_ctes}
             SELECT cid, cv FROM c2
+        """,
+        "cluster_profile": f"""
+            WITH {kmeans_ctes},
+            p3 AS (SELECT e.vec_id, c.cid,
+                     list_aggregate(list_transform(generate_series(1, len(e.qv)),
+                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                       'sum') AS d2
+                   FROM e CROSS JOIN c2 c),
+            a3 AS (SELECT vec_id, cid, d2 FROM (
+                     SELECT p3.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p3)
+                   WHERE rn = 1)
+            SELECT cid, COUNT(*)::BIGINT AS n_vecs,
+                   SUM(d2)::BIGINT AS inertia,
+                   round(SUM(d2)::BIGINT / COUNT(*), 6) AS avg_d2
+            FROM a3 GROUP BY cid ORDER BY cid
         """,
         "ann_ivf_topk": f"""
             WITH {kmeans_ctes},

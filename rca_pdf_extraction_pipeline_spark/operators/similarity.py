@@ -245,6 +245,40 @@ def assign_centroids(embs: DataFrame, n_centroids: int = 4, iters: int = 2,
                     F.col(vec_col)))
 
 
+def cluster_profile(embs: DataFrame, n_centroids: int = 4, iters: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Corpus map: per-centroid population and inertia — (cid, n_vecs,
+    inertia, avg_d2) ordered by cid, where ``inertia`` is the EXACT
+    integer sum of squared lattice distances to the assigned centroid
+    (the k-means objective, reported per cluster; Lloyd 1982).
+
+    The dataset-card view of embedding space: cluster sizes expose
+    imbalance (one giant cluster = the quantizer needs more centroids
+    or more iterations), avg_d2 exposes diffuse clusters.  Same
+    broadcast-argmin front half as IVF; the profile aggregation is one
+    k-row shuffle.  Integer inertia makes the whole row set
+    addition-order-free — any engine, any partitioning, same bytes.
+    """
+    cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
+    lat = _lattice(embs, id_col, vec_col)
+    assigned = (lat.crossJoin(F.broadcast(cents))
+                .select(F.col(id_col),
+                        F.struct(_l2sq(F.col("qv"), F.col("cv")).alias("d2"),
+                                 F.col("cid")).alias("dc"))
+                .groupBy(id_col)
+                .agg(F.min("dc").alias("m"))
+                .select(F.col("m.cid").alias("cid"),
+                        F.col("m.d2").alias("d2")))
+    return (assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("d2").alias("inertia"))
+            .select("cid", "n_vecs", "inertia",
+                    F.round(F.col("inertia") / F.col("n_vecs"), 6)
+                    .alias("avg_d2"))
+            .orderBy("cid"))
+
+
 def semantic_near_pairs(embs: DataFrame, n_centroids: int = 4, iters: int = 2,
                         threshold: float = 0.5, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:

@@ -806,3 +806,18 @@ def test_new_ops_tolerate_null_and_empty_text(spark):
                 F.filter(F.split("text", " "), lambda t: t != F.lit(""))
             ).alias("v")), "v")).collect()
     assert abs(hll[0]["est_distinct"] - 2) < 0.1
+
+
+def test_cluster_profile_partitions_population_exactly(vectors):
+    got = similarity.cluster_profile(vectors, n_centroids=2).collect()
+    assert [r["cid"] for r in got] == sorted(r["cid"] for r in got)
+    assert sum(r["n_vecs"] for r in got) == 5      # every vector assigned once
+    assigned = {r["vec_id"]: r["cid"] for r in
+                similarity.assign_centroids(vectors, n_centroids=2).collect()}
+    from collections import Counter
+    by_cid = Counter(assigned.values())
+    assert {r["cid"]: r["n_vecs"] for r in got} == dict(by_cid)
+    # integer inertia: avg_d2 * n == inertia exactly (order-free sum)
+    for r in got:
+        assert r["inertia"] >= 0
+        assert abs(r["avg_d2"] * r["n_vecs"] - r["inertia"]) < 0.5
