@@ -666,8 +666,12 @@ def _q_sim_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.kmeans_centroids(_t(spark, sf_dir, "embeddings"),
-                                       k=4, iters=2)
+    """Trained centroids, flattened to scalar (cid, dim, cv_val) rows so
+    the external correctness gate can canonicalize (its pandas sorter
+    cannot factorize array columns)."""
+    cents = similarity.kmeans_centroids(_t(spark, sf_dir, "embeddings"),
+                                        k=4, iters=2)
+    return cents.select("cid", F.posexplode("cv").alias("dim", "cv_val"))
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,8 +696,10 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document embeddings (one md5 per token, integer
-    signed counts, L2-normalized)."""
-    return embedding.embed_documents(_t(spark, sf_dir, "documents"), dim=16)
+    signed counts, L2-normalized), flattened to scalar (doc_id, dim,
+    val) rows for the external gate's pandas canonicalizer."""
+    embs = embedding.embed_documents(_t(spark, sf_dir, "documents"), dim=16)
+    return embs.select("doc_id", F.posexplode("embedding").alias("dim", "val"))
 
 
 def _q_text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1745,8 +1751,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
         """,
         "ann_kmeans_centroids": f"""
-            WITH {kmeans_ctes}
-            SELECT cid, cv FROM c2
+            WITH {kmeans_ctes},
+            flat AS (SELECT cid, unnest(generate_series(1, len(cv))) AS i, cv
+                     FROM c2)
+            SELECT cid, (i - 1)::INT AS dim, cv[i]::BIGINT AS cv_val
+            FROM flat
         """,
         "cluster_profile": f"""
             WITH {kmeans_ctes},
@@ -1815,8 +1824,13 @@ def oracle_sql() -> dict[str, str]:
             FROM totals, top
         """,
         "text_embed_vectors": f"""
-            WITH {_HASHED_EMBED_CTES}
-            SELECT doc_id, embedding FROM emb
+            WITH {_HASHED_EMBED_CTES},
+            flat AS (SELECT doc_id,
+                       unnest(generate_series(1, len(embedding))) AS i,
+                       embedding
+                     FROM emb)
+            SELECT doc_id, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS val
+            FROM flat
         """,
         "text_embed_topk": f"""
             WITH {_HASHED_EMBED_CTES},
