@@ -27,13 +27,25 @@ OUT_SCHEMA = ("doc_id string, headers array<string>, "
               "original_headers array<string>, n_tables int, n_rows int, "
               "rows array<array<string>>")
 
+#: loud ceiling on tables per document: the per-TABLE Python list build
+#: below is bounded by this, never by row count (the reference doc has
+#: 4 tables; 256 is far past any real layout).  A doc over the cap is a
+#: malformed/adversarial input — fail the task with a clear message
+#: rather than quietly burn driver-scale time inside one group.
+MAX_TABLES_PER_DOC = 256
+
 
 def consolidate_documents(tables: DataFrame) -> DataFrame:
     """(doc_id, table_id, headers, rows) -> one consolidated table per doc."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > MAX_TABLES_PER_DOC:
+            raise ValueError(
+                f"consolidate_documents: doc {pdf['doc_id'].iloc[0]!r} has "
+                f"{len(pdf)} tables > cap {MAX_TABLES_PER_DOC}; split the "
+                "document or raise MAX_TABLES_PER_DOC deliberately")
         pdf = pdf.sort_values("table_id")
-        # per-TABLE (not per-row) list build; a doc has a handful of tables
+        # per-TABLE (not per-row) list build, bounded by the cap above
         tbls = [
             {"headers": list(h), "original_headers": list(h),
              "rows": [list(x) for x in rws]}

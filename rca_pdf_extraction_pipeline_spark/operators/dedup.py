@@ -33,6 +33,37 @@ SIMHASH_BITS = 64
 #: the 64-bit signature => 2^16 blocks per band, and any pair with
 #: Hamming distance <= SIMHASH_BANDS - 1 = 3 agrees exactly on >=1 band.
 SIMHASH_BANDS = 4
+#: SWAR SimHash packs four 16-bit per-bit counters per long: a document
+#: with more distinct shingles than this overflows a lane into its
+#: neighbour and silently corrupts the signature, so the operator
+#: raises instead (chunk oversized docs upstream, operators/chunking.py).
+SIMHASH_LANE_CAP = 65535
+
+
+class _Materializer:
+    """Lineage cut + row pinning for iterative / reused intermediates.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint(eager=True)`` —
+    fast, but blocks live on executors, so one lost executor kills a
+    long-running job mid-dedup.  With ``checkpoint_dir`` set, each
+    materialization is written to real storage (parquet under a unique
+    subdirectory) and read back — fault-tolerant on a cluster where the
+    dir is HDFS/S3, and inspectable after the run.  The round-trip also
+    truncates the logical plan exactly like ``localCheckpoint``, so the
+    CC label loop's plans stay O(1) either way.
+    """
+
+    def __init__(self, checkpoint_dir: str | None = None):
+        self.dir = checkpoint_dir
+        self._n = 0
+
+    def __call__(self, df: DataFrame, name: str) -> DataFrame:
+        if self.dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{self.dir}/{name}_{self._n:04d}.parquet"
+        self._n += 1
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
@@ -104,7 +135,8 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             n_hashes: int = DEFAULT_MINHASH_SEEDS,
                             bands: int = DEFAULT_BANDS,
-                            shingle_size: int = 3) -> DataFrame:
+                            shingle_size: int = 3,
+                            checkpoint_dir: str | None = None) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) from band-key
     collisions. The join shuffles on band_key only; AQE handles any
     hot bucket (e.g. empty-document collisions).
@@ -112,7 +144,10 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     The band-key table is persisted before the self-join so the
     md5-per-shingle signature computation runs once, not once per join
     side — at cluster scale this materialization is a signatures table
-    written once and joined many times."""
+    written once and joined many times.  Pass ``checkpoint_dir`` (a
+    durable path on a cluster) to pin the pair table on storage instead
+    of executor blocks — see :class:`_Materializer`."""
+    mat = _Materializer(checkpoint_dir)
     keys = minhash_band_keys(docs, text_col, id_col, n_hashes, bands, shingle_size).persist()
     try:
         a = keys.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"))
@@ -124,7 +159,7 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
             .distinct()
         )
         # materialize while the signature table is pinned, then release
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = mat(pairs, "minhash_pairs")
     finally:
         keys.unpersist()
     return pairs
@@ -165,7 +200,8 @@ def deduplicate_corpus(docs: DataFrame, text_col: str = "text",
                        jaccard_threshold: float = 0.8,
                        n_hashes: int = DEFAULT_MINHASH_SEEDS,
                        bands: int = DEFAULT_BANDS,
-                       shingle_size: int = 3) -> DataFrame:
+                       shingle_size: int = 3,
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """End-to-end near-dedup with keep-first policy: a document is
     dropped iff an LSH candidate pair links it to a LOWER-id document
     whose verified shingle Jaccard clears the threshold.
@@ -179,7 +215,8 @@ def deduplicate_corpus(docs: DataFrame, text_col: str = "text",
     verification runs only on band-collision pairs, never O(N^2).
     """
     verified = verified_near_pairs(docs, text_col, id_col, jaccard_threshold,
-                                   n_hashes, bands, shingle_size)
+                                   n_hashes, bands, shingle_size,
+                                   checkpoint_dir=checkpoint_dir)
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 
@@ -189,12 +226,13 @@ def verified_near_pairs(docs: DataFrame, text_col: str = "text",
                         jaccard_threshold: float = 0.8,
                         n_hashes: int = DEFAULT_MINHASH_SEEDS,
                         bands: int = DEFAULT_BANDS,
-                        shingle_size: int = 3) -> DataFrame:
+                        shingle_size: int = 3,
+                        checkpoint_dir: str | None = None) -> DataFrame:
     """LSH candidate pairs whose exact shingle Jaccard clears the
     threshold — (id_a, id_b) with id_a < id_b.  Shared by the greedy and
     connected-components dedup policies."""
     cand = minhash_candidate_pairs(docs, text_col, id_col, n_hashes, bands,
-                                   shingle_size)
+                                   shingle_size, checkpoint_dir=checkpoint_dir)
     toks = T.shingle_set(F.col(text_col), shingle_size)
     t = docs.select(F.col(id_col), toks.alias("tok_set"))
     a = t.select(F.col(id_col).alias("id_a"), F.col("tok_set").alias("tok_a"))
@@ -213,7 +251,8 @@ def deduplicate_corpus_cc(docs: DataFrame, text_col: str = "text",
                           n_hashes: int = DEFAULT_MINHASH_SEEDS,
                           bands: int = DEFAULT_BANDS,
                           shingle_size: int = 3,
-                          max_iter: int = 50) -> DataFrame:
+                          max_iter: int = 50,
+                          checkpoint_dir: str | None = None) -> DataFrame:
     """Connected-components dedup: keep exactly the MINIMUM id of every
     near-dup component (transitive closure of verified pairs).
 
@@ -227,25 +266,29 @@ def deduplicate_corpus_cc(docs: DataFrame, text_col: str = "text",
     node takes the min of its own label and its neighbors' labels; stop
     when no label changed (converges in O(component diameter) rounds,
     which for near-dup clusters is tiny).  Each round is one shuffle on
-    the node id; lineage is cut with ``localCheckpoint`` so plans don't
-    grow unboundedly (on a cluster, a persisted intermediate table plays
-    this role).
+    the node id; lineage is cut per round via :class:`_Materializer` —
+    default ``localCheckpoint`` (executor blocks; fine locally), or
+    real storage under ``checkpoint_dir`` so a lost executor cannot
+    kill a 100 TB dedup mid-loop and each round's label table survives
+    for inspection/resume.
     """
+    mat = _Materializer(checkpoint_dir)
     pairs = verified_near_pairs(docs, text_col, id_col, jaccard_threshold,
-                                n_hashes, bands, shingle_size)
-    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                       F.col("id_a").alias("dst")))
-             .localCheckpoint(eager=True))
-    labels = (docs.select(F.col(id_col).alias("node"))
-              .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+                                n_hashes, bands, shingle_size,
+                                checkpoint_dir=checkpoint_dir)
+    edges = mat(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst"))), "cc_edges")
+    labels = mat(
+        docs.select(F.col(id_col).alias("node"))
+        .withColumn("label", F.col("node")), "cc_labels")
     for _ in range(max_iter):
         incoming = (edges.join(labels, edges["src"] == labels["node"])
                     .select(F.col("dst").alias("node"), F.col("label")))
-        new_labels = (labels.unionByName(incoming)
-                      .groupBy("node").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=True))
+        new_labels = mat(
+            labels.unionByName(incoming)
+            .groupBy("node").agg(F.min("label").alias("label")), "cc_labels")
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
                    .filter(F.col("n.label") != F.col("o.label"))
@@ -261,7 +304,8 @@ def deduplicate_corpus_cc(docs: DataFrame, text_col: str = "text",
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        bits: int = SIMHASH_BITS,
-                       shingle_size: int = 3) -> DataFrame:
+                       shingle_size: int = 3,
+                       lane_cap: int = SIMHASH_LANE_CAP) -> DataFrame:
     """Per-document 64-bit SimHash signature (Charikar 2002): for each bit
     j, sum +1/-1 votes of hash64(shingle) bit j over the distinct shingle
     set; bit j of the signature is 1 iff the sum is positive.
@@ -281,6 +325,9 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     if bits != 64:
         raise ValueError("simhash_signatures is fixed at 64 bits "
                          "(two 32-bit halves); got bits=%r" % bits)
+    if not 0 < lane_cap <= SIMHASH_LANE_CAP:
+        raise ValueError(f"lane_cap must be in (0, {SIMHASH_LANE_CAP}]; "
+                         f"got {lane_cap}")
     toks = T.shingle_set(F.col(text_col), shingle_size)
     hashed = F.transform(
         toks,
@@ -288,8 +335,20 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
             F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("hi"),
             F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("lo"),
         ))
+    # loud runtime guard: a per-bit count can reach n, and the SWAR
+    # lanes hold 16 bits — raise per-row rather than overflow silently
+    n_guarded = F.when(
+        F.size(hashed) > lane_cap,
+        F.raise_error(F.concat(
+            F.lit("simhash_signatures: document "),
+            F.col(id_col).cast("string"),
+            F.lit(" has "), F.size(hashed).cast("string"),
+            F.lit(f" distinct shingles > lane cap {lane_cap}; "
+                  "chunk oversized documents upstream "
+                  "(operators/chunking.py) before SimHash"))).cast("int"),
+    ).otherwise(F.size(hashed))
     base = docs.select(F.col(id_col), hashed.alias("hv"),
-                       F.size(hashed).alias("n"))
+                       n_guarded.alias("n"))
     # Fully NARROW per-row form — no explode, no groupBy, zero shuffle —
     # via SWAR lane-spread popcounting: reassemble the 64-bit hash
     # (hi<<32 | lo; sign bit overflow is the intended bit pattern) and,
@@ -302,9 +361,9 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     # per bit per row (higher-order functions are not whole-stage
     # codegen'd): 4x fewer array traversals, zero allocations, ~4x
     # measured.  Lane counters hold 65535: documents with more distinct
-    # shingles than that (~400 KB of text) must be chunked upstream
-    # (operators/chunking.py) — the standard cap for shingle-based
-    # sketches.
+    # shingles than that (~400 KB of text) trip the raise_error guard on
+    # ``n`` above and must be chunked upstream (operators/chunking.py) —
+    # the standard cap for shingle-based sketches, enforced loudly.
     lane_mask = 0x0001000100010001
 
     def _lane_sum(k: int) -> F.Column:
@@ -386,12 +445,15 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs_from_signatures(sigs: DataFrame, id_col: str = "doc_id",
-                                  max_hamming: int = SIMHASH_BANDS - 1
+                                  max_hamming: int = SIMHASH_BANDS - 1,
+                                  checkpoint_dir: str | None = None
                                   ) -> DataFrame:
     """Banding + verify over a (id, sig_hi, sig_lo) signature table —
     split out so the recall guarantee is testable on handcrafted
     signatures and so a persisted signatures table can be re-joined
-    without recomputing shingle hashes."""
+    without recomputing shingle hashes.  ``checkpoint_dir`` pins the
+    pair table on durable storage instead of executor blocks."""
+    mat = _Materializer(checkpoint_dir)
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError(
             f"pigeonhole banding with {SIMHASH_BANDS} bands only guarantees "
@@ -421,9 +483,8 @@ def simhash_pairs_from_signatures(sigs: DataFrame, id_col: str = "doc_id",
                  .distinct())
         ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
-        out = (pairs.select("id_a", "id_b", ham.alias("hamming"))
-               .filter(F.col("hamming") <= max_hamming)
-               .localCheckpoint(eager=True))
+        out = mat(pairs.select("id_a", "id_b", ham.alias("hamming"))
+                  .filter(F.col("hamming") <= max_hamming), "simhash_pairs")
     finally:
         t.unpersist()
     return out

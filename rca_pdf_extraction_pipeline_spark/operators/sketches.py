@@ -50,6 +50,9 @@ def hll_registers(df: DataFrame, value_col: str,
     if not 4 <= p <= 18:
         raise ValueError(f"p must be in [4, 18], got {p}")
     suffix_bits = _HASH_BITS - p
+    # NULLs never register: countDistinct ignores NULL, and an unfiltered
+    # md5(NULL) row would land a (NULL, NULL) register that inflates _nz
+    df = df.where(F.col(value_col).isNotNull())
     h = _hash60(F.col(value_col))
     bucket = F.shiftrightunsigned(h, suffix_bits)
     suffix = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
@@ -83,7 +86,9 @@ def hll_estimate(registers: DataFrame,
     """
     m = float(1 << p)
     suffix_bits = _HASH_BITS - p
-    alpha = 0.7213 / (1.0 + 1.079 / m)  # p >= 7 constant from the paper
+    # bias correction per Flajolet et al. 2007 §4: small m has dedicated
+    # constants; the closed form only holds for m >= 128 (p >= 7)
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1.0 + 1.079 / m))
     agg = registers.groupBy(*group_cols).agg(
         F.sum(F.expr(
             f"shiftleft(cast(1 as bigint), {suffix_bits + 1} - max_rank)"))
@@ -153,7 +158,9 @@ def cms_counters(df: DataFrame, value_col: str, depth: int = 4,
                     1, 15), 16, 10).cast("long"),
                 F.lit(width)).alias("bucket"))
         for r in range(depth)])
-    return (df.select(F.explode(rows).alias("rb"))
+    # symmetric with hll_registers: NULL values never count
+    return (df.where(F.col(value_col).isNotNull())
+            .select(F.explode(rows).alias("rb"))
             .select(F.col("rb.row").alias("row"),
                     F.col("rb.bucket").alias("bucket"))
             .groupBy("row", "bucket")

@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        # pin the session zone: gap/window arithmetic on TIMESTAMP (ltz)
+        # and the NTZ<->LTZ round-trips in sessionize must agree with the
+        # naive-timestamp DuckDB oracles on any host, any DST rules
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

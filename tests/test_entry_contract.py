@@ -32,7 +32,7 @@ def test_query_output_schema_is_scalar(spark, name):
         "array_join before returning")
 
 
-def test_every_query_has_matching_name_in_oracles_or_is_exempt():
+def test_every_query_has_matching_name_in_oracles():
     """Each queries() key either has a DuckDB twin or is a documented
     non-SQL-expressible exemption (driver then runs rows-only)."""
     q = set(entry.queries().keys())

@@ -136,6 +136,21 @@ def test_nested_tables_feed_p3_consolidation(spark):
                                          ["a3", "", "c3"]]
 
 
+def test_consolidation_table_cap_guard(spark):
+    """The per-doc Python table build is bounded by MAX_TABLES_PER_DOC —
+    a doc past the cap fails loudly instead of burning unbounded time
+    inside one applyInPandas group."""
+    import pytest
+
+    n = consolidate.MAX_TABLES_PER_DOC + 1
+    rows = [("d", t, ["H1", "H2"], [["a", "b"]]) for t in range(n)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, table_id int, headers array<string>, "
+              "rows array<array<string>>")
+    with pytest.raises(Exception, match="MAX_TABLES_PER_DOC"):
+        consolidate.consolidate_documents(df).collect()
+
+
 def _grid_doc_from_spec(xb, yb, filled):
     """Build a ruled-grid doc from boundary lists + {(r,c): text}."""
     spans, off = [], 0

@@ -102,6 +102,33 @@ def test_simhash_max_hamming_guard(spark):
         dedup.simhash_pairs_from_signatures(sigs, max_hamming=4)
 
 
+def test_simhash_lane_cap_guard(spark):
+    """SWAR 16-bit lane counters overflow silently past 65535 distinct
+    shingles, so the operator must raise loudly instead.  Exercise the
+    guard with a tiny injected cap (the mechanism is cap-independent)."""
+    from pyspark.errors import SparkRuntimeException
+
+    big = " ".join(f"w{i}" for i in range(15))  # 13 distinct 3-shingles
+    docs = spark.createDataFrame(
+        [(1, big), (2, "zz aa bb")], "doc_id long, text string")
+    # doc 1 has 13 distinct token 3-shingles: cap=8 must raise loudly
+    with pytest.raises(SparkRuntimeException, match="lane cap 8"):
+        dedup.simhash_signatures(docs, lane_cap=8).collect()
+    # boundary: cap == n is safe, signatures come back for both docs
+    ok = dedup.simhash_signatures(docs, lane_cap=13).collect()
+    assert len(ok) == 2
+    # cap above the SWAR-safe 65535 is itself rejected
+    with pytest.raises(ValueError, match="lane_cap"):
+        dedup.simhash_signatures(docs, lane_cap=70000)
+
+
+def test_simhash_lane_cap_default_unchanged(corpus):
+    """Guarded signatures equal the unguarded values for in-cap docs."""
+    sigs = {r["doc_id"]: (r["sig_hi"], r["sig_lo"])
+            for r in dedup.simhash_signatures(corpus).collect()}
+    assert sigs[1] == sigs[2]
+
+
 def test_minhash_bands_must_divide(corpus):
     with pytest.raises(ValueError, match="divide"):
         dedup.minhash_band_keys(corpus, n_hashes=8, bands=3)
@@ -144,6 +171,37 @@ def test_cc_dedup_chain_propagates_min_label(spark):
     assert pairs == [(1, 2), (2, 3)]
     cc = sorted(r.doc_id for r in dedup.deduplicate_corpus_cc(c).collect())
     assert cc == [1]
+
+
+def test_cc_dedup_storage_backed_checkpoint(spark, tmp_path):
+    """checkpoint_dir routes every lineage cut through real parquet files
+    (cluster-safe: survives executor loss, unlike localCheckpoint blocks)
+    and must reproduce the default path's answer exactly."""
+    c = _star_corpus(spark)
+    ckpt = str(tmp_path / "dedup_ckpt")
+    cc = sorted(r.doc_id
+                for r in dedup.deduplicate_corpus_cc(
+                    c, checkpoint_dir=ckpt).collect())
+    assert cc == [1]
+    written = sorted(p.name for p in (tmp_path / "dedup_ckpt").iterdir())
+    # pairs + edges + initial labels + >=1 label round hit storage
+    assert any(n.startswith("minhash_pairs") for n in written)
+    assert any(n.startswith("cc_edges") for n in written)
+    assert sum(n.startswith("cc_labels") for n in written) >= 2
+    assert all((tmp_path / "dedup_ckpt" / n / "_SUCCESS").exists()
+               for n in written)
+
+
+def test_simhash_pairs_storage_backed_checkpoint(spark, tmp_path):
+    rows = [(1, 0, 0), (2, 0, 1), (3, 0x0F0F0F0F, 0xF0F0F0F0)]
+    sigs = spark.createDataFrame(rows, "doc_id long, sig_hi long, sig_lo long")
+    ckpt = str(tmp_path / "sh_ckpt")
+    got = sorted((r.id_a, r.id_b, r.hamming)
+                 for r in dedup.simhash_pairs_from_signatures(
+                     sigs, checkpoint_dir=ckpt).collect())
+    assert got == [(1, 2, 1)]
+    assert any(p.name.startswith("simhash_pairs")
+               for p in (tmp_path / "sh_ckpt").iterdir())
 
 
 @pytest.fixture(scope="module")
@@ -756,6 +814,36 @@ def test_hll_small_range_uses_linear_counting(spark):
     assert abs(est[0]["est_distinct"] - 50) < 2   # linear counting is tight
     with pytest.raises(ValueError, match=r"p must be"):
         sketches.hll_registers(df, "v", p=25)
+
+
+def test_hll_cms_ignore_nulls(spark):
+    """Sketches follow countDistinct's NULL semantics: NULL values never
+    register (an unfiltered md5(NULL) row would shrink the empty-register
+    count and bias the HLL estimate)."""
+    from rca_pdf_extraction_pipeline_spark.operators import sketches
+
+    clean = spark.range(200).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    dirty = clean.unionByName(
+        spark.range(7).select(F.lit(None).cast("string").alias("v")))
+    assert (sketches.hll_estimate(sketches.hll_registers(dirty, "v")).collect()
+            == sketches.hll_estimate(sketches.hll_registers(clean, "v")).collect())
+    assert (sorted(sketches.cms_counters(dirty, "v").collect())
+            == sorted(sketches.cms_counters(clean, "v").collect()))
+
+
+def test_hll_small_p_alpha_constants(spark):
+    """p in [4,6] uses the paper's dedicated alpha (0.673/0.697/0.709);
+    the closed-form p>=7 constant would bias these precisions."""
+    from rca_pdf_extraction_pipeline_spark.operators import sketches
+
+    df = spark.range(100000).select(
+        F.concat(F.lit("n"), F.col("id")).alias("v"))
+    for p, sigma in ((4, 0.26), (5, 0.185), (6, 0.131)):
+        est = sketches.hll_estimate(
+            sketches.hll_registers(df, "v", p=p), p=p).collect()
+        rel = abs(est[0]["est_distinct"] - 100000) / 100000
+        assert rel < 3 * sigma, f"p={p}: rel err {rel:.3f}"
 
 
 def test_cms_overestimates_and_merges(spark):
