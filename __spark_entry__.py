@@ -356,6 +356,39 @@ def _q_span_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id").limit(100))
 
 
+def _q_span_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind element census over the FULL ElementType surface incl.
+    path/curve/annotation (reference models.py:8-18; items payload per
+    database.py:113-121): the corpus wrapped into interleaved spans with
+    deterministic vector-art spans keyed on doc_id residues."""
+    d = _t(spark, sf_dir, "documents")
+
+    def span(kind: str, payload) -> F.Column:
+        return F.struct(
+            F.lit(kind).alias("kind"), payload.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))
+
+    def opt(cond, kind: str, payload) -> F.Column:
+        return F.when(cond, span(kind, payload))
+
+    spans = F.array(
+        span("text", F.concat(F.lit("1|"), F.col("text"))),
+        opt(F.col("doc_id") % 3 == 0, "path",
+            F.lit("1,10,10,90,90|m 10 10;l 90 10;l 90 90;h")),
+        opt(F.col("doc_id") % 5 == 0, "curve",
+            F.lit("1,5,5,50,50|m 5 5;c 10 10 40 40 50 50")),
+        opt(F.col("doc_id") % 7 == 0, "annotation",
+            F.concat(F.lit("1,100,100,200,120|note "),
+                     F.col("doc_id").cast("string"))),
+        opt(F.col("doc_id") % 11 == 0, "line", F.lit("1,0,300,600,300|")),
+    )
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.filter(spans, lambda s: s.isNotNull()).alias("spans"))
+    return metadata.element_kind_census(docs)
+
+
 def _q_dedup_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.deduplicate_corpus_cc(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", "source", "n_chars")
@@ -677,6 +710,15 @@ def _q_ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0,
                                k=10, n_centroids=4, iters=2, nprobe=2)
+
+
+def _q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose codebook is trained on a deterministic 50% hash-
+    sample (production shape: Lloyd rounds touch the sample only; the
+    full corpus is scanned exactly once, for assignment)."""
+    return similarity.ivf_topk_sampled(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_centroids=4,
+        iters=2, nprobe=2, sample_rate=0.5, seed=0)
 
 
 def _q_sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_depth_summary": _q_a8_depth_summary,
         "s5_doc_metadata": _q_s5_doc_metadata,
         "span_search": _q_span_search,
+        "span_kind_census": _q_span_kind_census,
         # relational operators (SURVEY §2.3, §2.4, §2.6)
         "a0_pricing_summary": _q_a0_pricing_summary,
         "j1_broadcast_join": _q_j1_broadcast_join,
@@ -1107,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bucketed_topk": _q_sim_bucketed_topk,
         "sim_multiprobe_topk": _q_sim_multiprobe_topk,
         "ann_kmeans_centroids": _q_ann_kmeans_centroids,
+        "ann_ivf_sampled": _q_ann_ivf_sampled,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "semantic_dedup_pairs": _q_semantic_dedup_pairs,
         "semantic_dedup_keep": _q_semantic_dedup_keep,
@@ -1320,6 +1364,24 @@ def oracle_sql() -> dict[str, str]:
         + _kmeans_iter("c1", 2)
     )
 
+    # sampled-codebook variant: the Lloyd CTEs run over `e` = the
+    # deterministic 50% hash-sample (sampling.sample_bucket, seed 0);
+    # `efull` is the whole corpus, touched once by the assignment CTE
+    kmeans_sampled_ctes = (
+        """
+            efull AS (SELECT vec_id, embedding,
+                    list_transform(embedding,
+                      x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+                  FROM embeddings),
+            e AS (SELECT * FROM efull
+                  WHERE ('0x' || substr(md5('0:' || vec_id), 1, 8))::BIGINT
+                        % 1000000 < 500000),
+            c0 AS (SELECT vec_id AS cid, qv AS cv FROM e
+                   ORDER BY vec_id LIMIT 4),"""
+        + _kmeans_iter("c0", 1) + ","
+        + _kmeans_iter("c1", 2)
+    )
+
     return {
         # ---- extraction: golden-artifact oracles --------------------------
         "extract_flagship": f"""
@@ -1400,6 +1462,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE text LIKE '%the%'
             ORDER BY doc_id LIMIT 100
+        """,
+        "span_kind_census": """
+            WITH sp AS (
+              SELECT doc_id, 'text' AS kind, text AS content FROM documents
+              UNION ALL
+              SELECT doc_id, 'path', 'm 10 10;l 90 10;l 90 90;h'
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, 'curve', 'm 5 5;c 10 10 40 40 50 50'
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, 'annotation', 'note ' || doc_id
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id, 'line', ''
+              FROM documents WHERE doc_id % 11 = 0)
+            SELECT kind, COUNT(*)::BIGINT AS n_spans,
+                   COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+                   SUM(CASE WHEN kind IN ('path', 'curve', 'annotation')
+                                 AND content <> ''
+                            THEN len(string_split(content, ';'))
+                            ELSE 0 END)::BIGINT AS total_items
+            FROM sp GROUP BY kind ORDER BY kind
         """,
         "h2_verify_golden": """
             SELECT * FROM (VALUES
@@ -1780,6 +1865,28 @@ def oracle_sql() -> dict[str, str]:
                        i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
                        'sum') AS d2
                    FROM e CROSS JOIN c2 c),
+            a3 AS (SELECT vec_id, embedding, cid FROM (
+                     SELECT p3.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p3)
+                   WHERE rn = 1),
+            probes AS (SELECT cid FROM p3 WHERE vec_id = 0
+                       ORDER BY d2, cid LIMIT 2),
+            q AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings
+                  WHERE vec_id = 0)
+            SELECT a3.vec_id, a3.cid,
+                   round(list_cosine_similarity(a3.embedding::DOUBLE[], q_vec),
+                         6) AS cosine_sim
+            FROM a3 JOIN probes USING (cid), q
+            WHERE a3.vec_id <> 0
+            ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_sampled": f"""
+            WITH {kmeans_sampled_ctes},
+            p3 AS (SELECT e.vec_id, e.embedding, c.cid,
+                     list_aggregate(list_transform(generate_series(1, len(e.qv)),
+                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                       'sum') AS d2
+                   FROM efull e CROSS JOIN c2 c),
             a3 AS (SELECT vec_id, embedding, cid FROM (
                      SELECT p3.*, ROW_NUMBER() OVER (
                        PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p3)

@@ -58,9 +58,55 @@ def consolidate_cells(cells: DataFrame) -> DataFrame:
     return consolidate_documents(tables_nested_from_cells(cells))
 
 
+def doc_anomalies(docs: DataFrame) -> DataFrame:
+    """Per-doc anomaly channel (reference ``pdf_dissector.py:63-71``:
+    a failed page appends ``"Page N: <err>"`` to ``structure.anomalies``
+    instead of vanishing, and the strings ride into the JSON bundle at
+    ``:221``).  Malformed spans are detected with pure column predicates
+    — no Python, no exceptions — and formatted into the reference's
+    message shape; clean docs get an empty array, so the channel is
+    always present.
+
+    Returns (doc_id, anomalies: array<string>) for EVERY input doc,
+    warnings ordered by span offset."""
+    s = docs.select("doc_id", F.explode_outer("spans").alias("s"))
+    parts = F.split(F.col("s.text"), r"\|", 2)
+    head = F.get(parts, 0)
+    content = F.get(parts, 1)
+    geo = F.split(head, ",")
+    page = F.get(geo, 0).try_cast("bigint")
+    off = F.coalesce(F.col("s.offset"), F.lit(-1)).cast("string")
+    bad_geom = (F.size(geo) >= 5) & (
+        F.get(geo, 1).try_cast("double").isNull()
+        | F.get(geo, 2).try_cast("double").isNull()
+        | F.get(geo, 3).try_cast("double").isNull()
+        | F.get(geo, 4).try_cast("double").isNull())
+    msg = (
+        F.when(F.col("s").isNull(), F.lit("Document has no spans"))
+        .when(F.col("s.kind").isNull(),
+              F.concat(F.lit("Span "), off, F.lit(": null kind")))
+        .when(content.isNull(),
+              F.concat(F.lit("Span "), off,
+                       F.lit(": payload missing separator")))
+        .when(page.isNull(),
+              F.concat(F.lit("Span "), off, F.lit(": unparseable page")))
+        .when(bad_geom,
+              F.concat(F.lit("Page "), page.cast("string"),
+                       F.lit(": unparseable geometry")))
+    )
+    keyed = F.struct(F.coalesce(F.col("s.offset"), F.lit(-1)).alias("o"),
+                     msg.alias("m"))
+    return (s.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.when(msg.isNotNull(), keyed)))
+                 .alias("k"))
+            .select("doc_id",
+                    F.transform("k", lambda x: x["m"]).alias("anomalies")))
+
+
 def full_pipeline(docs: DataFrame) -> dict[str, DataFrame]:
     """Compose the whole legacy lifecycle; returns the stage frames:
-    {"classifications", "cells", "consolidated", "summaries"}."""
+    {"classifications", "cells", "consolidated", "summaries",
+    "anomalies"}."""
     cls = classify_structural(docs)
     cells = extract_classified_tables(docs, cls)
     consolidated = consolidate_cells(cells)
@@ -72,13 +118,16 @@ def full_pipeline(docs: DataFrame) -> dict[str, DataFrame]:
                    F.array_sort(F.collect_list(F.struct("page_type", "n"))))
                    .alias("pages_by_type"),
                    F.sum("n").alias("n_pages")))
+    anomalies = doc_anomalies(docs)
     summaries = (by_type.join(
         consolidated.select(
             "doc_id", "n_tables", "n_rows",
             F.col("headers").alias("consolidated_headers")),
-        "doc_id", "left"))
+        "doc_id", "left")
+        .join(anomalies, "doc_id", "left"))
     return {"classifications": cls, "cells": cells,
-            "consolidated": consolidated, "summaries": summaries}
+            "consolidated": consolidated, "summaries": summaries,
+            "anomalies": anomalies}
 
 
 def save_outputs(consolidated: DataFrame, out_dir: str) -> list[str]:

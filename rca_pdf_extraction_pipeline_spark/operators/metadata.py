@@ -55,6 +55,40 @@ def metadata_census(docs: DataFrame, field: str = "producer") -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+#: vector-drawing span kinds completing the reference's ElementType enum
+#: (``src/elementizer/models.py:8-18``: ...curve/path/annotation).  Their
+#: drawing commands — the ``items_json`` payload of ``PathElement``
+#: (``models.py:189-203``, DDL ``database.py:113-121``) — ride in the
+#: content half of the span payload as ';'-separated commands, so the one
+#: (doc_id, spans) schema carries the full element surface.
+VECTOR_KINDS = ("path", "curve", "annotation")
+
+
+def element_kind_census(docs: DataFrame) -> DataFrame:
+    """Corpus-wide census over every span kind — (kind, n_spans, n_docs,
+    total_items) ordered by kind.  ``total_items`` counts the drawing
+    commands of vector kinds (path/curve/annotation items payload); text
+    / media / rule kinds contribute 0.
+
+    The real DB holds 183,665 path rows for ONE document
+    (``docs/wiki/Extensions.md``), so at corpus scale this census is the
+    first thing an ingest audit runs.  Shape: explode + one hash
+    aggregate on a tiny key domain (|kinds| <= 10); count/sum partial-
+    aggregate map-side, countDistinct(doc_id) expands to the standard
+    two-phase distinct — all JVM expressions, no Python."""
+    s = docs.select("doc_id", F.explode("spans").alias("s"))
+    content = F.get(F.split(F.col("s.text"), r"\|", 2), 1)
+    items = F.when(
+        F.col("s.kind").isin(*VECTOR_KINDS)
+        & content.isNotNull() & (content != ""),
+        F.size(F.split(content, ";"))).otherwise(F.lit(0))
+    return (s.groupBy(F.col("s.kind").alias("kind"))
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum(items).cast("long").alias("total_items"))
+            .orderBy("kind"))
+
+
 def search_spans(docs: DataFrame, needle: str, limit: int = 100) -> DataFrame:
     """Elementizer search parity (reference database.py:299-319):
     substring match over span payload text, deterministic order by

@@ -183,23 +183,34 @@ def kmeans_centroids(embs: DataFrame, k: int = 4, iters: int = 2,
     return cents
 
 
-def ivf_topk(embs: DataFrame, query_id: int, k: int = 10,
-             n_centroids: int = 4, iters: int = 2, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF ANN with a TRAINED coarse quantizer: k-means codebook,
-    assign every vector to its nearest centroid, probe the ``nprobe``
-    centroids nearest the query, exact cosine rank inside the probed
-    cells only.  (The IVF-flat design of Jégou et al., TPAMI'11 —
-    trained centroids adapt to the data distribution, unlike the
-    axis-aligned sign-LSH buckets of :func:`bucketed_topk`.)
+def kmeans_centroids_sampled(embs: DataFrame, k: int = 4, iters: int = 2,
+                             sample_rate: float = 0.5, seed: int = 0,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """The production codebook fit: Lloyd iterations over a DETERMINISTIC
+    hash-sample of the corpus only (``sampling.hash_sample`` — md5-mod
+    membership, identical rows at any parallelism / any engine), so per-
+    iteration cost scales with ``sample_rate * N`` instead of N.  The
+    full corpus is then touched exactly ONCE by the caller's assignment
+    pass — the shape :func:`kmeans_centroids`'s own docstring promises
+    for production.
 
-    Returns (vec_id, cid, cosine_sim) — top-``k`` by (cosine desc, id),
-    the query itself excluded.  At scale, write the corpus partitioned
-    by ``cid``: each query then scans nprobe/k of the files.
+    Codebook quality needs only a representative sample, not the corpus
+    (Jégou et al., TPAMI'11 train IVF quantizers on a ~1% subset); the
+    fit stays fully deterministic because the sample itself is a pure
+    function of the ids.
     """
-    if not 1 <= nprobe <= n_centroids:
-        raise ValueError(f"nprobe must be in [1, {n_centroids}]; got {nprobe}")
-    cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
+    from .sampling import hash_sample
+
+    sample = hash_sample(embs, sample_rate, seed, id_col=id_col)
+    return kmeans_centroids(sample, k, iters, id_col, vec_col)
+
+
+def _ivf_search(embs: DataFrame, cents: DataFrame, query_id: int, k: int,
+                nprobe: int, id_col: str, vec_col: str) -> DataFrame:
+    """Shared IVF back half: one full-corpus nearest-centroid assignment,
+    probe the ``nprobe`` cells nearest the query, exact cosine rank
+    inside the probed cells only."""
     lat = _lattice(embs, id_col, vec_col)
     assigned = (lat.crossJoin(F.broadcast(cents))
                 .select(F.col(id_col), F.col(vec_col),
@@ -222,6 +233,45 @@ def ivf_topk(embs: DataFrame, query_id: int, k: int = 10,
             .select(F.col(id_col), F.col("cid"), sim.alias("cosine_sim"))
             .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def ivf_topk_sampled(embs: DataFrame, query_id: int, k: int = 10,
+                     n_centroids: int = 4, iters: int = 2, nprobe: int = 2,
+                     sample_rate: float = 0.5, seed: int = 0,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with the codebook trained on a hash-sample
+    (:func:`kmeans_centroids_sampled`): the full corpus is scanned once
+    for assignment, never per Lloyd round.  Same output contract as
+    :func:`ivf_topk` — (vec_id, cid, cosine_sim), top-``k`` by
+    (cosine desc, id), query excluded."""
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError(f"nprobe must be in [1, {n_centroids}]; got {nprobe}")
+    cents = kmeans_centroids_sampled(embs, n_centroids, iters, sample_rate,
+                                     seed, id_col, vec_col)
+    return _ivf_search(embs, cents, query_id, k, nprobe, id_col, vec_col)
+
+
+def ivf_topk(embs: DataFrame, query_id: int, k: int = 10,
+             n_centroids: int = 4, iters: int = 2, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: k-means codebook,
+    assign every vector to its nearest centroid, probe the ``nprobe``
+    centroids nearest the query, exact cosine rank inside the probed
+    cells only.  (The IVF-flat design of Jégou et al., TPAMI'11 —
+    trained centroids adapt to the data distribution, unlike the
+    axis-aligned sign-LSH buckets of :func:`bucketed_topk`.)
+
+    Returns (vec_id, cid, cosine_sim) — top-``k`` by (cosine desc, id),
+    the query itself excluded.  At scale, write the corpus partitioned
+    by ``cid``: each query then scans nprobe/k of the files.  Trains on
+    the FULL corpus per Lloyd round — prefer :func:`ivf_topk_sampled`
+    beyond toy sizes.
+    """
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError(f"nprobe must be in [1, {n_centroids}]; got {nprobe}")
+    cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
+    return _ivf_search(embs, cents, query_id, k, nprobe, id_col, vec_col)
 
 
 def assign_centroids(embs: DataFrame, n_centroids: int = 4, iters: int = 2,

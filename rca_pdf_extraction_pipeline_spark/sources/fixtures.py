@@ -416,6 +416,34 @@ def build_classify_docs() -> list[dict]:
     return out
 
 
+def build_vector_art_doc() -> dict:
+    """One doc exercising the FULL reference ``ElementType`` enum
+    (``src/elementizer/models.py:8-18``): ``path``/``curve``/
+    ``annotation`` spans interleaved with text/line/rect/image.  Vector
+    kinds carry their drawing commands — the ``items_json`` payload of
+    ``PathElement`` (``models.py:189-203``, DDL ``database.py:113-121``)
+    — as ';'-separated commands in the content half of the payload.
+    Extraction treats them like lines/rects: structural, never text
+    content, so adding this doc must not move any golden output."""
+    spans = [
+        _span("text", _geom(1, 40, 100, 400, 112, "Figure 1: pipeline map"),
+              None, 0),
+        _span("path", _geom(1, 50, 150, 300, 400,
+                            "m 50 150;l 300 150;l 300 400;h"), None, 1),
+        _span("curve", _geom(1, 60, 160, 290, 390,
+                             "m 60 160;c 100 200 250 350 290 390"), None, 2),
+        _span("annotation", _geom(1, 310, 150, 380, 170,
+                                  "note: reviewed by QA"), None, 3),
+        _span("line", _geom(1, 40, 500, 570, 500, ""), None, 4),
+        _span("rect", _geom(1, 40, 520, 570, 700, ""), None, 5),
+        _span("image", _geom(1, 400, 710, 500, 760, ""),
+              "page0001_img0000.png", 6),
+        _span("path", _geom(2, 10, 10, 20, 20, "m 10 10;l 20 20"), None, 7),
+        _span("annotation", _geom(2, 30, 30, 90, 45, "todo"), None, 8),
+    ]
+    return {"doc_id": "vector-art", "spans": spans}
+
+
 def build_skew_docs(n_small: int = 40, big_factor: int = 100) -> list[dict]:
     """Skew fixture: n_small single-table-page docs + one doc with
     ``big_factor`` replicated table pages (the oversized-PDF case)."""

@@ -110,6 +110,35 @@ def _assemble_docs(docs):
     }
 
 
+def test_vector_art_kinds_round_trip_untouched(golden_doc):
+    """path/curve/annotation spans (reference ElementType enum,
+    models.py:8-18) are structural vector art: batching the vector-art
+    doc with the golden doc must leave the golden span sequence
+    byte-identical, and the vector doc itself must emit no text/table
+    output (no golden artifact claims it)."""
+    solo = _assemble_docs([golden_doc])
+    mixed = _assemble_docs([golden_doc, fx.build_vector_art_doc()])
+    assert mixed["golden-doc-w20552"] == solo["golden-doc-w20552"]
+    # the vector doc's output contains no decoded samples, only media
+    va = mixed.get("vector-art", [])
+    assert all(k in ("image",) for k, _, _, _ in va)
+
+
+def test_element_kind_census_counts_vector_kinds(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import metadata
+
+    docs = fx.docs_to_spark(spark, [fx.build_vector_art_doc()])
+    got = {r["kind"]: (r["n_spans"], r["n_docs"], r["total_items"])
+           for r in metadata.element_kind_census(docs).collect()}
+    assert got["path"] == (2, 1, 6)        # 4 + 2 drawing commands
+    assert got["curve"] == (1, 1, 2)
+    assert got["annotation"] == (2, 1, 2)  # 1 item each (no ';')
+    assert got["line"] == (1, 1, 0)
+    assert got["rect"] == (1, 1, 0)
+    assert got["image"] == (1, 1, 0)
+    assert got["text"] == (1, 1, 0)
+
+
 def test_media_emission_is_batch_independent(golden_doc):
     """A doc's span sequence must not depend on what else shares its Arrow
     batch (determinism invariant). media-nosample has a table page with an

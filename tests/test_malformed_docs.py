@@ -67,6 +67,38 @@ def test_tablegrid_survives_malformed_docs(bad_docs):
         "empty", "no-sep", "garbage-geo", "null-kind", "null-offset"}
 
 
+def test_run_full_anomaly_channel(bad_docs, spark):
+    """Reference parity with ``pdf_dissector.py:63-71``: a malformed page
+    appends a warning string to the per-doc ``anomalies`` channel instead
+    of silently vanishing, and the channel rides into the full-pipeline
+    summaries (the JSON bundle analogue of ``:221``)."""
+    from rca_pdf_extraction_pipeline_spark.jobs import run_full
+
+    anom = {r["doc_id"]: list(r["anomalies"])
+            for r in run_full.doc_anomalies(bad_docs).collect()}
+    # EVERY input doc has the channel, clean docs get []
+    assert set(anom) == {"empty", "no-sep", "garbage-geo", "null-kind",
+                         "null-offset"}
+    assert anom["empty"] == ["Document has no spans"]
+    assert anom["no-sep"] == ["Span 0: payload missing separator"]
+    assert anom["garbage-geo"] == ["Span 0: unparseable page",
+                                   "Page 1: unparseable geometry"]
+    assert anom["null-kind"] == ["Span 0: null kind"]
+    assert anom["null-offset"] == []
+
+    good = fx.docs_to_spark(spark, [{"doc_id": "clean", "spans": [
+        {"kind": "text", "text": "1,10,10,20,20|fine", "media_ref": None,
+         "offset": 0}]}])
+    clean = run_full.doc_anomalies(good).collect()
+    assert [(r["doc_id"], list(r["anomalies"])) for r in clean] == \
+        [("clean", [])]
+
+    # the channel is wired into the pipeline's summary frame
+    stages = run_full.full_pipeline(bad_docs)
+    assert "anomalies" in stages
+    assert "anomalies" in stages["summaries"].columns
+
+
 def test_metadata_and_search_survive_malformed_docs(bad_docs):
     assert metadata.extract_doc_metadata(bad_docs).collect() == []
     hits = metadata.search_spans(bad_docs, "ok", limit=10).collect()

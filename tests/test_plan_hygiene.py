@@ -266,6 +266,27 @@ def test_ivf_kmeans_no_python_and_broadcast_centroids(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivf_sampled_touches_full_corpus_once(spark):
+    """Train-on-sample IVF: the full-corpus nearest-centroid assignment
+    (the only aggregate over the raw `embedding` column) appears ONCE in
+    the plan regardless of Lloyd iteration count — iterations only add
+    subtrees gated on the hash-sample filter."""
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for iters in (2, 4):
+        q = similarity.ivf_topk_sampled(embs, 0, 10, 4, iters, 2,
+                                        sample_rate=0.5, seed=0)
+        plan = _plan(q)
+        assert "EvalPython" not in plan
+        # partial + final of exactly one first(embedding) aggregate:
+        # the single full-corpus assignment pass, independent of iters
+        assert plan.count("first(embedding") == 2, \
+            f"iters={iters}: full-corpus assignment ran more than once"
+        # every Lloyd round is gated on the 50% sample cut
+        assert plan.count("< 500000") >= iters
+
+
 def test_asof_and_chunking_no_python_eval(spark, documents):
     import datetime as dt
 
@@ -306,8 +327,10 @@ def test_simhash_swar_single_project_no_hof_filters(documents):
     plan = _plan(dedup.simhash_signatures(documents))
     assert "array_filter" not in plan.lower()
     assert "Exchange" not in plan and "EvalPython" not in plan
-    # exactly one aggregate-fold projection layer referencing hv
-    assert plan.count("md5") <= plan.count("Project") * 2
+    # md5 hashing is confined to ONE projection layer (the hv build);
+    # the 16 SWAR folds above it reference precomputed columns only
+    md5_layers = [ln for ln in plan.splitlines() if "md5" in ln]
+    assert len(md5_layers) == 1, md5_layers
 
 
 def test_inverted_index_caps_before_collect(documents):

@@ -385,6 +385,35 @@ def test_ivf_nprobe_guard(clustered_vecs):
         similarity.ivf_topk(clustered_vecs, query_id=0, nprobe=9, n_centroids=4)
 
 
+def test_kmeans_sampled_rate1_equals_full(clustered_vecs):
+    """sample_rate=1.0 keeps every row, so the sampled fit must equal
+    the full fit bit-for-bit (the sampling layer adds nothing but the
+    deterministic membership filter)."""
+    full = {(r["cid"], tuple(r["cv"]))
+            for r in similarity.kmeans_centroids(
+                clustered_vecs, k=2, iters=2).collect()}
+    sampled = {(r["cid"], tuple(r["cv"]))
+               for r in similarity.kmeans_centroids_sampled(
+                   clustered_vecs, k=2, iters=2, sample_rate=1.0).collect()}
+    assert sampled == full
+
+
+def test_ivf_sampled_deterministic_and_ranked(clustered_vecs):
+    """Sampled-codebook IVF is a pure function of (data, params): two
+    runs agree exactly, output keeps the (cosine desc, id) contract, and
+    full-probe search still ranks true neighbors first."""
+    kw = dict(query_id=0, k=5, n_centroids=2, iters=2, nprobe=2,
+              sample_rate=0.75, seed=0)
+    a = similarity.ivf_topk_sampled(clustered_vecs, **kw).collect()
+    b = similarity.ivf_topk_sampled(clustered_vecs.repartition(5), **kw).collect()
+    assert [(r["vec_id"], r["cid"], r["cosine_sim"]) for r in a] == \
+        [(r["vec_id"], r["cid"], r["cosine_sim"]) for r in b]
+    sims = [r["cosine_sim"] for r in a]
+    assert sims == sorted(sims, reverse=True)
+    # cluster-A members (even ids) dominate the head of the ranking
+    assert {r["vec_id"] for r in a[:3]} == {2, 4, 6}
+
+
 def test_semantic_near_pairs_stay_within_cluster(clustered_vecs):
     pairs = similarity.semantic_near_pairs(
         clustered_vecs, n_centroids=2, iters=2, threshold=0.9).collect()
