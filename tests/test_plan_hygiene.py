@@ -327,10 +327,13 @@ def test_simhash_swar_single_project_no_hof_filters(documents):
     plan = _plan(dedup.simhash_signatures(documents))
     assert "array_filter" not in plan.lower()
     assert "Exchange" not in plan and "EvalPython" not in plan
-    # md5 hashing is confined to ONE projection layer (the hv build);
-    # the 16 SWAR folds above it reference precomputed columns only
+    # md5 hashing is confined to ONE projection layer (the hv build)
+    # and evaluated ONCE per shingle: exactly the hi/lo halves' two md5
+    # calls — a third+ occurrence means the lane-cap guard or the SWAR
+    # folds re-inlined the transform (the 8x regression shape)
     md5_layers = [ln for ln in plan.splitlines() if "md5" in ln]
     assert len(md5_layers) == 1, md5_layers
+    assert md5_layers[0].count("md5") == 2, md5_layers[0]
 
 
 def test_inverted_index_caps_before_collect(documents):
