@@ -389,6 +389,115 @@ def _q_span_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metadata.element_kind_census(docs)
 
 
+#: deterministic messy-URL synthesis from the documents table — one
+#: expression string valid in BOTH dialects (Spark SQL and DuckDB), so
+#: the Spark query and its oracle build bit-identical inputs.  The mess
+#: exercises every normalization rule: scheme/host case, www variants,
+#: default vs non-default ports, trailing slash, tracking params,
+#: fragments, and path collisions (doc_id % 140 — 140 = lcm(4,5,7) so
+#: ids 140 apart share scheme-class/slash/host residues and collide
+#: after normalization; 10 | 140 keeps the apex domain aligned too).
+_URL_EXPR = """concat(
+  CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+       WHEN doc_id % 4 = 1 THEN 'https://www.'
+       WHEN doc_id % 4 = 2 THEN 'http://' ELSE 'https://' END,
+  'site', CAST(doc_id % 7 AS STRING),
+  '.Ex', CAST(doc_id % 10 AS STRING), '.COM',
+  CASE WHEN doc_id % 6 = 0 THEN ':443'
+       WHEN doc_id % 6 = 1 THEN ':80' ELSE '' END,
+  '/Articles/', CAST(doc_id % 140 AS STRING),
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&x=1&gclid=abc'
+       WHEN doc_id % 3 = 1 THEN '?x=1' ELSE '' END,
+  CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)"""
+
+
+#: DuckDB twin of operators/urls.normalize_url + domain() over the same
+#: synthesized urls — identical regexes, step for step (defrag ->
+#: lowercase scheme/authority -> default-port strip -> tracking-param
+#: filter -> empty-query / trailing-slash rules).
+_SQL_URL_CTES = f"""
+u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '#.*$', '') AS defrag
+  FROM u),
+comp AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(defrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(defrag,
+          '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)', 1)) AS authority,
+    regexp_extract(defrag,
+          '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*(.*)$', 1) AS rest
+  FROM parts),
+norm AS (
+  SELECT doc_id, url, scheme,
+    CASE scheme WHEN 'http' THEN regexp_replace(authority, ':80$', '')
+                WHEN 'https' THEN regexp_replace(authority, ':443$', '')
+                ELSE authority END AS host,
+    regexp_replace(regexp_replace(authority, ':\\d+$', ''),
+                   '^www\\.', '') AS host_nowww,
+    regexp_extract(rest, '^([^?]*)', 1) AS path,
+    regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS query
+  FROM comp),
+n AS (
+  SELECT doc_id, url,
+    CASE WHEN scheme = '' THEN trim(url)
+         ELSE scheme || '://' || host ||
+              (CASE WHEN path = '/' THEN ''
+                    ELSE regexp_replace(path, '/$', '') END) ||
+              (CASE WHEN query = '' OR len(kept) = 0 THEN ''
+                    ELSE '?' || array_to_string(kept, '&') END)
+    END AS url_norm,
+    regexp_extract(host_nowww, '([^.]+\\.[^.]+)$', 1) AS apex_domain
+  FROM (SELECT *, list_filter(string_split(query, '&'),
+          p -> NOT regexp_matches(p,
+            '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src)=')
+          AND p != '') AS kept
+        FROM norm))"""
+
+
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rca_pdf_extraction_pipeline_spark.operators import urls  # noqa: F401
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_EXPR).alias("url"))
+
+
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rca_pdf_extraction_pipeline_spark.operators import urls
+
+    d = _url_docs(spark, sf_dir)
+    return (d.select("doc_id",
+                     urls.normalize_url(F.col("url")).alias("url_norm"),
+                     urls.domain(F.col("url")).alias("apex_domain"))
+            .where(F.col("doc_id") < 400).orderBy("doc_id"))
+
+
+def _q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rca_pdf_extraction_pipeline_spark.operators import urls
+
+    g = urls.url_duplicates(_url_docs(spark, sf_dir))
+    return (g.select("url_norm", "n_docs", "keep_id",
+                     F.array_join("dup_ids", ",").alias("dup_ids"))
+            .orderBy("url_norm"))
+
+
+def _q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rca_pdf_extraction_pipeline_spark.operators import urls
+
+    kept = urls.cap_per_domain(_url_docs(spark, sf_dir), max_docs=3)
+    return kept.select("doc_id", "apex_domain", "domain_rank") \
+               .orderBy("apex_domain", "domain_rank")
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rca_pdf_extraction_pipeline_spark.operators import urls
+
+    return urls.domain_stats(_url_docs(spark, sf_dir))
+
+
 def _q_dedup_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.deduplicate_corpus_cc(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", "source", "n_chars")
@@ -1088,6 +1197,27 @@ def _q_o4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("event_id").offset(100).limit(50))
 
 
+def _q_a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A4 rollup surface as a REAL rollup: per-(returnflag,
+    linestatus) revenue with linestatus subtotals and a grand total in
+    one pass (Spark expands grouping sets before the single hash
+    aggregate — one shuffle, same as the flat groupBy).  NULL group
+    keys are the subtotal markers; aliased to '(all)' so both engines
+    sort them identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1.0) - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select(F.coalesce("l_returnflag", F.lit("(all)"))
+                    .alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("(all)"))
+                    .alias("linestatus"),
+                    "n_rows", "revenue")
+            .orderBy("returnflag", "linestatus"))
+
+
 def _q_a11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
@@ -1114,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_kind_census": _q_span_kind_census,
         # relational operators (SURVEY §2.3, §2.4, §2.6)
         "a0_pricing_summary": _q_a0_pricing_summary,
+        "a12_rollup": _q_a12_rollup,
         "j1_broadcast_join": _q_j1_broadcast_join,
         "j_semi_anti": _q_j_semi_anti,
         "o3_topk_orders": _q_o3_topk_orders,
@@ -1141,6 +1272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        # URL curation family (C4/RefinedWeb stage 1)
+        "url_normalize": _q_url_normalize,
+        "url_dedup_groups": _q_url_dedup_groups,
+        "domain_caps": _q_domain_caps,
+        "domain_stats": _q_domain_stats,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_corpus_cc": _q_dedup_corpus_cc,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
@@ -1506,6 +1642,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
+        "a12_rollup": """
+            SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+                   coalesce(l_linestatus, '(all)') AS linestatus,
+                   count(*)::BIGINT AS n_rows,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY returnflag, linestatus
+        """,
         "j1_broadcast_join": """
             SELECT c_mktsegment,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -1712,6 +1857,35 @@ def oracle_sql() -> dict[str, str]:
               FROM blocked a JOIN blocked b
                 ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        """,
+        "url_normalize": f"""
+            WITH {_SQL_URL_CTES}
+            SELECT doc_id, url_norm, apex_domain FROM n
+            WHERE doc_id < 400 ORDER BY doc_id
+        """,
+        "url_dedup_groups": f"""
+            WITH {_SQL_URL_CTES}
+            SELECT url_norm, COUNT(*)::BIGINT AS n_docs,
+                   MIN(doc_id) AS keep_id,
+                   array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
+            FROM n GROUP BY url_norm HAVING COUNT(*) > 1
+            ORDER BY url_norm
+        """,
+        "domain_caps": f"""
+            WITH {_SQL_URL_CTES},
+            r AS (SELECT doc_id, apex_domain,
+                    ROW_NUMBER() OVER (PARTITION BY apex_domain
+                                       ORDER BY doc_id)::INTEGER AS domain_rank
+                  FROM n)
+            SELECT doc_id, apex_domain, domain_rank FROM r
+            WHERE domain_rank <= 3 ORDER BY apex_domain, domain_rank
+        """,
+        "domain_stats": f"""
+            WITH {_SQL_URL_CTES}
+            SELECT apex_domain, COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT url_norm)::BIGINT AS n_urls
+            FROM n GROUP BY apex_domain
+            ORDER BY n_docs DESC, apex_domain
         """,
         "dedup_simhash": f"""
             WITH {_SQL_SHINGLE_BASE},

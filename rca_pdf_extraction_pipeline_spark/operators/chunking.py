@@ -39,7 +39,12 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
     if not 1 <= stride <= chunk_tokens:
         raise ValueError(
             f"stride must be in [1, chunk_tokens={chunk_tokens}]; got {stride}")
-    toks = T.tokens(F.col(text_col))
+    # tokens hoisted to a column layer: the chunk lambda slices them
+    # once per window — inline, every slice re-ran the tokenizer
+    # (O(n_windows * n_tokens) per doc; the substring-dedup lesson)
+    tok_df = docs.select(F.col(id_col),
+                         T.tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     # window start positions: 0, stride, 2*stride, ... while start < n
     n_windows = F.when(n <= 0, F.lit(0)).otherwise(
@@ -50,8 +55,8 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
         .otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)))
-    ex = docs.select(F.col(id_col),
-                     F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    ex = tok_df.select(F.col(id_col),
+                       F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
     return ex.select(
         F.col(id_col), F.col("chunk_idx"), F.col("chunk_text"),
         T.n_tokens(F.col("chunk_text")).alias("n_chunk_tokens"))

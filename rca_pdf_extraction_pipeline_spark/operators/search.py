@@ -46,10 +46,14 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
     """
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
-    toks = T.tokens(F.col(text_col))
+    # tokens hoisted to a column layer: dl + one tf per query term all
+    # reference them — inline, each reference re-ran the tokenizer
+    tok_df = docs.select(F.col(id_col),
+                         T.tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
 
     # per-doc projection: doc length + per-term tf (one narrow pass)
-    proj = docs.select(
+    proj = tok_df.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
         *[_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(terms)],

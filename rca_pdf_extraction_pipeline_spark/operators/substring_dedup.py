@@ -39,8 +39,20 @@ def _gram_positions(docs: DataFrame, text_col: str, id_col: str,
     """(id, pos, gh) — 0-based token position and md5-prefix hash of the
     k-gram starting there.  Documents shorter than ``k`` tokens emit no
     rows (an exact-substring match needs at least one full unit; whole-
-    document duplicates that short belong to exact dedup)."""
-    toks = T.tokens(F.col(text_col))
+    document duplicates that short belong to exact dedup).
+
+    The token array is projected into its OWN column layer before the
+    gram lambda touches it: the gram at position i references the
+    tokens k times (one ``element_at`` per gram slot), and Catalyst
+    inlines expression-aliases into HOF lambdas without CSE — with the
+    tokenization inline, every reference re-ran filter(split(text)),
+    O(k * n_tokens) full tokenizations per document (measured: the
+    sf0.1x3 corpus went from minutes to seconds when hoisted).
+    CollapseProject keeps the layer because a non-cheap alias with >1
+    reference is never merged (same fix as simhash's hv — CLAUDE.md)."""
+    tok_df = docs.select(F.col(id_col),
+                         T.tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
 
     def gram(i):  # i is the 0-based start position (lambda Column)
@@ -50,7 +62,7 @@ def _gram_positions(docs: DataFrame, text_col: str, id_col: str,
     grams = F.when(n >= k, F.transform(F.sequence(F.lit(0), n - k), gram)) \
              .otherwise(F.array().cast("array<string>"))
     hashed = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
-    return docs.select(
+    return tok_df.select(
         F.col(id_col), F.posexplode(hashed).alias("pos", "gh"))
 
 

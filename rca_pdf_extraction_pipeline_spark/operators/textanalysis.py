@@ -20,11 +20,15 @@ def token_stats(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(id, n_tokens, n_distinct_tokens, n_chars, avg_token_len,
     distinct_ratio) — the basic length/diversity profile."""
-    toks = T.tokens(F.col(text_col))
+    # tokens hoisted to a column layer: nt/nd/ratios reference it 5x,
+    # and Catalyst inlines expression aliases without CSE (CLAUDE.md)
+    tok_df = docs.select(F.col(id_col), F.col(text_col),
+                         T.tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
     nt = F.size(toks)
     nd = F.size(F.array_distinct(toks))
     chars = F.length(F.col(text_col))
-    return docs.select(
+    return tok_df.select(
         F.col(id_col),
         nt.alias("n_tokens"),
         nd.alias("n_distinct_tokens"),
@@ -41,13 +45,14 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text",
     BPE_TOKEN_RE) next to the whitespace word count — the
     fertility-style ratio a sequence-packing budget needs when the real
     tokenizer runs out-of-engine.  Narrow per-row expressions."""
-    nb = F.size(T.bpe_tokens(F.col(text_col)))
-    nw = T.n_tokens(F.col(text_col))
-    return docs.select(
+    counts = docs.select(
         F.col(id_col),
-        nb.alias("n_bpe_tokens"),
-        nw.alias("n_word_tokens"),
-        F.round(nb.cast("double") / F.greatest(nw, F.lit(1)), 6)
+        F.size(T.bpe_tokens(F.col(text_col))).alias("n_bpe_tokens"),
+        T.n_tokens(F.col(text_col)).alias("n_word_tokens"))
+    return counts.select(
+        F.col(id_col), "n_bpe_tokens", "n_word_tokens",
+        F.round(F.col("n_bpe_tokens").cast("double")
+                / F.greatest(F.col("n_word_tokens"), F.lit(1)), 6)
         .alias("tokens_per_word"))
 
 
@@ -204,7 +209,8 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
 
 def bigram_logprob(docs: DataFrame, lam: float = 0.5,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Per-document mean INTERPOLATED bigram log-probability under the
     corpus's own n-gram statistics — one step up from
     ``unigram_logprob`` toward model-based perplexity filtering:
@@ -218,25 +224,39 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.5,
     unigram scorer: per-position log-probs quantized to integers
     (round(ln(p) * 1e6)) before the exact bigint per-document sum.
 
-    Scale: bigram extraction is NARROW (built from the token array, no
-    window/lag exchange); the (prev,cur) count table is
-    distinct-bigram sized with map-side partial counts; per-position
-    scoring joins on the bigram key.  All shuffles carry short strings
-    or bigints, never documents.
+    Scale: the BIGRAM TABLE is computed once and materialized (default
+    ``localCheckpoint``; pass ``checkpoint_dir`` for storage-backed
+    durability — the dedup ``_Materializer`` contract), because this
+    statistic consumes it from five branches (unigram counts x3 via
+    prev/cur/total, bigram counts, per-position scoring) and each
+    un-materialized branch would re-run tokenization from the scan —
+    Generate inlines expression lineage with no CSE, measured 14
+    tokenizer passes per run before the barrier.  Downstream shuffles
+    carry short strings or bigints, never documents.
     """
-    toks = T.tokens(F.col(text_col))
-    n = F.size(toks)
-    pairs = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(2), n),
-        lambda i: F.struct(F.element_at(toks, i - 1).alias("prev"),
-                           F.element_at(toks, i).alias("cur")))) \
-        .otherwise(F.array())
-    pos = docs.select(F.col(id_col), F.explode(pairs).alias("bg")) \
-              .select(F.col(id_col), F.col("bg.prev").alias("prev"),
-                      F.col("bg.cur").alias("cur"))
+    from .dedup import _Materializer
 
-    uni = docs.select(F.explode(toks).alias("tok")) \
-              .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    mat = _Materializer(checkpoint_dir)
+    # one tokenize -> one Generate -> (id, prev, cur) bigram rows, with
+    # prev NULL on each document's first token (kept so `uni` can count
+    # every token, including 1-token docs' only token)
+    tok_df = docs.select(F.col(id_col),
+                         T.tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
+    pairs = F.when(F.size(toks) >= 1, F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.struct(
+            F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
+            F.element_at(toks, i).alias("cur")))) \
+        .otherwise(F.array())
+    pos_all = mat(
+        tok_df.select(F.col(id_col), F.explode(pairs).alias("bg"))
+              .select(F.col(id_col), F.col("bg.prev").alias("prev"),
+                      F.col("bg.cur").alias("cur")), "bigram_positions")
+    pos = pos_all.where(F.col("prev").isNotNull())
+
+    uni = pos_all.groupBy(F.col("cur").alias("tok")) \
+                 .agg(F.count(F.lit(1)).alias("cnt"))
     total = uni.agg(F.sum("cnt").alias("total"))
     big = pos.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
 

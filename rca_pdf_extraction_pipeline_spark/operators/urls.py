@@ -1,0 +1,127 @@
+"""URL canonicalization, URL-level dedup and per-domain caps — the
+stage-1 web-curation operators of C4 / RefinedWeb-style pipelines
+(dedup by normalized URL before any content pass; cap any one domain's
+share of the corpus so crawl-frontier skew doesn't become dataset skew).
+
+Everything here is pure JVM column expressions (regexp_extract /
+regexp_replace / higher-order array filter) — no Python in the row
+path, one shuffle per keyed operator, and every function has an exact
+DuckDB twin (same regexes) so the `__spark_entry__` oracle gate covers
+the family end-to-end.
+
+Scale notes (100 TB): `normalize_url` and `domain` are narrow
+scan-stage expressions.  `url_duplicates` is the exact-dedup shape —
+one 16-byte-digest shuffle with map-side combine.  `cap_per_domain`
+is one hash exchange on the domain key + a rank window; domain keys
+are Zipf-skewed by construction, which is exactly what AQE skew-join
+splitting and the explicit salting in `operators/skew.py` exist for —
+the cap itself BOUNDS the skew it defuses (at most ``max_docs`` rows
+survive per domain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters that identify a click, not a resource — dropping
+#: them is the standard canonicalization step (utm_* per Google's
+#: Urchin tracking module docs; fbclid/gclid/msclkid click ids; ref)
+_TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src)="
+
+
+def _split(url: Column) -> tuple[Column, Column, Column]:
+    """(scheme, authority, rest) — rest keeps its leading '/' if any;
+    fragment already stripped.  Unparseable urls yield empty scheme."""
+    defrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(defrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    authority = F.lower(F.regexp_extract(defrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)", 1))
+    rest = F.regexp_extract(defrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*(.*)$", 1)
+    return scheme, authority, rest
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form: fragment stripped; scheme+host lowercased; the
+    scheme's default port dropped (http:80 / https:443); tracking query
+    params removed (order of the survivors preserved); an empty query
+    loses its '?'; a path-only trailing slash is trimmed.  Urls with no
+    ``scheme://`` are returned whitespace-trimmed, lowercased-scheme
+    rules not applied (opaque ids stay comparable but untouched)."""
+    scheme, authority, rest = _split(url)
+    host = F.when(scheme == "http",
+                  F.regexp_replace(authority, r":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(authority, r":443$", "")) \
+            .otherwise(authority)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    kept = F.filter(F.split(query, "&"),
+                    lambda p: ~p.rlike(_TRACKING_RE) & (p != ""))
+    q_norm = F.when((query == "") | (F.size(kept) == 0), F.lit("")) \
+              .otherwise(F.concat(F.lit("?"), F.array_join(kept, "&")))
+    path_norm = F.when(path == "/", F.lit("")) \
+                 .otherwise(F.regexp_replace(path, r"/$", ""))
+    rebuilt = F.concat(scheme, F.lit("://"), host, path_norm, q_norm)
+    return F.when(scheme == "", F.trim(url)).otherwise(rebuilt)
+
+
+def domain(url: Column, apex: bool = True) -> Column:
+    """Host with any ``www.`` prefix dropped; with ``apex=True``, only
+    the last two labels (the registered-domain heuristic — a public
+    suffix list is the production upgrade and slots in here)."""
+    _, authority, _ = _split(url)
+    host = F.regexp_replace(F.regexp_replace(authority, r":\d+$", ""),
+                            r"^www\.", "")
+    if not apex:
+        return host
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def url_duplicates(docs: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """URL-level exact dedup after canonicalization: one row per
+    normalized url seen >1 times — (url_norm, n_docs, keep_id, dup_ids)
+    with keep = minimum id (the crawl-order keep-first policy).
+    Shuffle carries only (md5 digest, id): the urls themselves ride as
+    one exemplar per group via min()."""
+    t = docs.select(F.col(id_col),
+                    normalize_url(F.col(url_col)).alias("url_norm"))
+    return (t.groupBy(F.md5(F.col("url_norm")).alias("k"))
+            .agg(F.min("url_norm").alias("url_norm"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("keep_id"),
+                 F.array_sort(F.collect_list(id_col)).alias("dup_ids"))
+            .where(F.col("n_docs") > 1)
+            .select("url_norm", "n_docs", "keep_id", "dup_ids"))
+
+
+def cap_per_domain(docs: DataFrame, max_docs: int, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-domain corpus cap: keep at most ``max_docs`` docs per apex
+    domain, lowest ids first (deterministic).  Adds (apex_domain,
+    domain_rank) to the surviving rows.  One exchange on the domain
+    key; the window never materializes more than a partition's rows and
+    survivors are bounded at ``max_docs`` per key by construction."""
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1; got {max_docs}")
+    from pyspark.sql import Window
+
+    t = docs.withColumn("apex_domain", domain(F.col(url_col)))
+    w = Window.partitionBy("apex_domain").orderBy(F.col(id_col))
+    return (t.withColumn("domain_rank", F.row_number().over(w))
+            .where(F.col("domain_rank") <= max_docs))
+
+
+def domain_stats(docs: DataFrame, url_col: str = "url",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-apex-domain corpus census — (apex_domain, n_docs, n_urls)
+    ordered by (n_docs desc, domain).  n_urls counts distinct
+    normalized urls, so n_docs - n_urls is the domain's exact-URL-dup
+    mass — the first dashboard a crawl audit reads."""
+    t = docs.select(F.col(id_col),
+                    domain(F.col(url_col)).alias("apex_domain"),
+                    normalize_url(F.col(url_col)).alias("u"))
+    return (t.groupBy("apex_domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("u").alias("n_urls"))
+            .orderBy(F.col("n_docs").desc(), F.col("apex_domain")))

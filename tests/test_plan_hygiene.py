@@ -336,6 +336,38 @@ def test_simhash_swar_single_project_no_hof_filters(documents):
     assert md5_layers[0].count("md5") == 2, md5_layers[0]
 
 
+def test_tokenize_once_per_scan_branch(documents):
+    """The whitespace tokenizer (filter(split(text))) must appear in the
+    plan exactly once per scan branch — never re-inlined into HOF
+    lambdas or sibling expressions (Catalyst does no cross-alias CSE:
+    an inline tokenizer inside an element_at/slice lambda re-runs per
+    ELEMENT, which made substring dedup O(k x n_tokens^2) per doc)."""
+    from rca_pdf_extraction_pipeline_spark.operators import (
+        chunking,
+        search,
+        substring_dedup,
+        textanalysis,
+    )
+
+    expected = {
+        # (query, scan branches over the documents relation)
+        "substr_ranges": (substring_dedup.duplicated_ranges(documents), 2),
+        "chunks": (chunking.chunk_documents(documents), 1),
+        # bigram LM: 0 — its five consumer branches read the
+        # MATERIALIZED bigram table; lineage (and the tokenizer) is cut
+        "bigram_lm": (textanalysis.bigram_logprob(documents), 0),
+        "token_stats": (textanalysis.token_stats(documents), 1),
+        "bpe_stats": (textanalysis.bpe_token_stats(documents), 1),
+        "bm25": (search.bm25_topk(documents, ["table", "spark"]), 2),
+    }
+    for name, (q, branches) in expected.items():
+        plan = _plan(q)
+        got = plan.count("split(text")
+        assert got == branches, \
+            f"{name}: tokenizer appears {got}x, expected {branches} " \
+            f"(one per scan branch) — an alias was re-inlined"
+
+
 def test_inverted_index_caps_before_collect(documents):
     """Posting lists must be truncated by the sort-window (spillable)
     BEFORE collect_list materializes anything: the plan's Window comes
