@@ -7,7 +7,7 @@ BENCH/BASELINE.md: both levels below the shared-DRAM-bus ceiling).
 Prints one JSON line and writes BENCH/FAMILY_SCALING.md.  Pooled use:
 re-invoke with --reuse-input and merge by min, like bench_scaling.py.
 
-Corpus: sf0.1 documents x 3 near-dup replicas (replica k appends a
+Corpus: sf0.1 documents x N near-dup replicas (default 9; replica k appends a
 " rep<k>" token, so replicas are near- but not exact dups — CC gets
 real multi-node components, substring dedup gets real shared grams).
 
@@ -47,7 +47,7 @@ FAMILIES = {{
         ["doc_id"]),
     "substr_dup_ranges": (
         lambda d: substring_dedup.duplicated_ranges(d),
-        ["doc_id", "start", "length"]),
+        ["doc_id", "start_tok", "end_tok", "n_dup_tokens"]),
     "inverted_index": (
         lambda d: search.inverted_index(d, min_df=5, max_postings=8)
                   .select("term", "df", "total_tf", "postings_len",
@@ -78,7 +78,7 @@ spark.stop()
 """
 
 
-def build_corpus(input_dir: str) -> None:
+def build_corpus(input_dir: str, replicas: int = 3) -> None:
     sys.path.insert(0, str(REPO))
     from pyspark.sql import functions as F
 
@@ -88,12 +88,14 @@ def build_corpus(input_dir: str) -> None:
     raw = spark.read.parquet("/root/testdata/sf0.1/documents.parquet") \
         .select("doc_id", "text")
     reps = []
-    for k in range(3):
+    for k in range(replicas):
         reps.append(raw.select(
             (F.col("doc_id") + F.lit(k * 1_000_000)).alias("doc_id"),
             (F.col("text") if k == 0
              else F.concat(F.col("text"), F.lit(f" rep{k}"))).alias("text")))
-    corpus = reps[0].unionByName(reps[1]).unionByName(reps[2])
+    corpus = reps[0]
+    for r in reps[1:]:
+        corpus = corpus.unionByName(r)
     corpus.repartition(64).write.mode("overwrite").parquet(input_dir)
     spark.stop()
 
@@ -116,6 +118,12 @@ FAMILIES = ("dedup_corpus_cc", "substr_dup_ranges", "inverted_index")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs-per-level", type=int, default=2)
+    ap.add_argument("--replicas", type=int, default=9,
+                    help="sf0.1 corpus replication factor; 9 (45k docs) "
+                         "makes per-family compute dwarf the fixed "
+                         "per-job costs (driver round-trips, AQE "
+                         "coordination, CC round barriers) that capped "
+                         "measured efficiency at ~0.5 on 15k docs")
     ap.add_argument("--levels", default="4,16")
     ap.add_argument("--reuse-input", action="store_true")
     args = ap.parse_args()
@@ -124,7 +132,7 @@ def main() -> None:
     input_dir = str(Path(tempfile.gettempdir()) / "family_scale_input")
     t0 = time.time()
     if not (args.reuse_input and Path(input_dir).exists()):
-        build_corpus(input_dir)
+        build_corpus(input_dir, args.replicas)
 
     levels = {c: {fam: run_one(c, fam, input_dir, args.runs_per_level)
                   for fam in FAMILIES}
@@ -148,7 +156,7 @@ def main() -> None:
 
     md = f"""# Family scaling — LLM-pipeline operators (round 3)
 
-Same job, same input ({n_docs} docs: sf0.1 text corpus x 3
+Same job, same input ({n_docs} docs: sf0.1 text corpus x {args.replicas}
 near-dup replicas), local[{lo}] vs local[{hi}] in fresh JVMs,
 best-of-{args.runs_per_level} per level per family.
 
