@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 from rca_pdf_extraction_pipeline_spark.session import get_spark
 from rca_pdf_extraction_pipeline_spark.operators import dedup, search, substring_dedup
 
-spark = get_spark("family-scale", master="local[{cpus}]")
+# shuffle partitions scale with the level (4x cores — the 2-4x-total-
+# cores cluster practice get_spark's own docstring prescribes); a fixed
+# 32 gave local[16] a pathological 2-wave resonance on the CC label
+# loop (60 s vs 14 s at 4x cores, measured)
+spark = get_spark("family-scale", master="local[{cpus}]",
+                  shuffle_partitions=max(16, 4 * {cpus}))
 docs = spark.read.parquet({input_dir!r})
 n_docs = docs.count()
 
