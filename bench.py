@@ -137,7 +137,7 @@ def main() -> None:
         else:
             df_fn = lambda name=name: qs[name](spark, sf_dir)  # noqa: E731
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             # earlier timed queries leave the 48g heap primed for a
             # stop-the-world full collection (measured: ~28 s landing on
             # whichever query runs it first — dedup_simhash cold read
@@ -148,17 +148,17 @@ def main() -> None:
             t0 = time.time()
             _materialize(df_fn())
             runs.append(round(time.time() - t0, 3))
-        # headline = per-query MEDIAN of 3 GC-prefixed runs.  This host
+        # headline = per-query MEDIAN of 5 GC-prefixed runs.  This host
         # shares hardware with invisible co-tenants that periodically
         # tank it for tens of seconds: the SAME plan noop-written in a
         # loop measured 2.6 s and 88.5 s minutes apart (CPU flat +-10%
         # and steal 0.4% under a 90 s full-load probe, but DRAM
         # bandwidth swung 84-173 GB/s, and stalled-run thread dumps show
         # workers healthy inside the operator code) — a single draw
-        # measures the co-tenant, not the operator.  Median-of-3 bounds
-        # one burst; every raw run is recorded below, nothing discarded.
+        # measures the co-tenant, not the operator.  Median-of-5 bounds
+        # two bursts; every raw run is recorded below, nothing discarded.
         cold[name] = runs[0]
-        med[name] = sorted(runs)[1]
+        med[name] = sorted(runs)[2]
         raw[name] = runs
 
     total = round(sum(med.values()), 3)
@@ -167,7 +167,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall_seconds",
         "value": total,
         "unit": "sec",
-        "statistic": "per-query median of 3 GC-prefixed runs after "
+        "statistic": "per-query median of 5 GC-prefixed runs after "
                      "session warm-up (see queries_all_runs for every "
                      "raw wall; first_run_total = old single-shot stat)",
         "queries": med,
