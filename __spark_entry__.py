@@ -1197,6 +1197,38 @@ def _q_o4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("event_id").offset(100).limit(50))
 
 
+#: bloom probe set — three corpus words, one rare-ish, two fabricated
+#: absent tokens (no false negatives on the first four; the absent two
+#: demonstrate the maybe-semantics)
+_BLOOM_PROBES = ["table", "spark", "window", "hash",
+                 "zz_absent_a", "zz_absent_b"]
+
+
+def _q_bloom_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership over the corpus token vocabulary:
+    build the word table (m=16384, k=4) on distinct tokens, probe a
+    fixed list, report maybe_present next to ground truth (the sketch
+    contract: no false negatives, bounded false positives)."""
+    from rca_pdf_extraction_pipeline_spark.operators import sketches
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(F.filter(F.split("text", " "),
+                                        lambda t: t != "")).alias("value"))
+            .distinct())
+    words = sketches.bloom_words(toks, "value", m_bits=16384, k=4)
+    probes = spark.createDataFrame([(p,) for p in _BLOOM_PROBES],
+                                   "value string")
+    member = sketches.bloom_contains(words, probes, "value",
+                                     m_bits=16384, k=4)
+    truth = toks.select(F.col("value").alias("probe"),
+                        F.lit(True).alias("actually_present"))
+    return (member.join(truth, "probe", "left")
+            .select("probe", "maybe_present",
+                    F.coalesce("actually_present", F.lit(False))
+                    .alias("actually_present"))
+            .orderBy("probe"))
+
+
 def _q_a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2-A4 rollup surface as a REAL rollup: per-(returnflag,
     linestatus) revenue with linestatus subtotals and a grand total in
@@ -1322,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_tfidf": _q_source_tfidf,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_token_counts": _q_cms_token_counts,
+        "bloom_tokens": _q_bloom_tokens,
         "cluster_profile": _q_cluster_profile,
         "curation_flags": _q_curation_flags,
         "source_report": _q_source_report,
@@ -2784,6 +2817,32 @@ def oracle_sql() -> dict[str, str]:
                          + coalesce(1.0 / (60 + se.sem_rank), 0), 6) AS rrf
             FROM lex le FULL OUTER JOIN sem se ON le.doc_id = se.doc_id
             ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """,
+        "bloom_tokens": """
+            WITH tok AS (
+              SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                                 t -> t != '')) AS value
+              FROM documents),
+            ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+            corpus_bits AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || value),
+                                1, 15))::BIGINT % 16384 AS bit
+              FROM tok CROSS JOIN ks),
+            probes AS (SELECT unnest(['table', 'spark', 'window', 'hash',
+                                      'zz_absent_a', 'zz_absent_b'])
+                         AS probe),
+            probe_bits AS (
+              SELECT probe,
+                ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || probe),
+                                1, 15))::BIGINT % 16384 AS bit
+              FROM probes CROSS JOIN ks)
+            SELECT probe,
+                   bool_and(bit IN (SELECT bit FROM corpus_bits))
+                     AS maybe_present,
+                   bool_or(probe IN (SELECT value FROM tok))
+                     AS actually_present
+            FROM probe_bits GROUP BY probe ORDER BY probe
         """,
         "cms_token_counts": """
             WITH tok AS (

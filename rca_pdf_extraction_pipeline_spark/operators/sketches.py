@@ -215,3 +215,78 @@ def token_counts_with_cms(docs: DataFrame, text_col: str = "text",
     est = cms_estimate(counters, toks.distinct(), "value", depth, width)
     exact = toks.groupBy("value").agg(F.count(F.lit(1)).alias("exact_count"))
     return est.join(exact, "value").orderBy("value")
+
+
+def bloom_words(df: DataFrame, value_col: str, m_bits: int = 1 << 14,
+                k: int = 4) -> DataFrame:
+    """Bloom filter (Bloom, CACM 1970) as a word table: ``m_bits`` bits
+    packed into 32-bit words, one row per NON-ZERO word — (word_idx,
+    word) with word_idx in [0, m_bits/32).  At most m_bits/32 rows
+    regardless of input size; filters merge by word-wise BIT_OR, so
+    per-partition / per-day filters compose (the join-pruning /
+    decontamination pre-filter shape: build on the small side, broadcast
+    the word table, drop rows whose k bits can't all be set).
+
+    Hash ``i`` of value v is an independent md5 slice
+    (``md5(i || ':' || v)``), mod ``m_bits`` — deterministic and
+    engine-portable like the HLL/CMS sketches, so a SQL oracle
+    reproduces every word.  Words are 32-bit so ``1 << bit`` never
+    touches the sign bit of either engine's BIGINT.
+
+    Scale: one tiny posexplode (k rows per record, carrying two ints),
+    map-side-combined BIT_OR — the exchange holds at most m_bits/32
+    grouped rows per map task, never values.
+    """
+    if m_bits < 32 or m_bits % 32:
+        raise ValueError(f"m_bits must be a positive multiple of 32; "
+                         f"got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    pos = F.array(*[
+        F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)),
+                                  F.col(value_col).cast("string"))),
+                1, 15), 16, 10).cast("long"),
+            F.lit(m_bits))
+        for i in range(k)])
+    return (df.where(F.col(value_col).isNotNull())
+            .select(F.explode(pos).alias("bit"))
+            # SQL-expr shift: the DataFrame shiftleft() only takes a
+            # literal bit count, not a column
+            .select((F.col("bit") / 32).cast("long").alias("word_idx"),
+                    F.expr("shiftleft(1L, cast(pmod(bit, 32) as int))")
+                    .alias("w"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("w").alias("word")))
+
+
+def bloom_contains(words: DataFrame, probes: DataFrame, value_col: str,
+                   m_bits: int = 1 << 14, k: int = 4) -> DataFrame:
+    """Membership test against a :func:`bloom_words` table: one row per
+    probe with ``maybe_present`` (no false negatives; false-positive
+    rate ~ (1 - e^(-k*n/m))^k).  The probe side explodes to its k bit
+    positions and left-joins the word table (broadcast it when the
+    filter is the small side — m_bits/32 rows); a probe is IN iff every
+    one of its k bits is set."""
+    pos = F.array(*[
+        F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)),
+                                  F.col(value_col).cast("string"))),
+                1, 15), 16, 10).cast("long"),
+            F.lit(m_bits))
+        for i in range(k)])
+    p = (probes.where(F.col(value_col).isNotNull())
+         .select(F.col(value_col).alias("probe"), F.explode(pos).alias("bit"))
+         .select("probe",
+                 (F.col("bit") / 32).cast("long").alias("word_idx"),
+                 F.expr("shiftleft(1L, cast(pmod(bit, 32) as int))")
+                 .alias("mask")))
+    return (p.join(F.broadcast(words), "word_idx", "left")
+            .select("probe",
+                    (F.coalesce(F.col("word"), F.lit(0))
+                     .bitwiseAND(F.col("mask")) != 0).alias("hit"))
+            .groupBy("probe")
+            .agg(F.bool_and("hit").alias("maybe_present"))
+            .orderBy("probe"))

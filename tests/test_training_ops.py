@@ -938,3 +938,59 @@ def test_cluster_profile_partitions_population_exactly(vectors):
     for r in got:
         assert r["inertia"] >= 0
         assert abs(r["avg_d2"] * r["n_vecs"] - r["inertia"]) < 0.5
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom contract: every inserted value tests maybe_present=True (no
+    false negatives) at any m/k; per-partition filters merged by word-
+    wise BIT_OR equal the whole-corpus filter; word values stay within
+    unsigned-32 range (the no-sign-bit design)."""
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.operators import sketches
+
+    vals = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(200)], "value string")
+    words = sketches.bloom_words(vals, "value", m_bits=1024, k=3)
+    member = sketches.bloom_contains(words, vals, "value",
+                                     m_bits=1024, k=3).collect()
+    assert all(r["maybe_present"] for r in member) and len(member) == 200
+
+    # merge == whole: build on two halves, OR the word tables
+    a = sketches.bloom_words(vals.where("value < 'tok2'"), "value", 1024, 3)
+    b = sketches.bloom_words(vals.where("value >= 'tok2'"), "value", 1024, 3)
+    merged = (a.unionByName(b).groupBy("word_idx")
+              .agg(F.bit_or("word").alias("word")))
+    whole = {(r["word_idx"], r["word"]) for r in words.collect()}
+    assert {(r["word_idx"], r["word"]) for r in merged.collect()} == whole
+
+    for r in words.collect():
+        assert 0 < r["word"] <= 0xFFFFFFFF
+        assert 0 <= r["word_idx"] < 1024 // 32
+
+
+def test_bloom_absent_values_and_guards(spark):
+    """Absent probes come back False at a realistic fill ratio, and the
+    m/k guards fail loudly."""
+    import pytest
+
+    from rca_pdf_extraction_pipeline_spark.operators import sketches
+
+    vals = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(50)], "value string")
+    words = sketches.bloom_words(vals, "value", m_bits=16384, k=4)
+    probes = spark.createDataFrame(
+        [("tok7",), ("definitely_absent_x",), ("definitely_absent_y",)],
+        "value string")
+    got = {r["probe"]: r["maybe_present"]
+           for r in sketches.bloom_contains(words, probes, "value",
+                                            16384, 4).collect()}
+    assert got["tok7"] is True
+    # fill ratio ~ 50*4/16384 => FP ~ 2e-8; absent probes are False
+    assert got["definitely_absent_x"] is False
+    assert got["definitely_absent_y"] is False
+
+    with pytest.raises(ValueError):
+        sketches.bloom_words(vals, "value", m_bits=100, k=4)  # not mult of 32
+    with pytest.raises(ValueError):
+        sketches.bloom_words(vals, "value", m_bits=1024, k=0)
