@@ -338,11 +338,16 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     tok_df = docs.select(F.col(id_col),
                          T.shingle_set(F.col(text_col), shingle_size)
                          .alias("toks"))
+    # ONE md5 per shingle: the inner transform materializes the hex array
+    # per row, the outer slices it twice — HOF lambdas get no CSE, so
+    # inlining md5(t) in both conv slices would hash every shingle twice
+    # (r3 plan pinned "exactly 2 md5"; this halves the dominant cost and
+    # the pin now reads "exactly 1", tests/test_plan_hygiene.py).
     hashed = F.transform(
-        F.col("toks"),
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("hi"),
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("lo"),
+        F.transform(F.col("toks"), F.md5),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("lo"),
         ))
     # loud runtime guard: a per-bit count can reach n, and the SWAR
     # lanes hold 16 bits — raise per-row rather than overflow silently.

@@ -328,12 +328,14 @@ def test_simhash_swar_single_project_no_hof_filters(documents):
     assert "array_filter" not in plan.lower()
     assert "Exchange" not in plan and "EvalPython" not in plan
     # md5 hashing is confined to ONE projection layer (the hv build)
-    # and evaluated ONCE per shingle: exactly the hi/lo halves' two md5
-    # calls — a third+ occurrence means the lane-cap guard or the SWAR
-    # folds re-inlined the transform (the 8x regression shape)
+    # and evaluated ONCE per shingle: a nested transform materializes
+    # the hex array, then the hi/lo conv slices read the HEX, not the
+    # hash — a second+ occurrence means a slice re-inlined md5 (2x the
+    # dominant cost) or the lane-cap guard / SWAR folds re-inlined the
+    # whole transform (the 8x regression shape)
     md5_layers = [ln for ln in plan.splitlines() if "md5" in ln]
     assert len(md5_layers) == 1, md5_layers
-    assert md5_layers[0].count("md5") == 2, md5_layers[0]
+    assert md5_layers[0].count("md5") == 1, md5_layers[0]
 
 
 def test_tokenize_once_per_scan_branch(documents):

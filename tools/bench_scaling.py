@@ -199,8 +199,8 @@ Repro: `python tools/bench_scaling.py`
 HEADLINE_MD = """
 ## Headline benchmark (bench.py, sf0.1, local[32])
 
-**Statistic (round 3): per-query MEDIAN of 3 GC-prefixed runs after a
-session warm-up** (the warm-up pre-triggers JIT/janino codegen of the
+**Statistic (round 4): per-query MEDIAN of 5 GC-prefixed runs after a
+session warm-up, full-C2 JIT** (the warm-up pre-triggers JIT/janino codegen of the
 md5/shingle/agg/join shapes, Arrow worker spin-up, and the input page
 cache; a long-lived app amortizes these).  Every raw run and the old
 single-shot (first-run) statistic ride in the JSON line
