@@ -54,6 +54,7 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     substring_dedup,
     tablegrid,
     textanalysis,
+    urls,
 )
 from rca_pdf_extraction_pipeline_spark.sources import fixtures
 
@@ -397,12 +398,21 @@ def _q_span_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fragments, and path collisions (doc_id % 140 — 140 = lcm(4,5,7) so
 #: ids 140 apart share scheme-class/slash/host residues and collide
 #: after normalization; 10 | 140 keeps the apex domain aligned too).
+#: The TLD is keyed on doc_id % 10 (preserved mod 140, so the collision
+#: structure is unchanged) and mixes two-level public suffixes (.CO.UK /
+#: .com.au / .co.jp / .gov.uk) in with .COM so the driver-checked domain
+#: queries exercise the suffix-aware registered-domain rule end-to-end.
 _URL_EXPR = """concat(
   CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
        WHEN doc_id % 4 = 1 THEN 'https://www.'
        WHEN doc_id % 4 = 2 THEN 'http://' ELSE 'https://' END,
   'site', CAST(doc_id % 7 AS STRING),
-  '.Ex', CAST(doc_id % 10 AS STRING), '.COM',
+  '.Ex', CAST(doc_id % 10 AS STRING),
+  CASE WHEN doc_id % 10 = 0 THEN '.CO.UK'
+       WHEN doc_id % 10 = 1 THEN '.com.au'
+       WHEN doc_id % 10 = 2 THEN '.co.jp'
+       WHEN doc_id % 10 = 3 THEN '.gov.uk'
+       ELSE '.COM' END,
   CASE WHEN doc_id % 6 = 0 THEN ':443'
        WHEN doc_id % 6 = 1 THEN ':80' ELSE '' END,
   '/Articles/', CAST(doc_id % 140 AS STRING),
@@ -412,10 +422,15 @@ _URL_EXPR = """concat(
   CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)"""
 
 
+#: the Spark-side suffix set, rendered as a SQL IN-list — ONE source of
+#: truth (operators/urls.TWO_LEVEL_SUFFIXES) for both engines
+_SQL_SUFFIX_LIST = ", ".join(f"'{s}'" for s in urls.TWO_LEVEL_SUFFIXES)
+
 #: DuckDB twin of operators/urls.normalize_url + domain() over the same
 #: synthesized urls — identical regexes, step for step (defrag ->
 #: lowercase scheme/authority -> default-port strip -> tracking-param
-#: filter -> empty-query / trailing-slash rules).
+#: filter -> empty-query / trailing-slash rules; apex takes THREE labels
+#: when the last two are a two-level public suffix, else two).
 _SQL_URL_CTES = f"""
 u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
 parts AS (
@@ -450,7 +465,13 @@ n AS (
               (CASE WHEN query = '' OR len(kept) = 0 THEN ''
                     ELSE '?' || array_to_string(kept, '&') END)
     END AS url_norm,
-    regexp_extract(host_nowww, '([^.]+\\.[^.]+)$', 1) AS apex_domain
+    CASE WHEN regexp_extract(host_nowww, '([^.]+\\.[^.]+)$', 1)
+                IN ({_SQL_SUFFIX_LIST})
+              AND regexp_extract(host_nowww,
+                    '([^.]+\\.[^.]+\\.[^.]+)$', 1) != ''
+         THEN regexp_extract(host_nowww, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+         ELSE regexp_extract(host_nowww, '([^.]+\\.[^.]+)$', 1)
+    END AS apex_domain
   FROM (SELECT *, list_filter(string_split(query, '&'),
           p -> NOT regexp_matches(p,
             '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src)=')
@@ -496,6 +517,37 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rca_pdf_extraction_pipeline_spark.operators import urls
 
     return urls.domain_stats(_url_docs(spark, sf_dir))
+
+
+#: fixed probe set for the suffix-aware registered-domain rule — the
+#: collapse/distinction cases from the r3 verdict (bbc.co.uk family
+#: collapses; amazon.co.uk stays distinct from amazon.com) plus the
+#: edge hosts: a bare suffix host, a single-label host, a 4-label host.
+_SUFFIX_DEMO_URLS: list[tuple[int, str]] = [
+    (0, "https://bbc.co.uk/news"),
+    (1, "https://news.bbc.co.uk/world"),
+    (2, "http://WWW.BBC.CO.UK/sport"),
+    (3, "https://amazon.co.uk/dp/1"),
+    (4, "https://www.amazon.com/dp/1"),
+    (5, "https://smile.amazon.com/dp/2"),
+    (6, "https://shop.example.com.au/x"),
+    (7, "https://example.com.au"),
+    (8, "https://data.gov.uk/dataset"),
+    (9, "https://www.example.org/a"),
+    (10, "https://sub.deep.example.co.jp/x"),
+    (11, "https://co.uk/"),
+    (12, "https://localhost:8080/x"),
+]
+
+
+def _q_url_suffix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain extraction over the fixed probe set — exercises
+    operators/urls.domain()'s public-suffix rule directly (sf_dir unused:
+    the probe set IS the contract)."""
+    d = spark.createDataFrame(_SUFFIX_DEMO_URLS, "doc_id long, url string")
+    return d.select("doc_id", "url",
+                    urls.domain(F.col("url")).alias("apex_domain")) \
+            .orderBy("doc_id")
 
 
 def _q_dedup_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1259,74 +1311,29 @@ def _q_a11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is a contract, not cosmetics: the driver's correctness
+    gate hashes only the FIRST 50 keys against the DuckDB oracles, so the
+    window must spend itself on queries with no prior driver-green row.
+    Priority (pinned by tests/test_driver_window.py): (1) keys whose
+    latest CORRECTNESS_r0N row was err/fail, (2) keys never present in
+    any CORRECTNESS file, (3) keys whose output semantics changed this
+    round, (4) long-green keys — those are separately pinned by pytest
+    golden fixtures and lose nothing by sitting past position 50.
+    Round 3's gate starved itself by front-loading the stable golden
+    queries: round 2's two err rows were fixed but never re-witnessed.
+    """
     return {
-        # extraction pipeline (SURVEY §2.9-2.12, golden parity)
-        "extract_flagship": _q_extract_flagship,
-        "c1_classify_golden": _q_classify_golden,
-        "p2_samples_golden": _q_samples_golden,
-        "h1_headers_golden": _q_headers_golden,
-        "h2_verify_golden": _q_h2_verify_golden,
-        "c2_structural_spans": _q_c2_structural_spans,
-        "table_grid_cells": _q_table_grid_cells,
-        "table_consolidated": _q_table_consolidated,
-        "f8_page_range": _q_f8_page_range,
-        "a8_depth_summary": _q_a8_depth_summary,
-        "s5_doc_metadata": _q_s5_doc_metadata,
-        "span_search": _q_span_search,
-        "span_kind_census": _q_span_kind_census,
-        # relational operators (SURVEY §2.3, §2.4, §2.6)
-        "a0_pricing_summary": _q_a0_pricing_summary,
-        "a12_rollup": _q_a12_rollup,
-        "j1_broadcast_join": _q_j1_broadcast_join,
-        "j_semi_anti": _q_j_semi_anti,
-        "o3_topk_orders": _q_o3_topk_orders,
-        "j5_levenshtein_pairs": _q_j5_levenshtein_pairs,
-        # windows / sequences (SURVEY §2.5)
-        "asof_click_view": _q_asof_click_view,
-        "session_windows": _q_session_windows,
-        "w1_lead_boundary": _q_w1_lead_boundary,
-        "w2_cumsum_sessions": _q_w2_cumsum_sessions,
-        "w3_reading_order": _q_w3_reading_order,
-        "a1_group_concat": _q_a1_group_concat,
-        "a7_gap_regularity": _q_a7_gap_regularity,
-        "f3_band_histogram": _q_f3_band_histogram,
-        # classification + scalar fns (SURVEY §2.8, §2.9)
-        "c1_keyword_cascade": _q_c1_keyword_cascade,
-        "a5_keyword_score": _q_a5_keyword_score,
-        "x_scalar_suite": _q_x_scalar_suite,
-        "x10_json_roundtrip": _q_x10_json_roundtrip,
-        "o4_pagination": _q_o4_pagination,
-        "a11_distinct_agg": _q_a11_distinct_agg,
-        # training-data pipeline: dedup
-        "dedup_exact": _q_dedup_exact,
-        "dedup_exact_normalized": _q_dedup_exact_normalized,
-        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        # URL curation family (C4/RefinedWeb stage 1)
-        "url_normalize": _q_url_normalize,
-        "url_dedup_groups": _q_url_dedup_groups,
-        "domain_caps": _q_domain_caps,
-        "domain_stats": _q_domain_stats,
-        "dedup_corpus": _q_dedup_corpus,
-        "dedup_corpus_cc": _q_dedup_corpus_cc,
-        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
-        # training-data pipeline: similarity search
-        "sim_topk_cosine": _q_sim_topk_cosine,
-        "sim_lsh_buckets": _q_sim_lsh_buckets,
-        "sim_bucketed_topk": _q_sim_bucketed_topk,
-        "sim_multiprobe_topk": _q_sim_multiprobe_topk,
+        # (1) round-2 errs — fixed in r3, never driver-re-witnessed
         "ann_kmeans_centroids": _q_ann_kmeans_centroids,
+        "text_embed_vectors": _q_text_embed_vectors,
+        # (2) never driver-checked (absent from CORRECTNESS_r01-r03)
         "ann_ivf_sampled": _q_ann_ivf_sampled,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "semantic_dedup_pairs": _q_semantic_dedup_pairs,
         "semantic_dedup_keep": _q_semantic_dedup_keep,
-        "text_embed_vectors": _q_text_embed_vectors,
         "text_embed_topk": _q_text_embed_topk,
         "vocab_topk": _q_vocab_topk,
         "vocab_coverage": _q_vocab_coverage,
-        # HTML boilerplate stripping + multimodal + C2 structural
         "html_boilerplate": _q_html_boilerplate,
         "html_block_scores": _q_html_block_scores,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -1334,7 +1341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_bmp": _q_multimodal_decode_bmp,
         "c2_structural": _q_c2_structural,
-        # training-data pipeline: text analytics
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1344,7 +1350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": _q_text_bigram_lm,
         "text_token_bpe": _q_text_token_bpe,
         "text_pii": _q_text_pii,
-        # training-data pipeline: exact-substring dedup + retrieval
         "substr_dup_ranges": _q_substr_dup_ranges,
         "decontaminate_report": _q_decontaminate_report,
         "substr_dup_profile": _q_substr_dup_profile,
@@ -1367,6 +1372,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": _q_sample_per_group,
         "sample_weighted": _q_sample_weighted,
         "sample_mixture": _q_sample_mixture,
+        # (3) semantics changed in r4 (public-suffix-aware domain())
+        "domain_caps": _q_domain_caps,
+        "domain_stats": _q_domain_stats,
+        "url_suffix_domains": _q_url_suffix_domains,
+        # ---- driver window boundary (first 50 keys above) ----
+        # (4) long-green golden-path queries, all pinned by pytest golden
+        # fixtures / byte-parity tests; driver rows in CORRECTNESS_r01-r03
+        "extract_flagship": _q_extract_flagship,
+        "c1_classify_golden": _q_classify_golden,
+        "p2_samples_golden": _q_samples_golden,
+        "h1_headers_golden": _q_headers_golden,
+        "h2_verify_golden": _q_h2_verify_golden,
+        "c2_structural_spans": _q_c2_structural_spans,
+        "table_grid_cells": _q_table_grid_cells,
+        "table_consolidated": _q_table_consolidated,
+        "f8_page_range": _q_f8_page_range,
+        "a8_depth_summary": _q_a8_depth_summary,
+        "s5_doc_metadata": _q_s5_doc_metadata,
+        "span_search": _q_span_search,
+        "span_kind_census": _q_span_kind_census,
+        "a0_pricing_summary": _q_a0_pricing_summary,
+        "a12_rollup": _q_a12_rollup,
+        "j1_broadcast_join": _q_j1_broadcast_join,
+        "j_semi_anti": _q_j_semi_anti,
+        "o3_topk_orders": _q_o3_topk_orders,
+        "j5_levenshtein_pairs": _q_j5_levenshtein_pairs,
+        "asof_click_view": _q_asof_click_view,
+        "session_windows": _q_session_windows,
+        "w1_lead_boundary": _q_w1_lead_boundary,
+        "w2_cumsum_sessions": _q_w2_cumsum_sessions,
+        "w3_reading_order": _q_w3_reading_order,
+        "a1_group_concat": _q_a1_group_concat,
+        "a7_gap_regularity": _q_a7_gap_regularity,
+        "f3_band_histogram": _q_f3_band_histogram,
+        "c1_keyword_cascade": _q_c1_keyword_cascade,
+        "a5_keyword_score": _q_a5_keyword_score,
+        "x_scalar_suite": _q_x_scalar_suite,
+        "x10_json_roundtrip": _q_x10_json_roundtrip,
+        "o4_pagination": _q_o4_pagination,
+        "a11_distinct_agg": _q_a11_distinct_agg,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_normalized": _q_dedup_exact_normalized,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "url_normalize": _q_url_normalize,
+        "url_dedup_groups": _q_url_dedup_groups,
+        "dedup_corpus": _q_dedup_corpus,
+        "dedup_corpus_cc": _q_dedup_corpus_cc,
+        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
+        "sim_topk_cosine": _q_sim_topk_cosine,
+        "sim_lsh_buckets": _q_sim_lsh_buckets,
+        "sim_bucketed_topk": _q_sim_bucketed_topk,
+        "sim_multiprobe_topk": _q_sim_multiprobe_topk,
     }
 
 
@@ -1919,6 +1979,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT url_norm)::BIGINT AS n_urls
             FROM n GROUP BY apex_domain
             ORDER BY n_docs DESC, apex_domain
+        """,
+        "url_suffix_domains": f"""
+            WITH u(doc_id, url) AS (VALUES {", ".join(
+                f"({i}::BIGINT, '{u}')" for i, u in _SUFFIX_DEMO_URLS)}),
+            h AS (SELECT doc_id, url,
+                    regexp_replace(regexp_replace(
+                      lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                        '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)', 1)),
+                      ':\\d+$', ''), '^www\\.', '') AS host FROM u)
+            SELECT doc_id, url,
+              CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                         IN ({_SQL_SUFFIX_LIST})
+                       AND regexp_extract(host,
+                             '([^.]+\\.[^.]+\\.[^.]+)$', 1) != ''
+                   THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                   ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+              END AS apex_domain
+            FROM h ORDER BY doc_id
         """,
         "dedup_simhash": f"""
             WITH {_SQL_SHINGLE_BASE},
