@@ -29,6 +29,31 @@ from pyspark.sql import functions as F
 #: Urchin tracking module docs; fbclid/gclid/msclkid click ids; ref)
 _TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src)="
 
+#: static subset of the Public Suffix List's two-level suffixes
+#: (publicsuffix.org) — the high-traffic ccTLD second-level registries.
+#: ``domain(apex=True)`` keeps THREE labels when the last two match this
+#: set, so bbc.co.uk and news.bbc.co.uk both yield bbc.co.uk instead of
+#: collapsing every UK site into "co.uk".  Deliberately inline (no
+#: network, no file): ~60 entries covers the bulk of real crawl traffic;
+#: a full PSL snapshot slots in as a broadcast set on a production
+#: cluster (the expression shape is identical).  Sorted tuple so the
+#: generated IN-list is deterministic across engines.
+TWO_LEVEL_SUFFIXES: tuple[str, ...] = tuple(sorted({
+    "ac.il", "ac.jp", "ac.nz", "ac.uk", "ac.za",
+    "co.id", "co.il", "co.in", "co.jp", "co.ke", "co.kr", "co.nz",
+    "co.th", "co.uk", "co.za",
+    "com.ar", "com.au", "com.bd", "com.br", "com.cn", "com.eg",
+    "com.hk", "com.mx", "com.my", "com.ng", "com.ph", "com.pk",
+    "com.sa", "com.sg", "com.tr", "com.tw", "com.vn",
+    "edu.au", "edu.cn",
+    "gen.in", "go.jp", "go.kr", "gov.au", "gov.br", "gov.cn",
+    "gov.uk", "gov.za", "govt.nz",
+    "me.uk", "ne.jp", "net.au", "net.br", "net.cn", "net.in",
+    "net.mx", "net.nz", "net.uk", "net.za",
+    "or.jp", "or.kr", "org.au", "org.br", "org.cn", "org.il",
+    "org.in", "org.mx", "org.nz", "org.uk", "org.za",
+}))
+
 
 def _split(url: Column) -> tuple[Column, Column, Column]:
     """(scheme, authority, rest) — rest keeps its leading '/' if any;
@@ -66,15 +91,20 @@ def normalize_url(url: Column) -> Column:
 
 
 def domain(url: Column, apex: bool = True) -> Column:
-    """Host with any ``www.`` prefix dropped; with ``apex=True``, only
-    the last two labels (the registered-domain heuristic — a public
-    suffix list is the production upgrade and slots in here)."""
+    """Host with any ``www.`` prefix dropped; with ``apex=True``, the
+    registered domain: the last TWO labels, or the last THREE when the
+    last two are a two-level public suffix (:data:`TWO_LEVEL_SUFFIXES`
+    — publicsuffix.org subset), so bbc.co.uk / news.bbc.co.uk both map
+    to bbc.co.uk while amazon.co.uk stays distinct from amazon.com."""
     _, authority, _ = _split(url)
     host = F.regexp_replace(F.regexp_replace(authority, r":\d+$", ""),
                             r"^www\.", "")
     if not apex:
         return host
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return F.when(last2.isin(*TWO_LEVEL_SUFFIXES) & (last3 != ""), last3) \
+            .otherwise(last2)
 
 
 def url_duplicates(docs: DataFrame, url_col: str = "url",

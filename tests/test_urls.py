@@ -52,6 +52,32 @@ def test_domain_extraction(spark):
                                                   "example.com")
 
 
+def test_domain_public_suffix_rule(spark):
+    """Two-level public suffixes keep THREE labels: the bbc.co.uk family
+    collapses to one registered domain; amazon.co.uk stays distinct from
+    amazon.com; bare-suffix and single-label hosts degrade gracefully."""
+    cases = {
+        "https://bbc.co.uk/news": "bbc.co.uk",
+        "https://news.bbc.co.uk/world": "bbc.co.uk",
+        "http://WWW.BBC.CO.UK/sport": "bbc.co.uk",
+        "https://amazon.co.uk/dp/1": "amazon.co.uk",
+        "https://www.amazon.com/dp/1": "amazon.com",
+        "https://shop.example.com.au/x": "example.com.au",
+        "https://data.gov.uk/d": "data.gov.uk",
+        "https://sub.deep.example.co.jp/x": "example.co.jp",
+        # bare suffix host: no third label -> falls back to last two
+        "https://co.uk/": "co.uk",
+        # single-label host: no dot -> no registered domain
+        "https://localhost:8080/x": "",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = [r["a"] for r in
+           df.select(urls.domain(F.col("url")).alias("a")).collect()]
+    assert got == list(cases.values())
+    # the collapse actually merges cap/census keys
+    assert urls.TWO_LEVEL_SUFFIXES == tuple(sorted(set(urls.TWO_LEVEL_SUFFIXES)))
+
+
 @pytest.fixture(scope="module")
 def url_corpus(spark):
     rows = [
