@@ -12,8 +12,9 @@ fixed-budget training sequences.
   * ``pack_documents`` — assign documents to fixed token-budget bins by
     running cumulative sum in a deterministic order (the parallel
     formulation of greedy sequential packing: bin = floor(cumsum /
-    budget); documents never split).  One window over the ordering key;
-    at scale, order within salted ranges and pack per range.
+    budget); documents never split).  Range-partitioned: per-range
+    cumsum windows + a tiny per-range offset table — no corpus-wide
+    window at any scale.
 
 Both are deterministic (order derives from ids, never partitioning)
 and exactly replayable in SQL.
@@ -63,7 +64,8 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
 
 
 def pack_documents(docs: DataFrame, budget_tokens: int = 512,
-                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_ranges: int | None = None) -> DataFrame:
     """(id, n_tokens, bin_id) — deterministic token-budget packing:
     documents in ascending id order fill bins of ``budget_tokens`` by
     running cumulative sum (bin = floor((cumsum - n) / budget), i.e.
@@ -71,15 +73,46 @@ def pack_documents(docs: DataFrame, budget_tokens: int = 512,
     document may overhang its bin — the standard cumsum approximation
     of greedy packing, off by at most one document per bin).
 
-    Scale note: the single global window is the local formulation; at
-    10^12 docs, range-partition on id first and pack per range with a
-    per-range bin offset — same expression, one extra aggregate.
+    Scale formulation (the ONLY formulation — a global-window variant
+    would move the whole corpus to one task): range-repartition on id
+    into ``num_ranges`` contiguous id ranges (default
+    spark.sql.shuffle.partitions), cumsum WITHIN each range under a
+    window that always has a partition spec, then shift each range by
+    the total tokens of all earlier ranges.  The offsets come from one
+    tiny per-range-totals aggregate (``num_ranges`` rows) whose running
+    sum is computed with a triangular self-join — no partition-less
+    window anywhere, at any size.  The result is bitwise identical to
+    the logical global cumsum for ANY contiguous ordered split, so the
+    SQL oracle stays the one-line global formulation.
+
+    The per-range key is ``spark_partition_id()`` AFTER the range
+    exchange: range k maps to shuffle partition k, so the key is
+    order-contiguous; AQE may only merge ADJACENT shuffle partitions,
+    which preserves contiguity and therefore the cumsum decomposition.
     """
-    w = Window.orderBy(F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
+    spark = docs.sparkSession
+    if num_ranges is None:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = docs.select(F.col(id_col),
                        T.n_tokens(F.col(text_col)).alias("n_tokens"))
-    return base.select(
+    ranged = base.repartitionByRange(num_ranges, F.col(id_col)) \
+                 .withColumn("rng", F.spark_partition_id())
+    w = Window.partitionBy("rng").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    within = ranged.select(
+        F.col(id_col), F.col("n_tokens"), F.col("rng"),
+        F.sum("n_tokens").over(w).alias("cum_in_range"))
+    totals = ranged.groupBy("rng").agg(
+        F.sum("n_tokens").alias("rng_tokens"))
+    # running offset over the tiny totals table without a global window:
+    # triangular self-join (num_ranges^2 comparisons on <=1k rows)
+    earlier = totals.select(F.col("rng").alias("erng"),
+                            F.col("rng_tokens").alias("etok"))
+    offsets = (totals.join(earlier, F.col("erng") < F.col("rng"), "left")
+               .groupBy("rng")
+               .agg(F.coalesce(F.sum("etok"), F.lit(0)).alias("offset")))
+    joined = within.join(F.broadcast(offsets), "rng")
+    return joined.select(
         F.col(id_col), F.col("n_tokens"),
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        F.floor((F.col("offset") + F.col("cum_in_range") - F.col("n_tokens"))
                 / F.lit(budget_tokens)).cast("long").alias("bin_id"))

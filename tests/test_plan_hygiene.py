@@ -305,6 +305,28 @@ def test_asof_and_chunking_no_python_eval(spark, documents):
         assert "EvalPython" not in plan, plan[:2000]
 
 
+def test_pack_documents_every_window_has_partition_spec(documents):
+    """pack_documents must never plan a corpus-wide window: every
+    windowspecdefinition carries a partition expression (the r3 version
+    ran Window.orderBy(id) with NO partitionBy — Spark's own 'No
+    Partition Defined' WindowExec warning, single-task at any scale),
+    and the per-range offsets join is a broadcast of the tiny totals
+    table, not a shuffle."""
+    from rca_pdf_extraction_pipeline_spark.operators import chunking
+
+    plan = _plan(chunking.pack_documents(documents))
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert win_lines, "expected a per-range cumsum window in the plan"
+    for ln in win_lines:
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        # a partitioned spec reads (rng#N, id#M ASC ...); an unpartitioned
+        # one starts directly with the sort order
+        first_arg = spec.split(",", 1)[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, ln.strip()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, \
+        plan[:2000]
+
+
 def test_asof_join_is_one_exchange_per_side(spark):
     """The as-of join must cost ONE hash exchange on the key (union +
     window), never a nested-loop inequality join."""
