@@ -62,6 +62,37 @@ def dedup_stream_unbounded(docs: DataFrame,
             .dropDuplicates(["content_hash"]))
 
 
+def url_dedup_stream(docs: DataFrame, ts_col: str = "event_time",
+                     url_col: str = "url",
+                     watermark_delay: str = "10 minutes") -> DataFrame:
+    """Ingest-time URL dedup: first arrival per NORMALIZED url within
+    the watermark horizon — the streaming half of the batch URL family
+    (operators/urls.url_duplicates), sharing the exact canonicalization
+    expression so 'HTTPS://WWW.E.com/x/?utm_source=f' and
+    'https://www.e.com/x' collide on arrival, not at the next batch
+    sweep.  State rows carry the 16-byte md5 of the normalized url plus
+    a timestamp — never the url string itself."""
+    from ..operators.urls import normalize_url
+
+    return (docs.withColumn("url_norm", normalize_url(F.col(url_col)))
+            .withColumn("url_hash", F.md5(F.col("url_norm")))
+            .withWatermark(ts_col, watermark_delay)
+            .dropDuplicatesWithinWatermark(["url_hash"]))
+
+
+def batch_url_keep_first(docs: DataFrame, order_col: str,
+                         url_col: str = "url") -> DataFrame:
+    """Batch twin of :func:`url_dedup_stream`'s keep-first policy — one
+    row per normalized url, smallest ``order_col`` wins.  Pins
+    stream == batch in tests."""
+    from ..operators.urls import normalize_url
+
+    w = (docs.withColumn("url_norm", normalize_url(F.col(url_col)))
+         .withColumn("url_hash", F.md5(F.col("url_norm"))))
+    first = w.groupBy("url_hash").agg(F.min(order_col).alias(order_col))
+    return w.join(first, ["url_hash", order_col], "left_semi")
+
+
 def batch_keep_first(docs: DataFrame, order_col: str,
                      text_col: str = "text") -> DataFrame:
     """Batch twin of the streaming keep-first policy: one row per

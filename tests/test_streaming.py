@@ -199,6 +199,58 @@ def test_stream_dedup_keeps_first_arrival(spark, tmp_path):
     assert got == want  # stream == batch keep-first
 
 
+def test_stream_url_dedup_keeps_first_arrival(spark, tmp_path):
+    """Streaming URL dedup == batch keep-first over NORMALIZED urls:
+    case/tracking-param/trailing-slash variants collide on arrival."""
+    import datetime as dt
+
+    from rca_pdf_extraction_pipeline_spark.streaming import dedup as sdedup
+
+    rows = [
+        # (doc_id, url, event_time, file) — 1/3/6 same normalized url
+        (1, "https://e.com/x?utm_source=f", dt.datetime(2026, 1, 1, 10, 0, 0), 0),
+        (2, "https://other.com/y", dt.datetime(2026, 1, 1, 10, 0, 10), 0),
+        (3, "HTTPS://E.com/x", dt.datetime(2026, 1, 1, 10, 0, 20), 1),
+        (4, "https://e.com/z", dt.datetime(2026, 1, 1, 10, 0, 30), 1),
+        (5, "http://other.com/y", dt.datetime(2026, 1, 1, 10, 0, 40), 2),  # http != https
+        (6, "https://e.com/x/", dt.datetime(2026, 1, 1, 10, 0, 50), 2),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        "doc_id long, url string, event_time timestamp")
+    in_dir = str(tmp_path / "uin")
+    import glob
+    import shutil
+    for f in (0, 1, 2):
+        ids = [r[0] for r in rows if r[3] == f]
+        df.filter(df.doc_id.isin(ids)).coalesce(1).write.parquet(
+            f"{in_dir}/f{f}")
+    for i, p in enumerate(sorted(glob.glob(f"{in_dir}/f*/part-*.parquet"))):
+        shutil.move(p, f"{in_dir}/urls_{i}.parquet")
+    for f in (0, 1, 2):
+        shutil.rmtree(f"{in_dir}/f{f}")
+
+    stream = (spark.readStream
+              .schema("doc_id long, url string, event_time timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = sdedup.url_dedup_stream(stream, watermark_delay="10 minutes")
+    q = (out.writeStream.format("memory").queryName("surl")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = sorted(r["doc_id"] for r in spark.sql(
+        "SELECT doc_id FROM surl").collect())
+    assert got == [1, 2, 4, 5]  # 3 and 6 collapse into 1; http stays
+
+    want = sorted(r["doc_id"] for r in
+                  sdedup.batch_url_keep_first(df, "doc_id").collect())
+    assert got == want  # stream == batch keep-first
+
+
 def test_stream_dedup_unbounded_matches(spark, tmp_path):
     from rca_pdf_extraction_pipeline_spark.streaming import dedup as sdedup
 
