@@ -56,11 +56,23 @@ class _Materializer:
     def __init__(self, checkpoint_dir: str | None = None):
         self.dir = checkpoint_dir
         self._n = 0
+        self._run_token: str | None = None
 
     def __call__(self, df: DataFrame, name: str) -> DataFrame:
         if self.dir is None:
             return df.localCheckpoint(eager=True)
-        path = f"{self.dir}/{name}_{self._n:04d}.parquet"
+        if self._run_token is None:
+            # namespace every materialization under (applicationId, a
+            # per-app monotonic counter): two jobs sharing checkpoint_dir
+            # — or a re-run while a prior run's DataFrames are still
+            # being read — can no longer clobber each other's files
+            # (the counter alone restarted at 0 per invocation)
+            sc = df.sparkSession.sparkContext
+            seq = sc.getLocalProperty("rca.materializer.seq")
+            nxt = int(seq) + 1 if seq else 0
+            sc.setLocalProperty("rca.materializer.seq", str(nxt))
+            self._run_token = f"{sc.applicationId}/mat_{nxt:04d}"
+        path = f"{self.dir}/{self._run_token}/{name}_{self._n:04d}.parquet"
         self._n += 1
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)

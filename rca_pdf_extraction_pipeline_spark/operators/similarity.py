@@ -203,6 +203,18 @@ def kmeans_centroids_sampled(embs: DataFrame, k: int = 4, iters: int = 2,
     from .sampling import hash_sample
 
     sample = hash_sample(embs, sample_rate, seed, id_col=id_col)
+    # loud guard (lane-cap / MAX_TABLES style): with a small corpus or a
+    # low rate the seed `LIMIT k` would silently yield < k centroids
+    # while ivf_topk_sampled still validates nprobe against the REQUESTED
+    # n_centroids.  One count over the sample — the fit scans it `iters`
+    # times anyway, so the check is proportionate, and it fails before
+    # any Lloyd work is queued.
+    n_sample = sample.count()
+    if n_sample < k:
+        raise ValueError(
+            f"kmeans_centroids_sampled: hash sample holds {n_sample} "
+            f"vectors < k={k} centroids; raise sample_rate (got "
+            f"{sample_rate}) or lower k")
     return kmeans_centroids(sample, k, iters, id_col, vec_col)
 
 

@@ -183,13 +183,19 @@ def test_cc_dedup_storage_backed_checkpoint(spark, tmp_path):
                 for r in dedup.deduplicate_corpus_cc(
                     c, checkpoint_dir=ckpt).collect())
     assert cc == [1]
-    written = sorted(p.name for p in (tmp_path / "dedup_ckpt").iterdir())
+    root = tmp_path / "dedup_ckpt"
+    dirs = [p for p in root.rglob("*.parquet") if p.is_dir()]
+    written = sorted(p.name for p in dirs)
     # pairs + edges + initial labels + >=1 label round hit storage
     assert any(n.startswith("minhash_pairs") for n in written)
     assert any(n.startswith("cc_edges") for n in written)
     assert sum(n.startswith("cc_labels") for n in written) >= 2
-    assert all((tmp_path / "dedup_ckpt" / n / "_SUCCESS").exists()
-               for n in written)
+    assert all((p / "_SUCCESS").exists() for p in dirs)
+    # every materialization is namespaced <appId>/mat_NNNN/<name>.parquet
+    # so concurrent/re-run jobs sharing checkpoint_dir never clobber
+    for p in dirs:
+        rel = p.relative_to(root).parts
+        assert len(rel) == 3 and rel[1].startswith("mat_"), rel
 
 
 def test_simhash_pairs_storage_backed_checkpoint(spark, tmp_path):
@@ -201,7 +207,7 @@ def test_simhash_pairs_storage_backed_checkpoint(spark, tmp_path):
                      sigs, checkpoint_dir=ckpt).collect())
     assert got == [(1, 2, 1)]
     assert any(p.name.startswith("simhash_pairs")
-               for p in (tmp_path / "sh_ckpt").iterdir())
+               for p in (tmp_path / "sh_ckpt").rglob("*.parquet"))
 
 
 @pytest.fixture(scope="module")
@@ -396,6 +402,14 @@ def test_kmeans_sampled_rate1_equals_full(clustered_vecs):
                for r in similarity.kmeans_centroids_sampled(
                    clustered_vecs, k=2, iters=2, sample_rate=1.0).collect()}
     assert sampled == full
+
+
+def test_kmeans_sampled_raises_when_sample_below_k(clustered_vecs):
+    """The hash sample must hold >= k vectors, or the seed LIMIT k would
+    silently fit fewer centroids than requested (ADVICE r3)."""
+    with pytest.raises(ValueError, match="< k="):
+        similarity.kmeans_centroids_sampled(
+            clustered_vecs.limit(3), k=4, sample_rate=0.5)
 
 
 def test_ivf_sampled_deterministic_and_ranked(clustered_vecs):

@@ -96,6 +96,9 @@ def build_input(input_dir: str, n_golden: int) -> None:
     # load balance comes from many waves per core, not equal-size files
     all_docs.repartition(256).write.mode("overwrite").parquet(input_dir)
     spark.stop()
+    # marker: which --golden-docs built this corpus, so --reuse-input
+    # can refuse a mismatched reuse (the CLAUDE.md silent-rebuild footgun)
+    (Path(input_dir) / "_GOLDEN_DOCS").write_text(str(n_golden))
 
 
 def run_level(cpus: int, input_dir: str, runs: int) -> dict:
@@ -119,7 +122,10 @@ def main() -> None:
 
     input_dir = str(Path(tempfile.gettempdir()) / "scale_bench_input")
     t0 = time.time()
-    if not (args.reuse_input and Path(input_dir).exists()):
+    marker = Path(input_dir) / "_GOLDEN_DOCS"
+    built_with = int(marker.read_text()) if marker.exists() else None
+    if not (args.reuse_input and Path(input_dir).exists()
+            and built_with == args.golden_docs):
         build_input(input_dir, args.golden_docs)
 
     levels = {}

@@ -103,6 +103,16 @@ def build_corpus(input_dir: str, replicas: int = 3) -> None:
         corpus = corpus.unionByName(r)
     corpus.repartition(64).write.mode("overwrite").parquet(input_dir)
     spark.stop()
+    # marker: which --replicas built this corpus, so --reuse-input can
+    # refuse a mismatched reuse and the MD label derives from reality
+    (Path(input_dir) / "_REPLICAS").write_text(str(replicas))
+
+
+def corpus_replicas(input_dir: str) -> int | None:
+    """Replica count recorded when the corpus was built; None if the
+    corpus predates the marker (force a rebuild in that case)."""
+    marker = Path(input_dir) / "_REPLICAS"
+    return int(marker.read_text()) if marker.exists() else None
 
 
 def run_one(cpus: int, family: str, input_dir: str, runs: int) -> dict:
@@ -136,7 +146,12 @@ def main() -> None:
 
     input_dir = str(Path(tempfile.gettempdir()) / "family_scale_input")
     t0 = time.time()
-    if not (args.reuse_input and Path(input_dir).exists()):
+    # reuse only a corpus built with the SAME --replicas: silently
+    # reusing (or silently rebuilding at a different factor) mislabels
+    # the generated MD and breaks cross-run pooling (ADVICE r3)
+    if not (args.reuse_input
+            and Path(input_dir).exists()
+            and corpus_replicas(input_dir) == args.replicas):
         build_corpus(input_dir, args.replicas)
 
     levels = {c: {fam: run_one(c, fam, input_dir, args.runs_per_level)
