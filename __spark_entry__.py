@@ -887,6 +887,61 @@ def _q_sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=8, nprobe=4)
 
 
+def _q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: every vector as m=4 codebook ids —
+    scalar (vec_id, sub, code) rows (the stored representation PQ search
+    scans instead of raw vectors)."""
+    return similarity.pq_codes(_t(spark, sf_dir, "embeddings"),
+                               m=4, k=4, iters=2, dim=64)
+
+
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC product-quantization top-10 for query vector 0: approximate
+    squared distance = sum of per-subspace exact lattice distances from
+    the query subvector to each vector's assigned codeword."""
+    return similarity.pq_topk(_t(spark, sf_dir, "embeddings"), query_id=0,
+                              k_neighbors=10, m=4, k=4, iters=2, dim=64)
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixture link graph over the documents table (the
+    testdata carries no href column — same synthesis pattern as
+    ``_url_docs``): every doc links to docs ``id // 2`` and ``id // 3``,
+    self-loops dropped.  Low-id docs become hubs with a long-tailed
+    in-degree distribution — the shape PageRank-style signals exist to
+    measure.  The derivation is pure id arithmetic so the DuckDB oracle
+    reproduces the exact edge multiset at any scale factor."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = None
+    for div in (2, 3):
+        part = d.select(F.col("doc_id").alias("src"),
+                        F.expr(f"doc_id div {div}").cast("long").alias("dst"))
+        e = part if e is None else e.unionByName(part)
+    return e.where(F.col("src") != F.col("dst"))
+
+
+def _q_link_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram of the link graph (isolated nodes counted at
+    in_degree 0) — the crawl-frontier shape diagnostic."""
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node_id"))
+    return linkgraph.degree_census(nodes, _link_edges(spark, sf_dir))
+
+
+def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 nodes by integer-lattice PageRank (2 unrolled iterations,
+    damping 17/20, exact integer arithmetic — bit-identical across
+    engines; ties broken by ascending node id)."""
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node_id"))
+    pr = linkgraph.pagerank(nodes, _link_edges(spark, sf_dir), iters=2)
+    return pr.orderBy(F.col("pr").desc(), F.col("node_id").asc()).limit(30)
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus vocabulary by total term frequency (ties by token)."""
     return textanalysis.vocabulary(_t(spark, sf_dir, "documents"), top_v=50)
@@ -1343,8 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_structural": _q_c2_structural,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
-        "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
+        "link_degree_census": _q_link_degree_census,
+        "link_pagerank": _q_link_pagerank,
         "text_repetition": _q_text_repetition,
         "text_unigram_lm": _q_text_unigram_lm,
         "text_bigram_lm": _q_text_bigram_lm,
@@ -1372,13 +1427,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": _q_sample_per_group,
         "sample_weighted": _q_sample_weighted,
         "sample_mixture": _q_sample_mixture,
+        # (2b) new in r4 — never driver-checked by construction
+        "ann_pq_codes": _q_ann_pq_codes,
+        "ann_pq_topk": _q_ann_pq_topk,
         # (3) semantics changed in r4 (public-suffix-aware domain())
-        "domain_caps": _q_domain_caps,
-        "domain_stats": _q_domain_stats,
         "url_suffix_domains": _q_url_suffix_domains,
         # ---- driver window boundary (first 50 keys above) ----
+        # text_langid / text_fingerprint: driver-green in r02, pinned by
+        # pytest — they yielded their window slots to the two new r4
+        # link-graph keys (test_driver_window.py rule 3)
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
         # (4) long-green golden-path queries, all pinned by pytest golden
-        # fixtures / byte-parity tests; driver rows in CORRECTNESS_r01-r03
+        # fixtures / byte-parity tests; driver rows in CORRECTNESS_r01-r03.
+        # domain_caps/domain_stats: r4's public-suffix change altered their
+        # semantics, but both were driver-green in r03 and are pinned by
+        # tests/test_urls.py; the two never-checked PQ keys outrank them
+        # for window slots (test_driver_window.py rule 3).
+        "domain_caps": _q_domain_caps,
+        "domain_stats": _q_domain_stats,
         "extract_flagship": _q_extract_flagship,
         "c1_classify_golden": _q_classify_golden,
         "p2_samples_golden": _q_samples_golden,
@@ -1561,25 +1628,26 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN r5 ON d.doc_id = r5.doc_id
     """
 
-    def _kmeans_iter(prev: str, n: int) -> str:
+    def _kmeans_iter(prev: str, n: int, sfx: str = "") -> str:
         """One unrolled Lloyd iteration on the integer lattice — exact
-        BIGINT arithmetic end-to-end (see similarity.KMEANS_SCALE)."""
+        BIGINT arithmetic end-to-end (see similarity.KMEANS_SCALE).
+        ``sfx`` namespaces the CTE chain (one chain per PQ subspace)."""
         return f"""
-            p{n} AS (SELECT e.vec_id, e.qv, c.cid,
+            p{n}{sfx} AS (SELECT e.vec_id, e.qv, c.cid,
                      list_aggregate(list_transform(generate_series(1, len(e.qv)),
                        i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
                        'sum') AS d2
-                   FROM e CROSS JOIN {prev} c),
-            a{n} AS (SELECT vec_id, qv, cid FROM (
-                     SELECT p{n}.*, ROW_NUMBER() OVER (
-                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p{n})
+                   FROM e{sfx} e CROSS JOIN {prev} c),
+            a{n}{sfx} AS (SELECT vec_id, qv, cid FROM (
+                     SELECT p{n}{sfx}.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p{n}{sfx})
                    WHERE rn = 1),
-            u{n} AS (SELECT cid, i AS dim,
+            u{n}{sfx} AS (SELECT cid, i AS dim,
                      floor(SUM(qv[i])::DOUBLE / COUNT(*))::BIGINT AS cvi
-                   FROM a{n}, unnest(generate_series(1, len(qv))) AS t(i)
+                   FROM a{n}{sfx}, unnest(generate_series(1, len(qv))) AS t(i)
                    GROUP BY cid, i),
-            c{n} AS (SELECT cid, list(cvi ORDER BY dim) AS cv
-                   FROM u{n} GROUP BY cid)"""
+            c{n}{sfx} AS (SELECT cid, list(cvi ORDER BY dim) AS cv
+                   FROM u{n}{sfx} GROUP BY cid)"""
 
     kmeans_ctes = (
         """
@@ -1609,6 +1677,78 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY vec_id LIMIT 4),"""
         + _kmeans_iter("c0", 1) + ","
         + _kmeans_iter("c1", 2)
+    )
+
+    # product quantization: one independent integer-lattice Lloyd chain
+    # per 16-dim subspace of the 64-dim embeddings (m=4, k=4, iters=2),
+    # then per-subspace nearest-codeword encoding (similarity.pq_codes /
+    # pq_topk are the Spark twins)
+    def _pq_sub_ctes(s: int) -> str:
+        lo, hi = s * 16 + 1, (s + 1) * 16
+        sfx = f"_s{s}"
+        return (f"""
+            e{sfx} AS (SELECT vec_id,
+                    list_transform(embedding[{lo}:{hi}],
+                      x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+                  FROM embeddings),
+            c0{sfx} AS (SELECT vec_id AS cid, qv AS cv FROM e{sfx}
+                   ORDER BY vec_id LIMIT 4),"""
+                + _kmeans_iter(f"c0{sfx}", 1, sfx) + ","
+                + _kmeans_iter(f"c1{sfx}", 2, sfx) + f""",
+            codes{sfx} AS (SELECT vec_id, {s} AS sub, cid AS code FROM (
+                     SELECT p.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM (
+                       SELECT e.vec_id, c.cid,
+                              list_aggregate(list_transform(
+                                generate_series(1, len(e.qv)),
+                                i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                                'sum') AS d2
+                       FROM e{sfx} e CROSS JOIN c2{sfx} c) p)
+                   WHERE rn = 1),
+            lut{sfx} AS (SELECT {s} AS sub, c.cid,
+                     list_aggregate(list_transform(
+                       generate_series(1, len(q.qv)),
+                       i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+                       'sum')::BIGINT AS d2
+                   FROM c2{sfx} c,
+                        (SELECT qv FROM e{sfx} WHERE vec_id = 0) q)""")
+
+    pq_ctes = ",".join(_pq_sub_ctes(s) for s in range(4))
+    pq_codes_union = " UNION ALL ".join(
+        f"SELECT * FROM codes_s{s}" for s in range(4))
+    pq_lut_union = " UNION ALL ".join(
+        f"SELECT * FROM lut_s{s}" for s in range(4))
+
+    # link-graph fixture edges (id arithmetic, operators/linkgraph.py)
+    # + one unrolled integer-lattice PageRank iteration per pr{n} pair
+    link_edges_cte = """
+            edges AS (
+              SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+              WHERE doc_id // 2 != doc_id
+              UNION ALL
+              SELECT doc_id AS src, doc_id // 3 AS dst FROM documents
+              WHERE doc_id // 3 != doc_id)"""
+
+    def _pr_iter(n: int) -> str:
+        return f"""
+            in{n} AS (SELECT e.dst AS node_id,
+                       SUM(p.pr // d.out_deg) AS inflow
+                     FROM edges e
+                     JOIN pr{n - 1} p ON e.src = p.node_id
+                     JOIN deg d ON e.src = d.src
+                     GROUP BY e.dst),
+            pr{n} AS (SELECT d.doc_id AS node_id,
+                       (150000 + (17 * COALESCE(i.inflow, 0)) // 20)::BIGINT
+                         AS pr
+                     FROM documents d
+                     LEFT JOIN in{n} i ON d.doc_id = i.node_id)"""
+
+    pagerank_ctes = (
+        link_edges_cte + """,
+            deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+            pr0 AS (SELECT doc_id AS node_id, 1000000::BIGINT AS pr
+                    FROM documents),"""
+        + _pr_iter(1) + "," + _pr_iter(2)
     )
 
     return {
@@ -2186,6 +2326,35 @@ def oracle_sql() -> dict[str, str]:
             FROM a3 JOIN probes USING (cid), q
             WHERE a3.vec_id <> 0
             ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_pq_codes": f"""
+            WITH {pq_ctes}
+            SELECT vec_id, sub, code FROM ({pq_codes_union})
+        """,
+        "ann_pq_topk": f"""
+            WITH {pq_ctes},
+            codes AS ({pq_codes_union}),
+            lut AS ({pq_lut_union})
+            SELECT codes.vec_id, SUM(lut.d2)::BIGINT AS adc_d2
+            FROM codes JOIN lut
+              ON codes.sub = lut.sub AND codes.code = lut.cid
+            WHERE codes.vec_id <> 0
+            GROUP BY codes.vec_id
+            ORDER BY adc_d2 ASC, vec_id ASC LIMIT 10
+        """,
+        "link_degree_census": f"""
+            WITH {link_edges_cte},
+            ind AS (SELECT dst, COUNT(*)::BIGINT AS in_degree
+                    FROM edges GROUP BY dst)
+            SELECT COALESCE(i.in_degree, 0)::BIGINT AS in_degree,
+                   COUNT(*)::BIGINT AS n_nodes
+            FROM documents d LEFT JOIN ind i ON d.doc_id = i.dst
+            GROUP BY 1
+        """,
+        "link_pagerank": f"""
+            WITH {pagerank_ctes}
+            SELECT node_id, pr FROM pr2
+            ORDER BY pr DESC, node_id ASC LIMIT 30
         """,
         "vocab_topk": """
             WITH tok AS (

@@ -389,6 +389,114 @@ def semantic_dedup(embs: DataFrame, n_centroids: int = 4, iters: int = 2,
             .select(F.col(id_col), F.col("cid")))
 
 
+def _subspace(embs: DataFrame, sub: int, sub_dim: int,
+              id_col: str, vec_col: str) -> DataFrame:
+    """Rows restricted to one PQ subspace: the ``sub``-th contiguous
+    ``sub_dim``-wide slice of the embedding, under the original column
+    name so the k-means machinery applies unchanged."""
+    return embs.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), sub * sub_dim + 1, sub_dim).alias(vec_col))
+
+
+def pq_codebooks(embs: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codebooks (Jégou et al., TPAMI'11 §II): split
+    the ``dim``-dimensional space into ``m`` contiguous subspaces and fit
+    an independent k-means codebook of ``k`` codewords in each.  Returns
+    (sub, cid, cv) with ``cv`` an ``array<bigint>`` lattice centroid of
+    length dim/m — ``m * k`` rows total, a broadcastable table at any
+    corpus size (the whole point of PQ: codebook size is independent of N
+    while representable centroids grow as k^m).
+
+    Deterministic end-to-end: each subspace fit is
+    :func:`kmeans_centroids` on the sliced vectors — integer-lattice
+    Lloyd, seeded by the k lowest ids, fixed iterations."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub_dim = dim // m
+    books = None
+    for s in range(m):
+        cb = (kmeans_centroids(_subspace(embs, s, sub_dim, id_col, vec_col),
+                               k, iters, id_col, vec_col)
+              .select(F.lit(s).alias("sub"), "cid", "cv"))
+        books = cb if books is None else books.unionByName(cb)
+    return books
+
+
+def pq_codes(embs: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
+             dim: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """PQ encoding: every vector reduced to ``m`` codebook ids — (id,
+    sub, code), one row per (vector, subspace), ``code`` the cid of the
+    nearest subspace codeword (exact integer lattice distance, ties to
+    the ascending cid).
+
+    This is the stored representation at scale: 10^12 x dim floats
+    become 10^12 x m small ints (64 dims -> 4 codes here), and search
+    never touches the raw vectors again.  Each subspace encoding is one
+    broadcast crossJoin (k rows) + one groupBy(id) argmin — the same
+    narrow shape as :func:`assign_centroids`, m times."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub_dim = dim // m
+    out = None
+    for s in range(m):
+        sub_embs = _subspace(embs, s, sub_dim, id_col, vec_col)
+        cents = kmeans_centroids(sub_embs, k, iters, id_col, vec_col)
+        lat = _lattice(sub_embs, id_col, vec_col)
+        assigned = (lat.crossJoin(F.broadcast(cents))
+                    .select(F.col(id_col),
+                            F.struct(_l2sq(F.col("qv"), F.col("cv"))
+                                     .alias("d2"),
+                                     F.col("cid")).alias("dc"))
+                    .groupBy(id_col)
+                    .agg(F.min("dc").alias("mn"))
+                    .select(F.col(id_col), F.lit(s).alias("sub"),
+                            F.col("mn.cid").alias("code")))
+        out = assigned if out is None else out.unionByName(assigned)
+    return out
+
+
+def pq_topk(embs: DataFrame, query_id: int, k_neighbors: int = 10,
+            m: int = 4, k: int = 4, iters: int = 2, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search (Jégou et al., TPAMI'11 §III):
+    approximate ||q - x||^2 by summing, per subspace, the exact distance
+    from the query's subvector to x's assigned codeword.  Returns the
+    top ``k_neighbors`` rows (vec_id, adc_d2) by ascending approximate
+    distance, ties by ascending id, the query itself excluded.
+
+    Scale: the distance lookup table is m x k rows (built from the
+    broadcast codebooks and the one query row) and is itself broadcast;
+    the corpus side touches only the (id, sub, code) table — at 10^12
+    vectors that is the precomputed code store, and the scan is a
+    broadcast-hash-join + one groupBy(id) SUM of m rows per id.  All
+    arithmetic on the integer lattice — bit-identical across engines."""
+    codes = pq_codes(embs, m, k, iters, dim, id_col, vec_col)
+    sub_dim = dim // m
+    lut = None
+    for s in range(m):
+        sub_embs = _subspace(embs, s, sub_dim, id_col, vec_col)
+        cents = kmeans_centroids(sub_embs, k, iters, id_col, vec_col)
+        qrow = (_lattice(sub_embs, id_col, vec_col)
+                .filter(F.col(id_col) == query_id)
+                .select(F.col("qv").alias("q_sub")))
+        part = (cents.crossJoin(F.broadcast(qrow))
+                .select(F.lit(s).alias("sub"), F.col("cid"),
+                        _l2sq(F.col("q_sub"), F.col("cv")).alias("d2")))
+        lut = part if lut is None else lut.unionByName(part)
+    return (codes.join(F.broadcast(lut),
+                       (codes["sub"] == lut["sub"])
+                       & (codes["code"] == lut["cid"]))
+            .filter(F.col(id_col) != query_id)
+            .groupBy(id_col)
+            .agg(F.sum("d2").alias("adc_d2"))
+            .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+            .limit(k_neighbors))
+
+
 def bucketed_topk(embs: DataFrame, query_id: int, k: int = 10, n_bits: int = 8,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the

@@ -266,6 +266,20 @@ def test_ivf_kmeans_no_python_and_broadcast_centroids(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pq_topk_no_python_broadcast_lut_topk(spark):
+    """ADC product-quantization search: all lattice arithmetic JVM-side,
+    the m*k distance lookup table arrives via broadcast (the corpus side
+    joins against it, never the reverse), and the final top-k is a
+    TakeOrderedAndProject — O(k) per task, no global sort."""
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(similarity.pq_topk(embs, 0, 10, m=4, k=4, iters=2, dim=64))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_ivf_sampled_touches_full_corpus_once(spark):
     """Train-on-sample IVF: the full-corpus nearest-centroid assignment
     (the only aggregate over the raw `embedding` column) appears ONCE in

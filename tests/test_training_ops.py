@@ -412,6 +412,119 @@ def test_kmeans_sampled_raises_when_sample_below_k(clustered_vecs):
             clustered_vecs.limit(3), k=4, sample_rate=0.5)
 
 
+@pytest.fixture(scope="module")
+def pq_vecs(spark):
+    """Two clusters whose signal repeats in BOTH 4-dim halves, so each
+    PQ subspace codebook separates them.  (An all-constant subspace
+    would collapse to one codeword — Lloyd drops empty clusters, in
+    this engine and in the DuckDB oracle alike.)"""
+    rows = []
+    for i, eps in enumerate([0.00, 0.01, 0.02, -0.01]):
+        a = [1.0 + eps, eps, 0.0, 0.0]
+        b = [eps, 1.0 + eps, 0.0, 0.0]
+        rows.append((2 * i, a + a))      # cluster A
+        rows.append((2 * i + 1, b + b))  # cluster B
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_codebooks_shape_and_determinism(pq_vecs):
+    """m independent subspace codebooks: m*k rows, centroids dim/m wide,
+    identical under any input partitioning (integer-lattice Lloyd)."""
+    a = similarity.pq_codebooks(pq_vecs, m=2, k=2, iters=2, dim=8)
+    rows = a.collect()
+    assert len(rows) == 4  # m=2 subspaces x k=2 codewords
+    assert all(len(r["cv"]) == 4 for r in rows)
+    b = similarity.pq_codebooks(pq_vecs.repartition(7),
+                                m=2, k=2, iters=2, dim=8).collect()
+    assert {(r["sub"], r["cid"], tuple(r["cv"])) for r in rows} == \
+        {(r["sub"], r["cid"], tuple(r["cv"])) for r in b}
+
+
+def test_pq_codes_cover_every_vector_subspace(pq_vecs):
+    codes = similarity.pq_codes(pq_vecs, m=2, k=2, iters=2,
+                                dim=8).collect()
+    # one code per (vector, subspace)
+    assert len(codes) == 8 * 2
+    per_vec = {}
+    for r in codes:
+        per_vec.setdefault(r["vec_id"], set()).add(r["sub"])
+    assert all(subs == {0, 1} for subs in per_vec.values())
+    # subspace 0 holds the two discriminating dims: cluster A (even ids)
+    # and cluster B (odd ids) must land on different codewords there
+    s0 = {r["vec_id"]: r["code"] for r in codes if r["sub"] == 0}
+    assert len({s0[i] for i in (0, 2, 4, 6)}) == 1
+    assert len({s0[i] for i in (1, 3, 5, 7)}) == 1
+    assert s0[0] != s0[1]
+
+
+def test_pq_topk_ranks_own_cluster_first(pq_vecs):
+    """ADC distance to same-cluster vectors is (near) zero — cluster-A
+    members fill the top slots for a cluster-A query, ties by id."""
+    got = similarity.pq_topk(pq_vecs, query_id=0, k_neighbors=3,
+                             m=2, k=2, iters=2, dim=8).collect()
+    assert [r["vec_id"] for r in got] == [2, 4, 6]
+    # ADC is symmetric within the codeword cell: all three share the
+    # query's codewords in both subspaces -> identical approx distance
+    assert len({r["adc_d2"] for r in got}) == 1
+
+
+def test_pq_dim_guard():
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks(None, m=3, k=2, dim=8)
+
+
+# ---- link-graph analytics (integer-lattice PageRank) ----------------------
+
+@pytest.fixture(scope="module")
+def star_graph(spark):
+    """Nodes 0-4; every outer node links to hub 0."""
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node_id long")
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 5)],
+                                  "src long, dst long")
+    return nodes, edges
+
+
+def test_degree_census_counts_isolated_nodes(star_graph):
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    nodes, edges = star_graph
+    census = {r["in_degree"]: r["n_nodes"]
+              for r in linkgraph.degree_census(nodes, edges).collect()}
+    assert census == {4: 1, 0: 4}
+
+
+def test_pagerank_exact_integer_values(star_graph):
+    """Hand-computed 2-iteration lattice PR on the star: hub inflow is
+    4 * (pr // 1); pr' = 150000 + 17*inflow // 20.
+    iter1: hub = 150000 + 17*4_000_000//20 = 3_550_000, leaves 150000;
+    iter2: hub = 150000 + 17*(4*150000)//20 = 660000."""
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    nodes, edges = star_graph
+    pr = {r["node_id"]: r["pr"]
+          for r in linkgraph.pagerank(nodes, edges, iters=2).collect()}
+    assert pr[0] == 660_000
+    assert all(pr[i] == 150_000 for i in range(1, 5))
+
+
+def test_pagerank_partition_invariant(star_graph):
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    nodes, edges = star_graph
+    a = sorted(map(tuple, linkgraph.pagerank(nodes, edges, 2).collect()))
+    b = sorted(map(tuple, linkgraph.pagerank(
+        nodes.repartition(5), edges.repartition(3), 2).collect()))
+    assert a == b
+
+
+def test_pagerank_iters_guard(star_graph):
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    nodes, edges = star_graph
+    with pytest.raises(ValueError, match="iters"):
+        linkgraph.pagerank(nodes, edges, iters=0)
+
+
 def test_ivf_sampled_deterministic_and_ranked(clustered_vecs):
     """Sampled-codebook IVF is a pure function of (data, params): two
     runs agree exactly, output keeps the (cosine desc, id) contract, and
