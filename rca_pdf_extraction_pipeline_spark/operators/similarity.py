@@ -425,9 +425,28 @@ def pq_codebooks(embs: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
     return books
 
 
+def _sub_lattice_rows(embs: DataFrame, m: int, sub_dim: int,
+                      id_col: str, vec_col: str) -> DataFrame:
+    """(id, sub, subqv): every vector exploded into its ``m`` lattice
+    subvectors in ONE corpus scan.  The posexplode input builds each
+    slice-then-transform element inline (cheap per-element arithmetic
+    over dim total elements) — never from separately-projected
+    expensive columns, which Generate would re-evaluate once per
+    reference (docs/PLANS.md, expression single-evaluation)."""
+    arr = F.array(*[
+        F.transform(
+            F.slice(V.as_double(F.col(vec_col)), s * sub_dim + 1, sub_dim),
+            lambda x: F.round(x * KMEANS_SCALE, 0).cast("long"))
+        for s in range(m)
+    ])
+    return embs.select(F.col(id_col),
+                       F.posexplode(arr).alias("sub", "subqv"))
+
+
 def pq_codes(embs: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
              dim: int = 64, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             books: DataFrame | None = None) -> DataFrame:
     """PQ encoding: every vector reduced to ``m`` codebook ids — (id,
     sub, code), one row per (vector, subspace), ``code`` the cid of the
     nearest subspace codeword (exact integer lattice distance, ties to
@@ -435,28 +454,30 @@ def pq_codes(embs: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
 
     This is the stored representation at scale: 10^12 x dim floats
     become 10^12 x m small ints (64 dims -> 4 codes here), and search
-    never touches the raw vectors again.  Each subspace encoding is one
-    broadcast crossJoin (k rows) + one groupBy(id) argmin — the same
-    narrow shape as :func:`assign_centroids`, m times."""
+    never touches the raw vectors again.  Encoding is ONE corpus scan:
+    the m subvectors explode inline, join the broadcast m*k codebook
+    table on ``sub``, and one groupBy(id, sub) argmin picks codes —
+    corpus-side cost is independent of m's scan count (the earlier
+    per-subspace formulation re-read the corpus m times).
+
+    Pass ``books`` (from :func:`pq_codebooks`, or read back from the
+    index job's artifacts) to encode against an existing codebook; by
+    default the codebooks are fit in-plan."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub_dim = dim // m
-    out = None
-    for s in range(m):
-        sub_embs = _subspace(embs, s, sub_dim, id_col, vec_col)
-        cents = kmeans_centroids(sub_embs, k, iters, id_col, vec_col)
-        lat = _lattice(sub_embs, id_col, vec_col)
-        assigned = (lat.crossJoin(F.broadcast(cents))
-                    .select(F.col(id_col),
-                            F.struct(_l2sq(F.col("qv"), F.col("cv"))
-                                     .alias("d2"),
-                                     F.col("cid")).alias("dc"))
-                    .groupBy(id_col)
-                    .agg(F.min("dc").alias("mn"))
-                    .select(F.col(id_col), F.lit(s).alias("sub"),
-                            F.col("mn.cid").alias("code")))
-        out = assigned if out is None else out.unionByName(assigned)
-    return out
+    if books is None:
+        books = pq_codebooks(embs, m, k, iters, dim, id_col, vec_col)
+    b = books.select(F.col("sub").alias("b_sub"), "cid", "cv")
+    scored = (_sub_lattice_rows(embs, m, sub_dim, id_col, vec_col)
+              .join(F.broadcast(b), F.col("sub") == F.col("b_sub"))
+              .select(F.col(id_col), F.col("sub"),
+                      F.struct(_l2sq(F.col("subqv"), F.col("cv"))
+                               .alias("d2"), F.col("cid")).alias("dc")))
+    return (scored.groupBy(id_col, "sub")
+            .agg(F.min("dc").alias("mn"))
+            .select(F.col(id_col), F.col("sub"),
+                    F.col("mn.cid").alias("code")))
 
 
 def pq_topk(embs: DataFrame, query_id: int, k_neighbors: int = 10,
@@ -468,25 +489,26 @@ def pq_topk(embs: DataFrame, query_id: int, k_neighbors: int = 10,
     top ``k_neighbors`` rows (vec_id, adc_d2) by ascending approximate
     distance, ties by ascending id, the query itself excluded.
 
-    Scale: the distance lookup table is m x k rows (built from the
-    broadcast codebooks and the one query row) and is itself broadcast;
-    the corpus side touches only the (id, sub, code) table — at 10^12
-    vectors that is the precomputed code store, and the scan is a
-    broadcast-hash-join + one groupBy(id) SUM of m rows per id.  All
-    arithmetic on the integer lattice — bit-identical across engines."""
-    codes = pq_codes(embs, m, k, iters, dim, id_col, vec_col)
+    Scale: the codebooks are fit ONCE and shared by the encode pass and
+    the lookup table; the LUT is m x k rows (query subvectors x
+    codewords) and is broadcast; the corpus side touches only the (id,
+    sub, code) table — at 10^12 vectors that is the precomputed code
+    store (see ``jobs/run_index.py``), and the scan is a broadcast-
+    hash-join + one groupBy(id) SUM of m rows per id.  All arithmetic
+    on the integer lattice — bit-identical across engines."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub_dim = dim // m
-    lut = None
-    for s in range(m):
-        sub_embs = _subspace(embs, s, sub_dim, id_col, vec_col)
-        cents = kmeans_centroids(sub_embs, k, iters, id_col, vec_col)
-        qrow = (_lattice(sub_embs, id_col, vec_col)
-                .filter(F.col(id_col) == query_id)
-                .select(F.col("qv").alias("q_sub")))
-        part = (cents.crossJoin(F.broadcast(qrow))
-                .select(F.lit(s).alias("sub"), F.col("cid"),
-                        _l2sq(F.col("q_sub"), F.col("cv")).alias("d2")))
-        lut = part if lut is None else lut.unionByName(part)
+    books = pq_codebooks(embs, m, k, iters, dim, id_col, vec_col)
+    codes = pq_codes(embs, m, k, iters, dim, id_col, vec_col, books=books)
+    q_subs = (_sub_lattice_rows(embs, m, sub_dim, id_col, vec_col)
+              .filter(F.col(id_col) == query_id)
+              .select(F.col("sub").alias("q_sub"),
+                      F.col("subqv").alias("q_vec")))
+    lut = (books.join(F.broadcast(q_subs),
+                      F.col("sub") == F.col("q_sub"))
+           .select(F.col("sub"), F.col("cid"),
+                   _l2sq(F.col("q_vec"), F.col("cv")).alias("d2")))
     return (codes.join(F.broadcast(lut),
                        (codes["sub"] == lut["sub"])
                        & (codes["code"] == lut["cid"]))

@@ -266,6 +266,24 @@ def test_ivf_kmeans_no_python_and_broadcast_centroids(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pagerank_no_python_no_cartesian(spark):
+    """Integer-lattice PageRank: pure relational plan — no Python eval,
+    no CartesianProduct (the rank-carry and inflow joins are all keyed),
+    and the final top-k is a TakeOrderedAndProject."""
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    nodes = docs.selectExpr("doc_id as node_id")
+    edges = docs.selectExpr("doc_id as src", "doc_id div 2 as dst") \
+        .where("src != dst")
+    q = linkgraph.pagerank(nodes, edges, iters=2) \
+        .orderBy(F.desc("pr"), "node_id").limit(30)
+    plan = _plan(q)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_pq_topk_no_python_broadcast_lut_topk(spark):
     """ADC product-quantization search: all lattice arithmetic JVM-side,
     the m*k distance lookup table arrives via broadcast (the corpus side
