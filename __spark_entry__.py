@@ -1080,6 +1080,20 @@ def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.corpus_profile(_t(spark, sf_dir, "documents"))
 
 
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profiling.histogram_quantiles(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odd-id docs arrive as the new batch; even-id docs are the already-
+    indexed corpus whose band-key table (in production: stored parquet)
+    is joined without recomputation."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = dedup.minhash_band_keys(docs.filter(F.col("doc_id") % 2 == 0))
+    return dedup.incremental_candidate_pairs(
+        docs.filter(F.col("doc_id") % 2 == 1), idx)
+
+
 def _q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.chunk_documents(_t(spark, sf_dir, "documents"),
                                     chunk_tokens=32, stride=24)
@@ -1392,9 +1406,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_boilerplate": _q_html_boilerplate,
         "html_block_scores": _q_html_block_scores,
         "boilerplate_lines": _q_boilerplate_lines,
-        "multimodal_stats": _q_multimodal_stats,
-        "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_bmp": _q_multimodal_decode_bmp,
+        # new in r4: never-checked, so they outrank the two driver-green
+        # r02 multimodal keys for window slots (canary rule 3)
+        "hist_quantiles": _q_hist_quantiles,
+        "dedup_incremental": _q_dedup_incremental,
         "c2_structural": _q_c2_structural,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -1433,6 +1449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3) semantics changed in r4 (public-suffix-aware domain())
         "url_suffix_domains": _q_url_suffix_domains,
         # ---- driver window boundary (first 50 keys above) ----
+        # multimodal_stats / multimodal_decode: driver-green in r02,
+        # pinned by test_boilerplate_multimodal.py — they yielded their
+        # slots to the two new r4 keys above (canary rule 3)
+        "multimodal_stats": _q_multimodal_stats,
+        "multimodal_decode": _q_multimodal_decode,
         # text_langid / text_fingerprint: driver-green in r02, pinned by
         # pytest — they yielded their window slots to the two new r4
         # link-graph keys (test_driver_window.py rule 3)
@@ -2079,6 +2100,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM keys a JOIN keys b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "dedup_incremental": f"""
+            WITH {_SQL_SHINGLE_BASE},
+            sigbase AS (
+              SELECT doc_id,
+                     list_transform(shset, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
+              FROM sh),
+            sig AS (SELECT doc_id, {minhash_sigs} FROM sigbase),
+            keys AS (
+              SELECT doc_id, 0 AS band,
+                     sig_0::VARCHAR || '-' || sig_1::VARCHAR || '-'
+                       || sig_2::VARCHAR || '-' || sig_3::VARCHAR AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     sig_4::VARCHAR || '-' || sig_5::VARCHAR || '-'
+                       || sig_6::VARCHAR || '-' || sig_7::VARCHAR AS band_key FROM sig)
+            SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS indexed_id
+            FROM keys n JOIN keys i
+              ON n.band = i.band AND n.band_key = i.band_key
+            WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
         """,
         "dedup_jaccard_pairs": f"""
             WITH {_SQL_SHINGLE_BASE},
@@ -2834,6 +2875,40 @@ def oracle_sql() -> dict[str, str]:
                    MAX(n_chars) AS max_val,
                    round(AVG(n_chars), 6) AS mean_val
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "hist_quantiles": """
+            WITH stats AS (
+              SELECT lang, MIN(n_chars)::BIGINT AS mn,
+                     MAX(n_chars)::BIGINT AS mx, COUNT(*)::BIGINT AS n_docs
+              FROM documents GROUP BY lang),
+            b AS (
+              SELECT d.lang,
+                     LEAST(63::BIGINT,
+                           ((d.n_chars::BIGINT - s.mn) * 64) // (s.mx - s.mn + 1))
+                       AS bucket
+              FROM documents d JOIN stats s USING (lang)),
+            h AS (SELECT lang, bucket, COUNT(*)::BIGINT AS c
+                  FROM b GROUP BY lang, bucket),
+            c AS (SELECT lang, bucket,
+                    (SUM(c) OVER (PARTITION BY lang ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+                  FROM h),
+            j AS (SELECT c.lang, c.bucket, c.cum, s.mn, s.mx, s.n_docs
+                  FROM c JOIN stats s USING (lang))
+            SELECT lang, MIN(n_docs)::BIGINT AS n_docs,
+                   MIN(mn)::BIGINT AS min_val,
+                   MIN(CASE WHEN cum >= (n_docs * 25 + 99) // 100
+                       THEN mn + (bucket * (mx - mn + 1)) // 64 END)::BIGINT AS p25_lo,
+                   MIN(CASE WHEN cum >= (n_docs * 50 + 99) // 100
+                       THEN mn + (bucket * (mx - mn + 1)) // 64 END)::BIGINT AS p50_lo,
+                   MIN(CASE WHEN cum >= (n_docs * 75 + 99) // 100
+                       THEN mn + (bucket * (mx - mn + 1)) // 64 END)::BIGINT AS p75_lo,
+                   MIN(CASE WHEN cum >= (n_docs * 90 + 99) // 100
+                       THEN mn + (bucket * (mx - mn + 1)) // 64 END)::BIGINT AS p90_lo,
+                   MIN(CASE WHEN cum >= (n_docs * 99 + 99) // 100
+                       THEN mn + (bucket * (mx - mn + 1)) // 64 END)::BIGINT AS p99_lo,
+                   MIN(mx)::BIGINT AS max_val
+            FROM j GROUP BY lang ORDER BY lang
         """,
         "session_windows": """
             WITH m AS (

@@ -177,6 +177,44 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     return pairs
 
 
+def incremental_candidate_pairs(new_docs: DataFrame, index_keys: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                n_hashes: int = DEFAULT_MINHASH_SEEDS,
+                                bands: int = DEFAULT_BANDS,
+                                shingle_size: int = 3) -> DataFrame:
+    """Near-dup candidates of an INCOMING batch against an already-
+    indexed corpus — the steady-state form of
+    :func:`minhash_candidate_pairs` for a pipeline that ingests
+    continuously: the corpus band-key table (built once by
+    :func:`minhash_band_keys` and persisted — at scale, a parquet table
+    bucketed by ``band_key``) is never recomputed; each batch pays
+    md5-shingling for its OWN documents only and one equi-join on
+    (band, band_key).
+
+    ``index_keys`` must have columns (``id_col``, band, band_key) —
+    exactly :func:`minhash_band_keys` output, live or read back from
+    storage.  Returns distinct (new_id, indexed_id) candidate pairs; a
+    new doc also present in the index matches itself, so callers
+    ingesting overlapping snapshots should filter ``new_id !=
+    indexed_id`` upstream or treat self-pairs as "already ingested".
+
+    Scale: batch-side cost O(batch), never O(corpus); the join shuffles
+    the small batch side against the stored index (bucketing the stored
+    table on band_key prepays even that — plans/bucketing.py), and AQE
+    splits any hot bucket.
+    """
+    new_keys = minhash_band_keys(new_docs, text_col, id_col,
+                                 n_hashes, bands, shingle_size)
+    nk = new_keys.select(F.col("band"), F.col("band_key"),
+                         F.col(id_col).alias("new_id"))
+    idx = index_keys.select(F.col("band"), F.col("band_key"),
+                            F.col(id_col).alias("indexed_id"))
+    return (nk.join(idx, ["band", "band_key"])
+            .select("new_id", "indexed_id")
+            .distinct())
+
+
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   block_keys: list[str] | None = None,

@@ -41,6 +41,65 @@ def corpus_profile(docs: DataFrame, group_col: str = "lang",
     return docs.groupBy(group_col).agg(*aggs).orderBy(group_col)
 
 
+def histogram_quantiles(docs: DataFrame, group_col: str = "lang",
+                        value_col: str = "n_chars",
+                        n_buckets: int = 64,
+                        percentiles: tuple[int, ...] = (25, 50, 75, 90, 99)
+                        ) -> DataFrame:
+    """Bounded-memory per-group quantiles via a fixed integer histogram —
+    the 100 TB form of :func:`corpus_profile`.
+
+    ``percentile_disc`` (used by :func:`corpus_profile`) is exact but
+    buffers every group value in one aggregation buffer — fine when
+    groups are small, an executor OOM when one group holds a corpus
+    slice.  This variant never holds more than ``n_buckets`` counters
+    per group:
+
+    1. one shuffle for per-group (min, max, count) — three longs;
+    2. broadcast those stats back, bucket each value with exact integer
+       arithmetic ``((v - mn) * n_buckets) div (mx - mn + 1)``, and
+       hash-aggregate (group, bucket) counts — map-side combine does
+       most of the reduction, reduce side is <= groups x n_buckets rows;
+    3. a window cumsum over that tiny table picks, for each requested
+       percentile p, the first bucket whose cumulative count reaches
+       ``ceil(n * p / 100)`` (the percentile_disc rank), and reports the
+       bucket's LOWER BOUND in value space.
+
+    The estimate errs by less than one bucket width
+    ``(max - min + 1) / n_buckets`` — and the histogram itself is the
+    dataset-card artifact.  All arithmetic is integer floor division, so
+    every engine and every partitioning reproduces the rows bit-for-bit.
+
+    Returns (group, n_docs, min_val, p<pct>_lo ..., max_val), one row
+    per group, ordered by group; every column long.
+    """
+    stats = docs.groupBy(group_col).agg(
+        F.min(F.col(value_col).cast("long")).alias("mn"),
+        F.max(F.col(value_col).cast("long")).alias("mx"),
+        F.count(F.lit(1)).alias("n_docs"))
+    bucket = F.least(
+        F.lit(n_buckets - 1).cast("long"),
+        F.expr(f"((cast({value_col} as bigint) - mn) * {n_buckets})"
+               f" div (mx - mn + 1)"))
+    hist = (docs.join(F.broadcast(stats), group_col)
+            .select(F.col(group_col), bucket.alias("bucket"))
+            .groupBy(group_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(group_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.withColumn("cum", F.sum("c").over(w))
+           .join(F.broadcast(stats), group_col))
+    lo = F.expr(f"mn + (bucket * (mx - mn + 1)) div {n_buckets}")
+    aggs = [F.min("n_docs").alias("n_docs"), F.min("mn").alias("min_val")]
+    for pct in percentiles:
+        rank = F.expr(f"(n_docs * {pct} + 99) div 100")
+        aggs.append(F.min(F.when(F.col("cum") >= rank, lo))
+                    .alias(f"p{pct}_lo"))
+    aggs.append(F.min("mx").alias("max_val"))
+    return cum.groupBy(group_col).agg(*aggs).orderBy(group_col)
+
+
 def source_tfidf_terms(docs: DataFrame, top_k: int = 5,
                        min_len: int = 3, text_col: str = "text",
                        group_col: str = "source") -> DataFrame:

@@ -266,6 +266,44 @@ def test_ivf_kmeans_no_python_and_broadcast_centroids(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_hist_quantiles_broadcast_stats_partitioned_window(spark):
+    """Histogram quantiles: the per-group stats come back via broadcast
+    (never a shuffle of the corpus against a 3-long-row table), the
+    cumsum window HAS a partition spec (no corpus-to-one-task window),
+    and no Python eval anywhere."""
+    from rca_pdf_extraction_pipeline_spark.operators import profiling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(profiling.histogram_quantiles(docs))
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the cumsum window must carry a partitionBy — an unpartitioned
+    # window moves the whole input to one task (Spark's own "No
+    # Partition Defined" warning); same pin shape as pack_documents'
+    win_lines = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition(" in ln]
+    assert win_lines, "expected the per-group cumsum window in the plan"
+    for ln in win_lines:
+        first_arg = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, ln.strip()
+
+
+def test_incremental_pairs_no_cartesian_keyed_join(spark):
+    """Incremental dedup joins batch band keys against the stored index
+    on (band, band_key) — a keyed equi-join, never a cartesian; no
+    Python eval."""
+    from rca_pdf_extraction_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = dedup.minhash_band_keys(docs.filter("doc_id % 2 = 0"))
+    q = dedup.incremental_candidate_pairs(docs.filter("doc_id % 2 = 1"), idx)
+    plan = _plan(q)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan
+
+
 def test_pagerank_no_python_no_cartesian(spark):
     """Integer-lattice PageRank: pure relational plan — no Python eval,
     no CartesianProduct (the rank-carry and inflow joins are all keyed),

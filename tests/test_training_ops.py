@@ -814,6 +814,56 @@ def test_corpus_profile_exact_percentiles(spark):
     assert b["p25"] == b["p50"] == b["p75"] == 7
 
 
+def test_histogram_quantiles_error_bound_and_determinism(spark):
+    """The histogram quantile reports its bucket's lower bound: it may
+    sit BELOW the exact discrete percentile by at most one bucket width,
+    never above it; endpoints are exact; the rows are invariant under
+    repartitioning (pure integer arithmetic)."""
+    from rca_pdf_extraction_pipeline_spark.operators import profiling
+
+    vals_a = [10, 20, 30, 40, 100, 55, 61, 7, 93, 88]
+    rows = [(i, "a", v) for i, v in enumerate(vals_a)] + \
+           [(100 + i, "b", 7) for i in range(3)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    n_buckets = 16
+    out = {r["lang"]: r
+           for r in profiling.histogram_quantiles(d, n_buckets=n_buckets).collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["min_val"], a["max_val"]) == (10, 7, 100)
+    width = (100 - 7 + 1) / n_buckets
+    sv = sorted(vals_a)
+    for pct in (25, 50, 75, 90, 99):
+        exact = sv[-(-len(sv) * pct // 100) - 1]  # percentile_disc rank
+        est = a[f"p{pct}_lo"]
+        assert est <= exact < est + width, (pct, est, exact)
+    b = out["b"]
+    assert b["p25_lo"] == b["p99_lo"] == b["min_val"] == 7
+
+    again = profiling.histogram_quantiles(
+        d.repartition(7), n_buckets=n_buckets).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        map(tuple, profiling.histogram_quantiles(d, n_buckets=n_buckets).collect()))
+
+
+def test_incremental_pairs_match_batch_restriction(spark):
+    """Incremental batch-vs-index candidates == the full-corpus candidate
+    pairs restricted to (odd, even) id pairs — the index side is never
+    re-shingled, only joined."""
+    from rca_pdf_extraction_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = dedup.minhash_candidate_pairs(docs).collect()
+    expected = sorted(
+        {(a, b) if a % 2 == 1 else (b, a)
+         for a, b in ((r["id_a"], r["id_b"]) for r in full)
+         if (a % 2) != (b % 2)})
+
+    idx = dedup.minhash_band_keys(docs.filter("doc_id % 2 = 0"))
+    got = dedup.incremental_candidate_pairs(
+        docs.filter("doc_id % 2 = 1"), idx).collect()
+    assert sorted((r["new_id"], r["indexed_id"]) for r in got) == expected
+
+
 def test_asof_join_semantics(spark):
     import datetime as dt
 
