@@ -119,9 +119,12 @@ def minhash_band_keys(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       n_hashes: int = DEFAULT_MINHASH_SEEDS,
                       bands: int = DEFAULT_BANDS,
-                      shingle_size: int = 3) -> DataFrame:
-    """(id, band, band_key) — one row per band; equal band_key =>
-    LSH candidate pair.
+                      shingle_size: int = 3,
+                      keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [keep_cols...], band, band_key) — one row per band; equal
+    band_key => LSH candidate pair.  ``keep_cols`` pass through
+    untouched (e.g. the event-time column a streaming caller needs for
+    its watermark).
 
     Single-pass: the band-key array is produced by the signature fold's
     ``finish`` lambda (functions/hashing.minhash_band_key_array), so the
@@ -139,7 +142,8 @@ def minhash_band_keys(docs: DataFrame, text_col: str = "text",
         T.shingle_set(F.col(text_col), shingle_size), bands,
         H.MINHASH_SEEDS[:n_hashes])
     return docs.select(
-        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.posexplode(keys).alias("band", "band_key")
     )
 
 

@@ -62,6 +62,47 @@ def dedup_stream_unbounded(docs: DataFrame,
             .dropDuplicates(["content_hash"]))
 
 
+def incremental_pairs_stream(new_docs: DataFrame, index_keys: DataFrame,
+                             ts_col: str = "event_time",
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             watermark_delay: str = "10 minutes"
+                             ) -> DataFrame:
+    """Streaming near-dup detection against an indexed corpus: the
+    ingest-time half of ``operators.dedup.incremental_candidate_pairs``.
+
+    Each arriving document's MinHash band keys (a stateless narrow
+    computation — shingle, fold, posexplode) join the STATIC stored
+    band-key table on (band, band_key); a stream-static inner join is
+    stateless in Structured Streaming, so the only state this query
+    keeps is the pair-dedup below.  Multiple colliding bands emit the
+    same (new_id, indexed_id) pair, so pairs are suppressed to first
+    emission within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` on the pair key, same bounded-
+    state shape as :func:`dedup_stream`.
+
+    ``index_keys`` is :func:`operators.dedup.minhash_band_keys` output
+    read from storage (see ``jobs/run_dedup_index.py``); refresh it
+    periodically with the batch job — stream-static joins re-read the
+    static side per micro-batch, picking up compacted snapshots.
+
+    Returns (new_id, indexed_id, <ts_col>): the arriving document, the
+    stored near-duplicate it collided with, and the arrival time.
+    """
+    from ..operators.dedup import minhash_band_keys
+
+    keys = minhash_band_keys(new_docs, text_col, id_col,
+                             keep_cols=(ts_col,))
+    nk = keys.select(F.col(id_col).alias("new_id"), F.col(ts_col),
+                     F.col("band"), F.col("band_key"))
+    idx = index_keys.select(F.col("band"), F.col("band_key"),
+                            F.col(id_col).alias("indexed_id"))
+    return (nk.join(idx, ["band", "band_key"])
+            .select("new_id", "indexed_id", ts_col)
+            .withWatermark(ts_col, watermark_delay)
+            .dropDuplicatesWithinWatermark(["new_id", "indexed_id"]))
+
+
 def url_dedup_stream(docs: DataFrame, ts_col: str = "event_time",
                      url_col: str = "url",
                      watermark_delay: str = "10 minutes") -> DataFrame:

@@ -251,6 +251,56 @@ def test_stream_url_dedup_keeps_first_arrival(spark, tmp_path):
     assert got == want  # stream == batch keep-first
 
 
+def test_stream_incremental_pairs_equals_batch(spark, tmp_path):
+    """Stream-static LSH ingest == the batch incremental operator: the
+    arriving odd-id docs collide with the stored even-id band-key index
+    identically whether they arrive as micro-batches or one batch."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.operators import dedup
+    from rca_pdf_extraction_pipeline_spark.streaming import dedup as sdedup
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .withColumn("event_time",
+                        F.to_timestamp(F.lit("2026-01-01 10:00:00"))
+                        + F.make_interval(secs=F.col("doc_id"))))
+    index_docs = docs.filter("doc_id % 2 = 0")
+    new_docs = docs.filter("doc_id % 2 = 1")
+
+    in_dir = str(tmp_path / "inc_in")
+    for f in (0, 1):
+        new_docs.filter(F.col("doc_id") % 4 == 2 * f + 1) \
+            .coalesce(1).write.parquet(f"{in_dir}/f{f}")
+    for i, p in enumerate(sorted(glob.glob(f"{in_dir}/f*/part-*.parquet"))):
+        shutil.move(p, f"{in_dir}/docs_{i}.parquet")
+    for f in (0, 1):
+        shutil.rmtree(f"{in_dir}/f{f}")
+
+    idx = dedup.minhash_band_keys(index_docs)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, event_time timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = sdedup.incremental_pairs_stream(stream, idx)
+    q = (out.writeStream.format("memory").queryName("sinc")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = sorted((r["new_id"], r["indexed_id"]) for r in spark.sql(
+        "SELECT new_id, indexed_id FROM sinc").collect())
+    want = sorted((r["new_id"], r["indexed_id"]) for r in
+                  dedup.incremental_candidate_pairs(new_docs, idx).collect())
+    assert got == want and len(got) > 0
+    assert len(got) == len(set(got))  # pair-dedup state suppressed re-emits
+
+
 def test_stream_dedup_unbounded_matches(spark, tmp_path):
     from rca_pdf_extraction_pipeline_spark.streaming import dedup as sdedup
 
