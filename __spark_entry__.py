@@ -1268,6 +1268,21 @@ def _q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode round-trip: solid-color 8-bit PNGs (stdlib-zlib
+    DEFLATE, CRC-correct chunks) built per doc_id, parsed back by the
+    pure-numpy PNG codec (multimodal.decode_png) — same closed-form
+    oracle as the BMP twin; ids % 10 == 0 carry garbage payloads and
+    must come back ok=False."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 300)
+    dec = multimodal.decode_media(multimodal.synth_png_media(ids), fake=False)
+    return dec.select(
+        "media_ref", "ok", "decoded_width", "decoded_height",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode (no codecs in env) — exercises the real Arrow
     plumbing: binary payloads, batch shapes, typed output. The md5-seeded
@@ -1411,9 +1426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r02 multimodal keys for window slots (canary rule 3)
         "hist_quantiles": _q_hist_quantiles,
         "dedup_incremental": _q_dedup_incremental,
-        "c2_structural": _q_c2_structural,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
+        # new in r4: never-checked PNG decode outranks a green key for a
+        # window slot (canary rule 3)
+        "multimodal_decode_png": _q_multimodal_decode_png,
         "link_degree_census": _q_link_degree_census,
         "link_pagerank": _q_link_pagerank,
         "text_repetition": _q_text_repetition,
@@ -1454,6 +1471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slots to the two new r4 keys above (canary rule 3)
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
+        # c2_structural: driver-green in r02/r03, golden-pinned — yielded
+        # its slot to the new PNG-decode key (canary rule 3)
+        "c2_structural": _q_c2_structural,
         # text_langid / text_fingerprint: driver-green in r02, pinned by
         # pytest — they yielded their window slots to the two new r4
         # link-graph keys (test_driver_window.py rule 3)
@@ -2573,6 +2593,21 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_bmp": """
             WITH m AS (
               SELECT doc_id, printf('bmp-%05d', doc_id) AS media_ref,
+                     (doc_id % 16 + 1)::INT AS w, (doc_id % 8 + 1)::INT AS h,
+                     doc_id % 256 AS r
+              FROM documents WHERE doc_id < 300)
+            SELECT media_ref,
+                   (doc_id % 10 != 0) AS ok,
+                   (CASE WHEN doc_id % 10 = 0 THEN 0 ELSE w END)::INT AS decoded_width,
+                   (CASE WHEN doc_id % 10 = 0 THEN 0 ELSE h END)::INT AS decoded_height,
+                   CASE WHEN doc_id % 10 = 0 THEN 0.0
+                        ELSE round(CAST(CAST(r AS DOUBLE) / 255.0 AS FLOAT)::DOUBLE, 4)
+                   END AS f0
+            FROM m
+        """,
+        "multimodal_decode_png": """
+            WITH m AS (
+              SELECT doc_id, printf('png-%05d', doc_id) AS media_ref,
                      (doc_id % 16 + 1)::INT AS w, (doc_id % 8 + 1)::INT AS h,
                      doc_id % 256 AS r
               FROM documents WHERE doc_id < 300)

@@ -8,10 +8,12 @@ deterministic md5-seeded stand-in (the md5 itself is computed JVM-side,
 so the pandas step is fully vectorized) that keeps every Spark-side
 contract real and testable — schema, batch shape, partitioning, null
 handling.  ``fake=False`` REALLY decodes uncompressed 24-bit BMP
-payloads with a pure-numpy header+pixel parser (:func:`decode_bmp`,
-round-trip-tested against :func:`encode_bmp`); other formats come back
-ok=False because the container ships no codec libraries (PNG/JPEG/ffmpeg
-would plug into :func:`_real_decode_batch`).
+payloads (pure-numpy header+pixel parser, :func:`decode_bmp`) and
+non-interlaced 8-bit PNGs (:func:`decode_png` — stdlib zlib inflate +
+numpy unfiltering of all five scanline filters; no codec library
+needed), each round-trip-tested against its encoder; other formats
+(JPEG, video codecs) come back ok=False because the container ships no
+codec libraries — that plug point is :func:`_real_decode_batch`.
 
 Data model (mirrors the reference's image handling, which exports
 binary payloads to files and keeps only ``media_ref`` strings in the
@@ -131,6 +133,121 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     return width, h, rgb
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Parse a non-interlaced 8-bit PNG (color types 0 grayscale, 2 RGB,
+    6 RGBA) into (width, height, rgb[h, w, 3] uint8), or None if the
+    payload is not such a PNG.  Pure stdlib + numpy: chunk walk per the
+    public PNG spec (ISO 15948 — IHDR/IDAT/IEND, 4-byte big-endian
+    lengths, CRC trailers skipped on read), ``zlib.decompress`` for the
+    DEFLATE stream, and scanline unfiltering for all five filter types
+    (None/Sub/Up/Average/Paeth, mod-256 per the spec).  Up is fully
+    vectorized; Sub/Average/Paeth recur on the previous reconstructed
+    pixel, so they run a per-byte loop — acceptable because real decode
+    is a per-image rare path, never per-row-of-corpus.
+
+    Grayscale replicates to RGB; alpha is dropped (features below use
+    RGB only).  Interlaced (Adam7), 16-bit, and palette images return
+    None — honest scope, same graceful-degrade contract as
+    :func:`decode_bmp`."""
+    import zlib
+
+    if payload is None or len(payload) < 8 or payload[:8] != PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln          # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if depth != 8 or comp or filt or interlace or channels is None \
+            or w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw[:h * (stride + 1)],
+                        dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        r, f = rows[y], int(ftypes[y])
+        if f == 0:
+            cur = r.copy()
+        elif f == 2:                       # Up — vectorizes
+            cur = (r + prev) & 0xFF
+        elif f in (1, 3, 4):               # Sub / Average / Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cur[x] = (int(r[x]) + pred) & 0xFF
+        else:
+            return None
+        recon[y] = cur
+        prev = cur
+    px = recon.reshape(h, w, channels)
+    if channels == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif channels == 4:
+        rgb = px[:, :, :3]
+    else:
+        rgb = px
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_png` (fixture/round-trip builder):
+    rgb[h, w, 3] uint8 -> 8-bit color-type-2 PNG, filter 0 per
+    scanline, one zlib-compressed IDAT, CRC-correct chunks."""
+    import zlib
+
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
 def encode_bmp(rgb: np.ndarray) -> bytes:
     """Inverse of :func:`decode_bmp` (fixture/round-trip builder):
     rgb[h, w, 3] uint8 -> uncompressed 24-bit bottom-up BMP bytes."""
@@ -151,19 +268,31 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     return header + pixels
 
 
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Magic-byte dispatch over the built-in codecs: BMP ('BM') and PNG
+    (8-byte signature).  Returns (w, h, rgb) or None."""
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    return None
+
+
 def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Real decode pass: BMP payloads are parsed for actual geometry and
-    mean-RGB features; undecodable payloads get ok=False (graceful, like
-    the reference's per-image try/except — extractor.py:177-195).  The
-    loop is per IMAGE (ragged payloads), never per pixel — the pixel math
-    is numpy."""
+    """Real decode pass: BMP and PNG payloads are parsed for actual
+    geometry and mean-RGB features; undecodable payloads get ok=False
+    (graceful, like the reference's per-image try/except —
+    extractor.py:177-195).  The loop is per IMAGE (ragged payloads),
+    never per pixel — the pixel math is numpy."""
     n = len(pdf)
     feats = np.zeros((n, FEATURE_DIM), dtype=np.float32)
     ok = np.zeros(n, dtype=bool)
     widths = np.zeros(n, dtype=np.int32)
     heights = np.zeros(n, dtype=np.int32)
     for i, payload in enumerate(pdf["payload"]):
-        parsed = decode_bmp(bytes(payload)) if payload is not None else None
+        parsed = decode_image(bytes(payload)) if payload is not None else None
         if parsed is None:
             continue
         w, h, rgb = parsed
@@ -194,11 +323,11 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
 
     ``fake=True`` — deterministic md5-seeded stub, with the md5 computed
     JVM-side so the pandas step is fully vectorized (no per-row hashing).
-    ``fake=False`` — REAL decode for uncompressed 24-bit BMP payloads
-    (pure-numpy header+pixel parse, :func:`decode_bmp`); payloads in any
-    other format decode to ok=False.  Compressed formats (PNG/JPEG/...)
-    need codec libraries not present in this environment — that plug
-    point is :func:`_real_decode_batch`."""
+    ``fake=False`` — REAL decode for uncompressed 24-bit BMP and
+    non-interlaced 8-bit PNG payloads (:func:`decode_image` dispatch);
+    payloads in any other format decode to ok=False.  JPEG/video need
+    codec libraries not present in this environment — that plug point
+    is :func:`_real_decode_batch`."""
     from pyspark.sql import functions as F
 
     if not fake:
@@ -265,6 +394,34 @@ def synth_bmp_media(ids: DataFrame) -> DataFrame:
                     rgb[:, :] = (did % 256, did * 7 % 256, did * 13 % 256)
                     payload = encode_bmp(rgb)
                 out.append((f"bmp-{did:05d}", f"doc-{did}", "image", payload,
+                            None, None, None))
+            yield pd.DataFrame(out, columns=["media_ref", "doc_id", "kind",
+                                             "payload", "width", "height",
+                                             "duration_ms"])
+
+    return ids.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_png_media(ids: DataFrame) -> DataFrame:
+    """PNG twin of :func:`synth_bmp_media`: each doc becomes a solid-
+    color w x h color-type-2 PNG (same geometry/color formulas, so the
+    two fixtures share one closed-form oracle); ids divisible by 10 get
+    an undecodable payload."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for did in pdf["doc_id"].astype(int):
+                if did % 10 == 0:
+                    payload = b"not a png payload"
+                else:
+                    w, h = did % 16 + 1, did % 8 + 1
+                    rgb = np.empty((h, w, 3), dtype=np.uint8)
+                    rgb[:, :] = (did % 256, did * 7 % 256, did * 13 % 256)
+                    payload = encode_png(rgb)
+                out.append((f"png-{did:05d}", f"doc-{did}", "image", payload,
                             None, None, None))
             yield pd.DataFrame(out, columns=["media_ref", "doc_id", "kind",
                                              "payload", "width", "height",
