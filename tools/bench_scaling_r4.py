@@ -13,7 +13,8 @@ Inputs (built once, deterministic):
 * vectors: sf0.1 embeddings (2000 x 64 doubles) x --vec-replicas, ids
   offset per replica — identical vectors are fine for ENCODE cost,
   which is per-row lattice arithmetic + the argmin shuffle.
-* graph: nodes = sf0.1 doc_ids x --vec-replicas; each node emits 8
+* graph: nodes = sf0.1 doc_ids x --vec-replicas; each node emits
+  --edges-per-node
   md5-derived out-edges (deterministic pseudo-web: heavy-tailed in-
   degree because dst = md5 mod n is uniform but replicated hubs are
   added for skew).
@@ -82,7 +83,8 @@ spark.stop()
 """
 
 
-def build_corpus(input_dir: str, vec_replicas: int) -> None:
+def build_corpus(input_dir: str, vec_replicas: int,
+                 edges_per_node: int) -> None:
     sys.path.insert(0, str(REPO))
     from pyspark.sql import functions as F
 
@@ -110,7 +112,7 @@ def build_corpus(input_dir: str, vec_replicas: int) -> None:
     nodes = nodes.repartition(64)
     nodes.write.mode("overwrite").parquet(f"{input_dir}/nodes")
     stored_nodes = spark.read.parquet(f"{input_dir}/nodes")
-    # 8 md5-derived out-edges per node: node ids are k*1e6 + doc_id with
+    # md5-derived out-edges per node: node ids are k*1e6 + doc_id with
     # doc_id contiguous 0..4999, so a valid dst is synthesized directly
     # from two md5 slices — replica slot and doc slot; md5-uniform dst
     # gives a Poisson in-degree tail, heavier once src skips self-loops
@@ -123,17 +125,22 @@ def build_corpus(input_dir: str, vec_replicas: int) -> None:
         F.col("node_id").alias("src"),
         F.posexplode(F.array(*[
             (_h(j, 1, vec_replicas) * 1_000_000 + _h(j, 9, 5000))
-            for j in range(8)])).alias("j", "dst"))
+            for j in range(edges_per_node)])).alias("j", "dst"))
     edges = e.select("src", "dst").where(F.col("src") != F.col("dst"))
     edges.repartition(64).write.mode("overwrite") \
         .parquet(f"{input_dir}/edges")
     spark.stop()
-    (Path(input_dir) / "_VEC_REPLICAS").write_text(str(vec_replicas))
+    (Path(input_dir) / "_VEC_REPLICAS").write_text(
+        f"{vec_replicas},{edges_per_node}")
 
 
-def corpus_replicas(input_dir: str) -> int | None:
+def corpus_config(input_dir: str) -> tuple[int, int] | None:
     marker = Path(input_dir) / "_VEC_REPLICAS"
-    return int(marker.read_text()) if marker.exists() else None
+    if not marker.exists():
+        return None
+    parts = marker.read_text().split(",")
+    # pre-knob corpora recorded replicas only (8 edges/node implicit)
+    return (int(parts[0]), int(parts[1]) if len(parts) > 1 else 8)
 
 
 def run_one(cpus: int, family: str, input_dir: str, runs: int) -> dict:
@@ -158,7 +165,7 @@ are compared across levels — equal hash = bit-identical rows at every
 parallelism.
 
 Corpus: sf0.1 embeddings x {reps} replicas = {n_vecs} vectors (dim 64);
-graph = {n_nodes_label} nodes x 8 md5-derived out-edges ({n_edges}
+graph = {n_nodes_label} nodes x {epn} md5-derived out-edges ({n_edges}
 post-self-loop-filter), PageRank 3 unrolled iterations.
 
 | family | local[{lo}] best (s) | local[{hi}] best (s) | speedup | efficiency (ideal {ideal}x) | outputs identical |
@@ -175,18 +182,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs-per-level", type=int, default=2)
     ap.add_argument("--vec-replicas", type=int, default=64)
+    ap.add_argument("--edges-per-node", type=int, default=48,
+                    help="out-links per node; 8 gave a 2.5M-edge graph "
+                         "whose PageRank was fixed-overhead-dominated "
+                         "(negative scaling) — default sized so compute "
+                         "dominates at local[4]")
     ap.add_argument("--levels", default="4,16")
     ap.add_argument("--input-dir", default=DEFAULT_INPUT)
     ap.add_argument("--reuse-input", action="store_true")
     args = ap.parse_args()
 
     lo, hi = (int(x) for x in args.levels.split(","))
-    have = corpus_replicas(args.input_dir)
-    if not args.reuse_input or have != args.vec_replicas:
+    have = corpus_config(args.input_dir)
+    want = (args.vec_replicas, args.edges_per_node)
+    if not args.reuse_input or have != want:
         if args.reuse_input and have is not None:
-            print(f"corpus has {have} replicas, want {args.vec_replicas}"
+            print(f"corpus is {have} (replicas, edges/node), want {want}"
                   f" — rebuilding", file=sys.stderr)
-        build_corpus(args.input_dir, args.vec_replicas)
+        build_corpus(args.input_dir, *want)
 
     t0 = time.time()
     levels = {}
@@ -211,7 +224,7 @@ def main() -> None:
     md = HEADLINE_MD.format(
         lo=lo, hi=hi, runs=args.runs_per_level, reps=args.vec_replicas,
         n_vecs=levels[lo]["ann_pq_codes"]["n_rows"],
-        n_nodes_label=f"{args.vec_replicas}x5000",
+        n_nodes_label=f"{args.vec_replicas}x5000", epn=args.edges_per_node,
         n_edges=levels[lo]["link_pagerank"]["n_rows"],
         ideal=hi // lo, rows="\n".join(rows_md))
     (REPO / "BENCH" / "FAMILY_SCALING_R4.md").write_text(md)
