@@ -73,10 +73,16 @@ def histogram_quantiles(docs: DataFrame, group_col: str = "lang",
     Returns (group, n_docs, min_val, p<pct>_lo ..., max_val), one row
     per group, ordered by group; every column long.
     """
+    # the stats table is referenced by TWO downstream branches (bucket
+    # assignment and percentile ranks); without a barrier each branch
+    # re-runs the aggregate — and re-scans the corpus — independently
+    # (no cross-branch exchange reuse in the static plan).  It is a few
+    # longs per group, so pin it: one corpus scan for stats, one for the
+    # histogram, total two.
     stats = docs.groupBy(group_col).agg(
         F.min(F.col(value_col).cast("long")).alias("mn"),
         F.max(F.col(value_col).cast("long")).alias("mx"),
-        F.count(F.lit(1)).alias("n_docs"))
+        F.count(F.lit(1)).alias("n_docs")).persist()
     bucket = F.least(
         F.lit(n_buckets - 1).cast("long"),
         F.expr(f"((cast({value_col} as bigint) - mn) * {n_buckets})"
