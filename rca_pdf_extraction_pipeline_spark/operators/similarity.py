@@ -266,7 +266,8 @@ def ivf_topk_sampled(embs: DataFrame, query_id: int, k: int = 10,
 
 def ivf_topk(embs: DataFrame, query_id: int, k: int = 10,
              n_centroids: int = 4, iters: int = 2, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cents: DataFrame | None = None) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: k-means codebook,
     assign every vector to its nearest centroid, probe the ``nprobe``
     centroids nearest the query, exact cosine rank inside the probed
@@ -278,11 +279,14 @@ def ivf_topk(embs: DataFrame, query_id: int, k: int = 10,
     the query itself excluded.  At scale, write the corpus partitioned
     by ``cid``: each query then scans nprobe/k of the files.  Trains on
     the FULL corpus per Lloyd round — prefer :func:`ivf_topk_sampled`
-    beyond toy sizes.
+    beyond toy sizes, or pass ``cents`` (the ``centroids`` artifact
+    ``jobs/run_index.py`` persists, read back from parquet) to search a
+    STORED codebook with no training in-plan at all.
     """
     if not 1 <= nprobe <= n_centroids:
         raise ValueError(f"nprobe must be in [1, {n_centroids}]; got {nprobe}")
-    cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
+    if cents is None:
+        cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
     return _ivf_search(embs, cents, query_id, k, nprobe, id_col, vec_col)
 
 
@@ -482,7 +486,9 @@ def pq_codes(embs: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
 
 def pq_topk(embs: DataFrame, query_id: int, k_neighbors: int = 10,
             m: int = 4, k: int = 4, iters: int = 2, dim: int = 64,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            books: DataFrame | None = None,
+            codes: DataFrame | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) PQ search (Jégou et al., TPAMI'11 §III):
     approximate ||q - x||^2 by summing, per subspace, the exact distance
     from the query's subvector to x's assigned codeword.  Returns the
@@ -495,12 +501,25 @@ def pq_topk(embs: DataFrame, query_id: int, k_neighbors: int = 10,
     sub, code) table — at 10^12 vectors that is the precomputed code
     store (see ``jobs/run_index.py``), and the scan is a broadcast-
     hash-join + one groupBy(id) SUM of m rows per id.  All arithmetic
-    on the integer lattice — bit-identical across engines."""
+    on the integer lattice — bit-identical across engines.
+
+    Pass ``books`` and ``codes`` (the ``pq_codebooks``/``pq_codes``
+    artifacts ``jobs/run_index.py`` persists, read back from parquet)
+    to search the STORED index — the plan then touches the raw vectors
+    only for the one query row; by default both are fit/encoded
+    in-plan."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    if (books is None) != (codes is None):
+        raise ValueError(
+            "pass books and codes together (both from the stored index) "
+            "or neither — codes encoded against a different codebook "
+            "than the LUT silently corrupt every distance")
     sub_dim = dim // m
-    books = pq_codebooks(embs, m, k, iters, dim, id_col, vec_col)
-    codes = pq_codes(embs, m, k, iters, dim, id_col, vec_col, books=books)
+    if books is None:
+        books = pq_codebooks(embs, m, k, iters, dim, id_col, vec_col)
+        codes = pq_codes(embs, m, k, iters, dim, id_col, vec_col,
+                         books=books)
     q_subs = (_sub_lattice_rows(embs, m, sub_dim, id_col, vec_col)
               .filter(F.col(id_col) == query_id)
               .select(F.col("sub").alias("q_sub"),

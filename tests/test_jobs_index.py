@@ -62,6 +62,47 @@ def test_run_index_deterministic_rebuild(spark, tmp_path):
         assert ra == rb, art
 
 
+def test_search_from_stored_artifacts_equals_inplan(spark, tmp_path):
+    """The index job's persisted artifacts drive BOTH search paths:
+    pq_topk(books=, codes=) and ivf_topk(cents=) read back from parquet
+    must return the same rows as the in-plan (train-at-query-time)
+    formulation — the deployment shape at 10^12 vectors, where training
+    never runs inside a query."""
+    from rca_pdf_extraction_pipeline_spark.jobs import run_index
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    _embeddings(spark).write.parquet(str(tmp_path / "in"))
+    run_index.main([
+        "--input", str(tmp_path / "in"),
+        "--output", str(tmp_path / "idx"),
+        "--n-centroids", "2", "--pq-m", "2", "--pq-k", "2", "--dim", "8",
+        "--sample-rate", "1.0",
+    ])
+    embs = spark.read.parquet(str(tmp_path / "in"))
+
+    books = spark.read.parquet(str(tmp_path / "idx" / "pq_codebooks"))
+    codes = spark.read.parquet(str(tmp_path / "idx" / "pq_codes"))
+    stored = similarity.pq_topk(embs, query_id=0, k_neighbors=5,
+                                m=2, k=2, dim=8,
+                                books=books, codes=codes).collect()
+    inplan = similarity.pq_topk(embs, query_id=0, k_neighbors=5,
+                                m=2, k=2, dim=8).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in inplan]
+
+    # mismatched args rejected loudly
+    with pytest.raises(ValueError, match="together"):
+        similarity.pq_topk(embs, query_id=0, m=2, k=2, dim=8, books=books)
+
+    cents = spark.read.parquet(str(tmp_path / "idx" / "centroids"))
+    s_ivf = similarity.ivf_topk(embs, query_id=0, k=5, n_centroids=2,
+                                nprobe=1, cents=cents).collect()
+    # stored centroids came from the sampled trainer at rate 1.0 == the
+    # full trainer on this corpus, so in-plan full-training matches
+    i_ivf = similarity.ivf_topk(embs, query_id=0, k=5, n_centroids=2,
+                                nprobe=1).collect()
+    assert [tuple(r) for r in s_ivf] == [tuple(r) for r in i_ivf]
+
+
 def test_run_index_rejects_bad_output(tmp_path):
     from rca_pdf_extraction_pipeline_spark.jobs import run_index
 
