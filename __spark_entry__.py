@@ -559,6 +559,17 @@ def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_corpus_cc_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dedup.deduplicate_corpus_cc_best(_t(spark, sf_dir, "documents"),
+                                         score_col="n_chars")
+    return d.select("doc_id", "lang", "source", "n_chars")
+
+
+def _q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.epoch_shards(_t(spark, sf_dir, "documents"),
+                                 n_shards=8, epoch=1)
+
+
 # ---- relational operator parity over the TPC-H-ish tables -----------------
 
 
@@ -1418,14 +1429,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_embed_topk": _q_text_embed_topk,
         "vocab_topk": _q_vocab_topk,
         "vocab_coverage": _q_vocab_coverage,
-        "html_boilerplate": _q_html_boilerplate,
-        "html_block_scores": _q_html_block_scores,
         "boilerplate_lines": _q_boilerplate_lines,
         "multimodal_decode_bmp": _q_multimodal_decode_bmp,
         # new in r4: never-checked, so they outrank the two driver-green
         # r02 multimodal keys for window slots (canary rule 3)
         "hist_quantiles": _q_hist_quantiles,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_corpus_cc_best": _q_dedup_corpus_cc_best,
+        "epoch_shards": _q_epoch_shards,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         # new in r4: never-checked PNG decode outranks a green key for a
@@ -1472,8 +1483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
         # c2_structural: driver-green in r02/r03, golden-pinned — yielded
-        # its slot to the new PNG-decode key (canary rule 3)
+        # its slot to the new PNG-decode key (canary rule 3); the two
+        # html keys (green r02/r03, pytest-pinned) yielded theirs to
+        # dedup_corpus_cc_best / epoch_shards
         "c2_structural": _q_c2_structural,
+        "html_boilerplate": _q_html_boilerplate,
+        "html_block_scores": _q_html_block_scores,
         # text_langid / text_fingerprint: driver-green in r02, pinned by
         # pytest — they yielded their window slots to the two new r4
         # link-graph keys (test_driver_window.py rule 3)
@@ -2299,6 +2314,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
             LEFT JOIN minlab m ON m.doc_id = d.doc_id
             WHERE m.doc_id IS NULL OR m.label = d.doc_id
+        """,
+        "dedup_corpus_cc_best": f"""
+            WITH RECURSIVE {_SQL_SHINGLE_BASE},
+            sigbase AS (
+              SELECT doc_id,
+                     list_transform(shset, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
+              FROM sh),
+            sig AS (SELECT doc_id, {minhash_sigs} FROM sigbase),
+            keys AS (
+              SELECT doc_id, 0 AS band,
+                     sig_0::VARCHAR || '-' || sig_1::VARCHAR || '-'
+                       || sig_2::VARCHAR || '-' || sig_3::VARCHAR AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     sig_4::VARCHAR || '-' || sig_5::VARCHAR || '-'
+                       || sig_6::VARCHAR || '-' || sig_7::VARCHAR AS band_key FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM keys a JOIN keys b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+              WHERE round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                    / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 6)
+                    >= 0.8),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                      UNION
+                      SELECT id_b, id_a FROM verified),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            minlab AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS label
+              FROM reach GROUP BY src),
+            lab AS (
+              SELECT d.doc_id, COALESCE(m.label, d.doc_id) AS label, d.n_chars
+              FROM documents d LEFT JOIN minlab m ON m.doc_id = d.doc_id),
+            win AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY label
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM lab)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN win w ON w.doc_id = d.doc_id AND w.rn = 1
+        """,
+        "epoch_shards": """
+            WITH k AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('e1:' || doc_id), 1, 8))::BIGINT
+                       AS shuffle_key
+              FROM documents),
+            s AS (SELECT doc_id, (shuffle_key % 8)::INT AS shard, shuffle_key
+                  FROM k)
+            SELECT doc_id, shard,
+                   (ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY shuffle_key, doc_id) - 1)::INT
+                     AS pos
+            FROM s
         """,
         "dedup_embedding_pairs": f"""
             WITH b AS (

@@ -326,6 +326,21 @@ def deduplicate_corpus_cc(docs: DataFrame, text_col: str = "text",
     kill a 100 TB dedup mid-loop and each round's label table survives
     for inspection/resume.
     """
+    labels = _cc_labels(docs, text_col, id_col, jaccard_threshold,
+                        n_hashes, bands, shingle_size, max_iter,
+                        checkpoint_dir)
+    keepers = labels.filter(F.col("label") == F.col("node")) \
+                    .select(F.col("node").alias(id_col))
+    return docs.join(keepers, id_col, "left_semi")
+
+
+def _cc_labels(docs: DataFrame, text_col: str, id_col: str,
+               jaccard_threshold: float, n_hashes: int, bands: int,
+               shingle_size: int, max_iter: int,
+               checkpoint_dir: str | None) -> DataFrame:
+    """(node, label) — every doc id labelled with the minimum id of its
+    near-dup connected component (the label loop shared by the keep-min
+    and keep-best CC policies)."""
     mat = _Materializer(checkpoint_dir)
     pairs = verified_near_pairs(docs, text_col, id_col, jaccard_threshold,
                                 n_hashes, bands, shingle_size,
@@ -350,9 +365,44 @@ def deduplicate_corpus_cc(docs: DataFrame, text_col: str = "text",
         labels = new_labels
         if changed == 0:
             break
-    keepers = labels.filter(F.col("label") == F.col("node")) \
-                    .select(F.col("node").alias(id_col))
-    return docs.join(keepers, id_col, "left_semi")
+    return labels
+
+
+def deduplicate_corpus_cc_best(docs: DataFrame, score_col: str,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               jaccard_threshold: float = 0.8,
+                               n_hashes: int = DEFAULT_MINHASH_SEEDS,
+                               bands: int = DEFAULT_BANDS,
+                               shingle_size: int = 3,
+                               max_iter: int = 50,
+                               checkpoint_dir: str | None = None
+                               ) -> DataFrame:
+    """Quality-priority CC dedup: within every near-dup component keep
+    the HIGHEST-``score_col`` document, ties broken by lowest id —
+    instead of :func:`deduplicate_corpus_cc`'s lowest-id-wins.  This is
+    the policy real curation uses: when a page is mirrored, keep the
+    longest / cleanest / highest-quality copy, not the one that
+    happened to get the smallest id.
+
+    Same label-propagation loop, then one argmax aggregate per
+    component: ``max(struct(score, -id))`` — exactly-one survivor per
+    component, deterministic under any partitioning (integer struct
+    comparison).  Scale: adds a single (label) shuffle over (node,
+    score, label) triples on top of the CC loop.
+    """
+    labels = _cc_labels(docs, text_col, id_col, jaccard_threshold,
+                        n_hashes, bands, shingle_size, max_iter,
+                        checkpoint_dir)
+    scored = labels.join(
+        docs.select(F.col(id_col).alias("node"),
+                    F.col(score_col).alias("_score")), "node")
+    winners = (scored.groupBy("label")
+               .agg(F.max(F.struct(F.col("_score"),
+                                   (-F.col("node")).alias("_neg_id")))
+                    .alias("w"))
+               .select((-F.col("w._neg_id")).alias(id_col)))
+    return docs.join(winners, id_col, "left_semi")
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",

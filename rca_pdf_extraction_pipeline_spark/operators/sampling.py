@@ -48,6 +48,40 @@ def hash_sample(docs: DataFrame, rate: float, seed: int = 0,
     return docs.filter(sample_bucket(F.col(id_col), seed) < cut)
 
 
+def epoch_shards(docs: DataFrame, n_shards: int, epoch: int = 0,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic epoch shuffling + sharding — the data-ordering
+    primitive of a training run: every document gets a (shard,
+    pos_in_shard) for the given ``epoch``, forming a reproducible
+    pseudo-random permutation of the corpus into ``n_shards`` equal-ish
+    sequential streams.  Different epochs are independent permutations;
+    the same (epoch, corpus) reproduces bit-for-bit on any cluster, any
+    partitioning, any engine.
+
+    Key = hash32(md5('e<epoch>:' || id)): shard = key mod n_shards; pos
+    = rank of (key, id) within the shard (the id tiebreak makes the
+    permutation total even on hash collisions).
+
+    Scale: one hash exchange on ``shard`` + a per-shard sort inside the
+    window — n_shards is chosen as the training job's reader
+    parallelism, so each shard's sort is 1/n_shards of the corpus and
+    spills if needed; at write time ``partitionBy(shard)`` makes each
+    stream one file group and readers never shuffle again.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1; got {n_shards}")
+    from pyspark.sql import Window
+
+    key = H.hash32(F.concat(F.lit(f"e{epoch}:"),
+                            F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (docs.select(F.col(id_col), key.alias("shuffle_key"))
+            .withColumn("shard", (F.col("shuffle_key") % n_shards)
+                        .cast("int"))
+            .withColumn("pos", F.row_number().over(w) - 1)
+            .select(id_col, "shard", "pos"))
+
+
 def train_val_test_split(docs: DataFrame,
                          weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
                          seed: int = 0,

@@ -304,6 +304,23 @@ def test_incremental_pairs_no_cartesian_keyed_join(spark):
     assert "band_key" in plan
 
 
+def test_epoch_shards_partitioned_window_no_python(spark):
+    """Epoch sharding: the per-shard position window is PARTITIONED on
+    shard (never a corpus-wide sort to one task) and the whole plan is
+    JVM-side."""
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(sampling.epoch_shards(docs, n_shards=8, epoch=1))
+    assert "EvalPython" not in plan
+    win_lines = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition(" in ln]
+    assert win_lines
+    for ln in win_lines:
+        first_arg = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, ln.strip()
+
+
 def test_pagerank_no_python_no_cartesian(spark):
     """Integer-lattice PageRank: pure relational plan — no Python eval,
     no CartesianProduct (the rank-carry and inflow joins are all keyed),

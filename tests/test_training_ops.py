@@ -864,6 +864,67 @@ def test_incremental_pairs_match_batch_restriction(spark):
     assert sorted((r["new_id"], r["indexed_id"]) for r in got) == expected
 
 
+def test_cc_best_keeps_highest_score_not_lowest_id(spark):
+    """Quality-priority CC dedup keeps the argmax-score doc of each
+    component (ties -> lowest id), where keep-min-id would keep doc 0;
+    isolated docs always survive."""
+    from rca_pdf_extraction_pipeline_spark.operators import dedup
+
+    # identical text (mirrored page) => identical signatures => the
+    # band collision is deterministic, not an S-curve coin flip
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, 10),                        # component {0,1,2}
+        (1, base, 99),                        # highest score -> survivor
+        (2, base, 50),
+        (3, "completely different text with nothing shared at all", 1),
+        (4, "another unique document about unrelated matters entirely", 7),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, score long")
+    best = sorted(r["doc_id"] for r in
+                  dedup.deduplicate_corpus_cc_best(
+                      d, score_col="score", jaccard_threshold=0.5).collect())
+    assert best == [1, 3, 4]
+    # keep-min-id policy on the same corpus keeps 0 — different survivor
+    minid = sorted(r["doc_id"] for r in
+                   dedup.deduplicate_corpus_cc(
+                       d, jaccard_threshold=0.5).collect())
+    assert minid == [0, 3, 4]
+    # tie on score -> lowest id wins
+    tied = spark.createDataFrame(
+        [(5, base, 10), (6, base, 10)], "doc_id long, text string, score long")
+    got = sorted(r["doc_id"] for r in
+                 dedup.deduplicate_corpus_cc_best(
+                     tied, score_col="score", jaccard_threshold=0.5).collect())
+    assert got == [5]
+
+
+def test_epoch_shards_total_permutation_and_determinism(spark):
+    """Every doc appears exactly once; positions are contiguous from 0
+    per shard; the permutation is invariant under repartitioning and
+    differs between epochs."""
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sampling.epoch_shards(docs, n_shards=4, epoch=1).collect()
+    assert len(out) == 500
+    assert len({r["doc_id"] for r in out}) == 500
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+
+    again = sampling.epoch_shards(docs.repartition(13), n_shards=4,
+                                  epoch=1).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    other = sampling.epoch_shards(docs, n_shards=4, epoch=2).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+    assert len({r["doc_id"] for r in other}) == 500  # still total
+
+
 def test_asof_join_semantics(spark):
     import datetime as dt
 
