@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "c1_keyword_cascade",
     "url_dedup_groups",
     "bloom_tokens",
+    "link_pagerank",
+    "hist_quantiles",
+    "epoch_shards",
     "sim_topk_cosine",
     "text_fingerprint",
     "html_boilerplate",
