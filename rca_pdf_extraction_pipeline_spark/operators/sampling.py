@@ -49,7 +49,8 @@ def hash_sample(docs: DataFrame, rate: float, seed: int = 0,
 
 
 def epoch_shards(docs: DataFrame, n_shards: int, epoch: int = 0,
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 num_ranges: int | None = None) -> DataFrame:
     """Deterministic epoch shuffling + sharding — the data-ordering
     primitive of a training run: every document gets a (shard,
     pos_in_shard) for the given ``epoch``, forming a reproducible
@@ -62,24 +63,51 @@ def epoch_shards(docs: DataFrame, n_shards: int, epoch: int = 0,
     = rank of (key, id) within the shard (the id tiebreak makes the
     permutation total even on hash collisions).
 
-    Scale: one hash exchange on ``shard`` + a per-shard sort inside the
-    window — n_shards is chosen as the training job's reader
-    parallelism, so each shard's sort is 1/n_shards of the corpus and
-    spills if needed; at write time ``partitionBy(shard)`` makes each
-    stream one file group and readers never shuffle again.
+    Scale formulation (same decomposition as ``chunking.pack_documents``
+    — a Window.partitionBy(shard) rank would sort corpus/n_shards rows
+    in ONE task per shard): range-repartition on (shard, key, id) into
+    ``num_ranges`` contiguous slices, rank WITHIN (range, shard) under
+    a partitioned window, then shift by the same-shard row counts of
+    earlier ranges — a tiny (num_ranges x shards)-row aggregate with a
+    triangular self-join, broadcast back.  Any contiguous split yields
+    the identical global rank, so per-task memory is corpus/num_ranges
+    regardless of n_shards, and the SQL oracle stays the one-line
+    per-shard ROW_NUMBER formulation.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1; got {n_shards}")
     from pyspark.sql import Window
 
+    spark = docs.sparkSession
+    if num_ranges is None:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
     key = H.hash32(F.concat(F.lit(f"e{epoch}:"),
                             F.col(id_col).cast("string")))
-    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
-    return (docs.select(F.col(id_col), key.alias("shuffle_key"))
-            .withColumn("shard", (F.col("shuffle_key") % n_shards)
-                        .cast("int"))
-            .withColumn("pos", F.row_number().over(w) - 1)
-            .select(id_col, "shard", "pos"))
+    keyed = (docs.select(F.col(id_col), key.alias("shuffle_key"))
+             .withColumn("shard", (F.col("shuffle_key") % n_shards)
+                         .cast("int")))
+    ranged = keyed.repartitionByRange(
+        num_ranges, F.col("shard"), F.col("shuffle_key"), F.col(id_col)) \
+        .withColumn("rng", F.spark_partition_id())
+    w = (Window.partitionBy("rng", "shard")
+         .orderBy("shuffle_key", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = ranged.select(F.col(id_col), F.col("shard"), F.col("rng"),
+                           F.count(F.lit(1)).over(w).alias("rk"))
+    counts = ranged.groupBy("rng", "shard").agg(
+        F.count(F.lit(1)).alias("n"))
+    earlier = counts.select(F.col("shard").alias("eshard"),
+                            F.col("rng").alias("erng"),
+                            F.col("n").alias("en"))
+    offsets = (counts.join(earlier,
+                           (F.col("eshard") == F.col("shard"))
+                           & (F.col("erng") < F.col("rng")), "left")
+               .groupBy("rng", "shard")
+               .agg(F.coalesce(F.sum("en"), F.lit(0)).alias("offset")))
+    return (within.join(F.broadcast(offsets), ["rng", "shard"])
+            .select(F.col(id_col), F.col("shard"),
+                    (F.col("offset") + F.col("rk") - 1).cast("int")
+                    .alias("pos")))
 
 
 def train_val_test_split(docs: DataFrame,
