@@ -48,6 +48,57 @@ def hash_sample(docs: DataFrame, rate: float, seed: int = 0,
     return docs.filter(sample_bucket(F.col(id_col), seed) < cut)
 
 
+def _range_rank(df: DataFrame, group_cols: list[str],
+                order_cols: list[str],
+                num_ranges: int | None = None) -> DataFrame:
+    """Append ``_rk`` — the 1-based global rank of each row within its
+    ``group_cols`` group under ``order_cols`` — with bounded per-task
+    memory at ANY group size (a plain ``Window.partitionBy(group)``
+    rank sorts the whole group in one task; a hot group at corpus scale
+    is an OOM/stall).
+
+    The ``pack_documents`` decomposition generalized: range-repartition
+    on (group, order) into ``num_ranges`` contiguous slices, rank
+    within each (range, group) cell under a partitioned window, then
+    shift by the same-group row counts of earlier ranges — a tiny
+    aggregate (each group spans ~1 range boundary, so ~num_ranges +
+    n_groups rows) whose running sum comes from a triangular self-join
+    and returns via broadcast.  Any contiguous split yields the
+    identical global rank, so the result is partition-invariant.
+
+    ``order_cols`` must be a total order within each group (include a
+    unique id as the last column) or ranks at range boundaries would
+    depend on the split."""
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(
+        num_ranges, *[F.col(c) for c in group_cols + order_cols]) \
+        .withColumn("_rng", F.spark_partition_id())
+    w = (Window.partitionBy("_rng", *group_cols)
+         .orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = ranged.withColumn("_rk_in", F.count(F.lit(1)).over(w))
+    counts = ranged.groupBy("_rng", *group_cols).agg(
+        F.count(F.lit(1)).alias("_n"))
+    earlier = counts.select(
+        F.col("_rng").alias("_erng"), F.col("_n").alias("_en"),
+        *[F.col(c).alias(f"_e_{c}") for c in group_cols])
+    same_group = F.lit(True)
+    for c in group_cols:
+        same_group = same_group & (F.col(f"_e_{c}") == F.col(c))
+    offsets = (counts.join(earlier,
+                           same_group & (F.col("_erng") < F.col("_rng")),
+                           "left")
+               .groupBy("_rng", *group_cols)
+               .agg(F.coalesce(F.sum("_en"), F.lit(0)).alias("_off")))
+    return (within.join(F.broadcast(offsets), ["_rng", *group_cols])
+            .withColumn("_rk", F.col("_off") + F.col("_rk_in"))
+            .drop("_rng", "_rk_in", "_off"))
+
+
 def epoch_shards(docs: DataFrame, n_shards: int, epoch: int = 0,
                  id_col: str = "doc_id",
                  num_ranges: int | None = None) -> DataFrame:
@@ -63,51 +114,23 @@ def epoch_shards(docs: DataFrame, n_shards: int, epoch: int = 0,
     = rank of (key, id) within the shard (the id tiebreak makes the
     permutation total even on hash collisions).
 
-    Scale formulation (same decomposition as ``chunking.pack_documents``
-    — a Window.partitionBy(shard) rank would sort corpus/n_shards rows
-    in ONE task per shard): range-repartition on (shard, key, id) into
-    ``num_ranges`` contiguous slices, rank WITHIN (range, shard) under
-    a partitioned window, then shift by the same-shard row counts of
-    earlier ranges — a tiny (num_ranges x shards)-row aggregate with a
-    triangular self-join, broadcast back.  Any contiguous split yields
-    the identical global rank, so per-task memory is corpus/num_ranges
-    regardless of n_shards, and the SQL oracle stays the one-line
-    per-shard ROW_NUMBER formulation.
+    Scale formulation: :func:`_range_rank` (the ``pack_documents``
+    range-cumsum decomposition — a Window.partitionBy(shard) rank would
+    sort corpus/n_shards rows in ONE task per shard).  Per-task memory
+    is corpus/num_ranges regardless of n_shards, and the SQL oracle
+    stays the one-line per-shard ROW_NUMBER formulation.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1; got {n_shards}")
-    from pyspark.sql import Window
-
-    spark = docs.sparkSession
-    if num_ranges is None:
-        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
     key = H.hash32(F.concat(F.lit(f"e{epoch}:"),
                             F.col(id_col).cast("string")))
     keyed = (docs.select(F.col(id_col), key.alias("shuffle_key"))
              .withColumn("shard", (F.col("shuffle_key") % n_shards)
                          .cast("int")))
-    ranged = keyed.repartitionByRange(
-        num_ranges, F.col("shard"), F.col("shuffle_key"), F.col(id_col)) \
-        .withColumn("rng", F.spark_partition_id())
-    w = (Window.partitionBy("rng", "shard")
-         .orderBy("shuffle_key", id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    within = ranged.select(F.col(id_col), F.col("shard"), F.col("rng"),
-                           F.count(F.lit(1)).over(w).alias("rk"))
-    counts = ranged.groupBy("rng", "shard").agg(
-        F.count(F.lit(1)).alias("n"))
-    earlier = counts.select(F.col("shard").alias("eshard"),
-                            F.col("rng").alias("erng"),
-                            F.col("n").alias("en"))
-    offsets = (counts.join(earlier,
-                           (F.col("eshard") == F.col("shard"))
-                           & (F.col("erng") < F.col("rng")), "left")
-               .groupBy("rng", "shard")
-               .agg(F.coalesce(F.sum("en"), F.lit(0)).alias("offset")))
-    return (within.join(F.broadcast(offsets), ["rng", "shard"])
-            .select(F.col(id_col), F.col("shard"),
-                    (F.col("offset") + F.col("rk") - 1).cast("int")
-                    .alias("pos")))
+    ranked = _range_rank(keyed, ["shard"], ["shuffle_key", id_col],
+                         num_ranges)
+    return ranked.select(F.col(id_col), F.col("shard"),
+                         (F.col("_rk") - 1).cast("int").alias("pos"))
 
 
 def train_val_test_split(docs: DataFrame,
@@ -133,18 +156,17 @@ def per_group_sample(docs: DataFrame, group_col: str, k: int,
     the eval-set constructor ("100 held-out docs per language").
 
     Deterministic uniform choice: rank rows inside each group by their
-    sample bucket (ties by id) and keep rank <= k.  One window over the
-    group key — the same exchange any per-group operator needs; no
-    global sort, no collect.
+    sample bucket (ties by id) and keep rank <= k.  Ranks come from
+    :func:`_range_rank`, so a hot group (one language holding half the
+    corpus) never funnels into a single window task — per-task memory
+    is corpus/num_ranges at any group skew.
     """
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
-    w = Window.partitionBy(group_col).orderBy(
-        sample_bucket(F.col(id_col), seed), F.col(id_col))
-    return (docs.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= k).drop("_rk"))
+    ranked = _range_rank(
+        docs.withColumn("_bucket", sample_bucket(F.col(id_col), seed)),
+        [group_col], ["_bucket", id_col])
+    return ranked.filter(F.col("_rk") <= k).drop("_rk", "_bucket")
 
 
 def weighted_priority_sample(docs: DataFrame, weight_col: str, k: int,
