@@ -71,14 +71,8 @@ def main(argv: list[str] | None = None) -> int:
     # full corpus assigned ONCE against the persisted codebook (read it
     # back rather than re-deriving: the Lloyd lineage must not re-run)
     cents_stored = spark.read.parquet(str(out / "centroids"))
-    lat = similarity._lattice(embs, "vec_id", "embedding")
-    assigned = (lat.crossJoin(F.broadcast(cents_stored))
-                .select(F.col("vec_id"),
-                        F.struct(similarity._l2sq(F.col("qv"), F.col("cv"))
-                                 .alias("d2"), F.col("cid")).alias("dc"))
-                .groupBy("vec_id")
-                .agg(F.min("dc").alias("m"))
-                .select("vec_id", F.col("m.cid").alias("cid")))
+    assigned = similarity.assign_centroids(
+        embs, cents=cents_stored).select("vec_id", "cid")
     (assigned.write.mode("overwrite").partitionBy("cid")
      .parquet(str(out / "assignments")))
 

@@ -70,6 +70,10 @@ def histogram_quantiles(docs: DataFrame, group_col: str = "lang",
     dataset-card artifact.  All arithmetic is integer floor division, so
     every engine and every partitioning reproduces the rows bit-for-bit.
 
+    The per-group stats table is ``.persist()``-pinned for the lifetime
+    of the returned plan (a few longs per group; Spark's LRU evicts it
+    under pressure) — see the inline note for why the barrier exists.
+
     Returns (group, n_docs, min_val, p<pct>_lo ..., max_val), one row
     per group, ordered by group; every column long.
     """

@@ -292,14 +292,18 @@ def ivf_topk(embs: DataFrame, query_id: int, k: int = 10,
 
 def assign_centroids(embs: DataFrame, n_centroids: int = 4, iters: int = 2,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     cents: DataFrame | None = None) -> DataFrame:
     """(id, cid, vec): every vector labeled with its nearest trained
     centroid — the shared front half of IVF search and semantic dedup.
 
     One broadcast crossJoin against the k centroids + one groupBy(id)
     argmin; deterministic (exact integer lattice distances, ties to the
-    ascending cid)."""
-    cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
+    ascending cid).  Pass ``cents`` (e.g. the ``centroids`` artifact a
+    prior index build persisted) to assign against a stored codebook
+    with no Lloyd rounds in-plan."""
+    if cents is None:
+        cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
     lat = _lattice(embs, id_col, vec_col)
     return (lat.crossJoin(F.broadcast(cents))
             .select(F.col(id_col), F.col(vec_col),
