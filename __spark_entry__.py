@@ -914,6 +914,18 @@ def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               k_neighbors=10, m=4, k=4, iters=2, dim=64)
 
 
+def _q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-10 for query vector 0 (Jégou et al., TPAMI'11 §IV):
+    probe the nprobe=2 coarse cells nearest the query, ADC-rank the PQ
+    codes of the probed cells only — the composition of the IVF and PQ
+    families that a 10^12-vector serving index actually runs (the code
+    scan is pruned by the probed-cid join; stored-index mode prunes
+    whole files, tests/test_jobs_index.py pins the DPP plan)."""
+    return similarity.ivfadc_topk(_t(spark, sf_dir, "embeddings"),
+                                  query_id=0, k_neighbors=10, n_centroids=4,
+                                  iters=2, nprobe=2, m=4, k=4, dim=64)
+
+
 def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixture link graph over the documents table (the
     testdata carries no href column — same synthesis pattern as
@@ -1474,6 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2b) new in r4 — never driver-checked by construction
         "ann_pq_codes": _q_ann_pq_codes,
         "ann_pq_topk": _q_ann_pq_topk,
+        # new in r5 — IVF x PQ composition (never driver-checked)
+        "ann_ivfadc_topk": _q_ann_ivfadc_topk,
         # (3) semantics changed in r4 (public-suffix-aware domain())
         "url_suffix_domains": _q_url_suffix_domains,
         # ---- driver window boundary (first 50 keys above) ----
@@ -2480,6 +2494,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE codes.vec_id <> 0
             GROUP BY codes.vec_id
             ORDER BY adc_d2 ASC, vec_id ASC LIMIT 10
+        """,
+        # IVFADC = the coarse-quantizer chain (assignments + probes, as
+        # in ann_ivf_topk) gating the PQ/ADC chain (codes + LUT, as in
+        # ann_pq_topk): ADC distances are summed only for vectors whose
+        # coarse cell is among the nprobe=2 probed cells
+        "ann_ivfadc_topk": f"""
+            WITH {kmeans_ctes},
+            p3 AS (SELECT e.vec_id, c.cid,
+                     list_aggregate(list_transform(generate_series(1, len(e.qv)),
+                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                       'sum') AS d2
+                   FROM e CROSS JOIN c2 c),
+            a3 AS (SELECT vec_id, cid FROM (
+                     SELECT p3.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p3)
+                   WHERE rn = 1),
+            probes AS (SELECT cid FROM p3 WHERE vec_id = 0
+                       ORDER BY d2, cid LIMIT 2),
+            {pq_ctes},
+            codes AS ({pq_codes_union}),
+            lut AS ({pq_lut_union})
+            SELECT codes.vec_id, a3.cid, SUM(lut.d2)::BIGINT AS adc_d2
+            FROM codes
+            JOIN a3 ON codes.vec_id = a3.vec_id
+            JOIN probes USING (cid)
+            JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+            WHERE codes.vec_id <> 0
+            GROUP BY codes.vec_id, a3.cid
+            ORDER BY adc_d2 ASC, codes.vec_id ASC LIMIT 10
         """,
         "link_degree_census": f"""
             WITH {link_edges_cte},

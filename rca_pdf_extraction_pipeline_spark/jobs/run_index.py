@@ -20,8 +20,14 @@ byte-identical rows):
   cells then prunes to nprobe/k of the files at scan time — the layout
   ``similarity.ivf_topk``'s docstring prescribes for 10^12 vectors.
 * ``<out>/pq_codebooks`` — (sub, cid, cv) per-subspace PQ codewords.
-* ``<out>/pq_codes``     — (vec_id, sub, code): the m-small-ints form
-  ADC search scans instead of raw vectors.
+* ``<out>/pq_codes``     — (vec_id, sub, code) **written partitioned by
+  the vector's IVF cell ``cid``**: the m-small-ints form ADC search
+  scans instead of raw vectors, laid out so an IVFADC query (probe
+  nprobe cells, ADC-rank only inside them — Jégou et al., TPAMI'11
+  §IV) prunes the code scan to nprobe/k of the files.  Codes are
+  encoded against the STORED ``pq_codebooks`` artifact read back from
+  parquet — never refit in-plan — so the two artifacts cannot drift
+  and index build pays exactly one training pass.
 * ``<out>/stats.json``   — corpus size, per-cell histogram, params —
   the index card a serving layer reads before choosing nprobe.
 
@@ -79,9 +85,20 @@ def main(argv: list[str] | None = None) -> int:
     similarity.pq_codebooks(embs, m=args.pq_m, k=args.pq_k,
                             iters=args.iters, dim=args.dim) \
         .write.mode("overwrite").parquet(str(out / "pq_codebooks"))
-    similarity.pq_codes(embs, m=args.pq_m, k=args.pq_k,
-                        iters=args.iters, dim=args.dim) \
-        .write.mode("overwrite").parquet(str(out / "pq_codes"))
+    # encode against the codebooks just PERSISTED (read back, books=),
+    # not a second in-plan fit: the stored artifacts stay consistent by
+    # construction rather than by Lloyd bit-determinism, and the build
+    # pays one training pass instead of two.  Codes land partitioned by
+    # the vector's IVF cell so IVFADC search prunes files by probed cid.
+    books_stored = spark.read.parquet(str(out / "pq_codebooks"))
+    codes = similarity.pq_codes(embs, m=args.pq_m, k=args.pq_k,
+                                iters=args.iters, dim=args.dim,
+                                books=books_stored)
+    cells_stored = spark.read.parquet(str(out / "assignments")) \
+        .select("vec_id", "cid")
+    (codes.join(cells_stored, "vec_id")
+     .write.mode("overwrite").partitionBy("cid")
+     .parquet(str(out / "pq_codes")))
 
     cells = {int(r["cid"]): int(r["n"])
              for r in spark.read.parquet(str(out / "assignments"))

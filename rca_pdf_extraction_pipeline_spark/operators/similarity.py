@@ -542,6 +542,84 @@ def pq_topk(embs: DataFrame, query_id: int, k_neighbors: int = 10,
             .limit(k_neighbors))
 
 
+def ivfadc_topk(embs: DataFrame, query_id: int, k_neighbors: int = 10,
+                n_centroids: int = 4, iters: int = 2, nprobe: int = 2,
+                m: int = 4, k: int = 4, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                cents: DataFrame | None = None,
+                books: DataFrame | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
+    """IVFADC search (Jégou et al., TPAMI'11 §IV — the non-exhaustive
+    composition of the coarse IVF quantizer and PQ/ADC ranking): probe
+    the ``nprobe`` coarse cells nearest the query, then ADC-rank the PQ
+    codes of the vectors INSIDE the probed cells only — never the whole
+    code table.  This is the actual shape of a 10^12-vector serving
+    index: the coarse probe prunes the scan to ~nprobe/n_centroids of
+    the corpus, and inside the probed slice the per-vector work is an
+    m-row LUT sum over small ints, the raw vectors untouched.
+
+    Returns (vec_id, cid, adc_d2): top ``k_neighbors`` by ascending
+    approximate distance, ties by ascending id, the query excluded;
+    ``cid`` is the surviving vector's coarse cell (provenance of the
+    pruning).  All distance arithmetic on the integer lattice —
+    bit-identical across engines.
+
+    Stored-index mode: pass ``cents`` (the ``centroids`` artifact),
+    ``books`` (``pq_codebooks``) and ``codes`` — the ``pq_codes``
+    artifact, which ``jobs/run_index.py`` writes PARTITIONED BY ``cid``
+    with the cell id as a column, so the probed-cid join prunes whole
+    files at scan time.  All three together or none: codes encoded
+    against one codebook and ranked by a LUT from another silently
+    corrupt every distance (same contract as :func:`pq_topk`).  By
+    default everything is fit/encoded in-plan (toy sizes / oracles).
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError(f"nprobe must be in [1, {n_centroids}]; got {nprobe}")
+    stored = (cents is not None, books is not None, codes is not None)
+    if any(stored) and not all(stored):
+        raise ValueError(
+            "pass cents, books and codes together (all from the stored "
+            "index) or none — mixing stored and in-plan artifacts can "
+            "pair codes with a codebook they were not encoded against")
+    sub_dim = dim // m
+    if cents is None:
+        cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
+        books = pq_codebooks(embs, m, k, iters, dim, id_col, vec_col)
+        codes = pq_codes(embs, m, k, iters, dim, id_col, vec_col,
+                         books=books) \
+            .join(assign_centroids(embs, cents=cents, id_col=id_col,
+                                   vec_col=vec_col)
+                  .select(F.col(id_col), F.col("cid")), id_col)
+    lat = _lattice(embs, id_col, vec_col)
+    probes = (lat.filter(F.col(id_col) == query_id)
+              .crossJoin(F.broadcast(cents))
+              .select(F.col("cid"),
+                      _l2sq(F.col("qv"), F.col("cv")).alias("d2"))
+              .orderBy("d2", "cid").limit(nprobe).select("cid"))
+    # the probed-cid join comes FIRST: the big code table is pruned to
+    # the nprobe cells before any ADC work (file-level when the stored
+    # codes are partitioned by cid; a broadcast hash semi-join otherwise)
+    pruned = codes.join(F.broadcast(probes), "cid")
+    q_subs = (_sub_lattice_rows(embs, m, sub_dim, id_col, vec_col)
+              .filter(F.col(id_col) == query_id)
+              .select(F.col("sub").alias("q_sub"),
+                      F.col("subqv").alias("q_vec")))
+    lut = (books.join(F.broadcast(q_subs),
+                      F.col("sub") == F.col("q_sub"))
+           .select(F.col("sub").alias("l_sub"), F.col("cid").alias("l_cid"),
+                   _l2sq(F.col("q_vec"), F.col("cv")).alias("d2")))
+    return (pruned.join(F.broadcast(lut),
+                        (pruned["sub"] == lut["l_sub"])
+                        & (pruned["code"] == lut["l_cid"]))
+            .filter(F.col(id_col) != query_id)
+            .groupBy(id_col, "cid")
+            .agg(F.sum("d2").alias("adc_d2"))
+            .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+            .limit(k_neighbors))
+
+
 def bucketed_topk(embs: DataFrame, query_id: int, k: int = 10, n_bits: int = 8,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the
