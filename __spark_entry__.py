@@ -2388,7 +2388,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM k)
             SELECT doc_id, shard,
                    (ROW_NUMBER() OVER (PARTITION BY shard
-                                       ORDER BY shuffle_key, doc_id) - 1)::INT
+                                       ORDER BY shuffle_key, doc_id) - 1)::BIGINT
                      AS pos
             FROM s
         """,

@@ -222,14 +222,24 @@ def incremental_candidate_pairs(new_docs: DataFrame, index_keys: DataFrame,
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   block_keys: list[str] | None = None,
-                  threshold: float = 0.8, shingle_size: int = 3) -> DataFrame:
+                  threshold: float = 0.8, shingle_size: int = 3,
+                  allow_quadratic: bool = False) -> DataFrame:
     """Token-set Jaccard similarity join within blocking buckets.
 
     (id_a, id_b, jaccard) for pairs above ``threshold``. ``block_keys``
     are equality blocking columns (the scalable path — without them
-    this is an O(N^2) cross join and should only run on samples).
+    this is an O(N^2) cross join, which only ever belongs on a small
+    sample, so it must be opted into EXPLICITLY with
+    ``allow_quadratic=True``; the loud guard matches the SimHash
+    lane-cap / max_hamming convention — silent quadratic plans are how
+    a 100 TB job dies three hours in).
     Jaccard = |A ∩ B| / |A ∪ B| over distinct word-k-gram shingles.
     """
+    if not block_keys and not allow_quadratic:
+        raise ValueError(
+            "jaccard_pairs without block_keys is an O(N^2) cross join; "
+            "pass block_keys (the scalable path) or opt in explicitly "
+            "with allow_quadratic=True on a small sample")
     toks = T.shingle_set(F.col(text_col), shingle_size)
     base_cols = [F.col(id_col), toks.alias("tok_set")]
     base_cols += [F.col(k) for k in (block_keys or [])]
@@ -385,23 +395,30 @@ def deduplicate_corpus_cc_best(docs: DataFrame, score_col: str,
     longest / cleanest / highest-quality copy, not the one that
     happened to get the smallest id.
 
-    Same label-propagation loop, then one argmax aggregate per
-    component: ``max(struct(score, -id))`` — exactly-one survivor per
-    component, deterministic under any partitioning (integer struct
-    comparison).  Scale: adds a single (label) shuffle over (node,
-    score, label) triples on top of the CC loop.
+    Same label-propagation loop, then one rank window per component:
+    ``row_number() over (partition by label order by score desc, id
+    asc) = 1`` — exactly-one survivor per component, deterministic
+    under any partitioning, and TYPE-GENERIC in the id (string doc ids
+    rank lexicographically; the earlier ``max(struct(score, -id))``
+    argmax silently required a numeric id).  Scale: adds a single
+    (label) shuffle over (node, score, label) triples on top of the CC
+    loop; the window partition is one near-dup component, which is
+    small by construction (a component spanning a corpus slice means
+    the threshold, not the plan, is wrong).
     """
+    from pyspark.sql import Window
+
     labels = _cc_labels(docs, text_col, id_col, jaccard_threshold,
                         n_hashes, bands, shingle_size, max_iter,
                         checkpoint_dir)
     scored = labels.join(
         docs.select(F.col(id_col).alias("node"),
                     F.col(score_col).alias("_score")), "node")
-    winners = (scored.groupBy("label")
-               .agg(F.max(F.struct(F.col("_score"),
-                                   (-F.col("node")).alias("_neg_id")))
-                    .alias("w"))
-               .select((-F.col("w._neg_id")).alias(id_col)))
+    w = Window.partitionBy("label").orderBy(F.col("_score").desc(),
+                                            F.col("node").asc())
+    winners = (scored.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1)
+               .select(F.col("node").alias(id_col)))
     return docs.join(winners, id_col, "left_semi")
 
 

@@ -73,6 +73,11 @@ def histogram_quantiles(docs: DataFrame, group_col: str = "lang",
     The per-group stats table is ``.persist()``-pinned for the lifetime
     of the returned plan (a few longs per group; Spark's LRU evicts it
     under pressure) — see the inline note for why the barrier exists.
+    The pin is never explicitly released (the plan is lazy; there is no
+    safe unpersist point inside a builder), so callers invoking this in
+    a long-lived session loop should ``spark.catalog.clearCache()``
+    between sweeps; each entry is tiny (3 longs x n_groups), so LRU
+    pressure is the only practical effect.
 
     Returns (group, n_docs, min_val, p<pct>_lo ..., max_val), one row
     per group, ordered by group; every column long.

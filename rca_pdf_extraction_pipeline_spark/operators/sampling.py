@@ -129,8 +129,11 @@ def epoch_shards(docs: DataFrame, n_shards: int, epoch: int = 0,
                          .cast("int")))
     ranked = _range_rank(keyed, ["shard"], ["shuffle_key", id_col],
                          num_ranges)
+    # pos stays LONG: at the 10^12-doc scale this decomposition exists
+    # for, per-shard position exceeds int32 with a handful of shards —
+    # an int cast is an ANSI runtime error or a silent wraparound
     return ranked.select(F.col(id_col), F.col("shard"),
-                         (F.col("_rk") - 1).cast("int").alias("pos"))
+                         (F.col("_rk") - 1).cast("long").alias("pos"))
 
 
 def train_val_test_split(docs: DataFrame,

@@ -576,3 +576,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path, lineitem):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_range_rank_single_range_exchange_reused(spark):
+    """_range_rank correctness REQUIRES every branch (the within-range
+    window, the per-range counts, the offsets self-join) to observe the
+    SAME partition-id assignment from ONE executed range exchange:
+    RangePartitioner samples its boundaries per execution, so three
+    independent executions could split rows differently and the
+    decomposed global ranks would come out duplicated/gapped (ADVICE
+    r4).  Pin the runtime invariant: in the AQE final plan exactly ONE
+    range exchange materializes and every other consumer is a
+    ReusedExchange of it.  If a Spark upgrade ever breaks this reuse,
+    this fails loudly and _range_rank must grow a real materializer
+    (dedup._Materializer) instead."""
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = sampling.epoch_shards(docs, n_shards=8, epoch=1)
+    df.collect()  # AQE finalizes reuse only at execution
+    plan = _plan(df)
+    final = plan.split("Initial Plan")[0]  # adaptive dump repeats the plan
+    executed = [ln for ln in final.splitlines()
+                if "Exchange rangepartitioning" in ln
+                and "ReusedExchange" not in ln]
+    reused = [ln for ln in final.splitlines()
+              if "ReusedExchange" in ln and "rangepartitioning" in ln]
+    assert len(executed) == 1, final
+    assert len(reused) == 2, final

@@ -52,10 +52,21 @@ def test_minhash_lsh_finds_near_dups(corpus):
 
 def test_jaccard_pairs_values(corpus):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
-             for r in dedup.jaccard_pairs(corpus, threshold=0.5).collect()}
+             for r in dedup.jaccard_pairs(corpus, threshold=0.5,
+                                          allow_quadratic=True).collect()}
     assert pairs[(1, 2)] == 1.0
     assert 0.5 <= pairs[(1, 3)] < 1.0
     assert (1, 4) not in pairs
+
+
+def test_jaccard_pairs_quadratic_path_requires_opt_in(corpus):
+    """Unblocked jaccard_pairs is an O(N^2) cross join — it must fail
+    loudly (house convention: SimHash lane cap, max_hamming, bands
+    divisibility) rather than silently plan a quadratic join."""
+    import pytest
+
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        dedup.jaccard_pairs(corpus, threshold=0.5)
 
 
 def test_simhash_hamming_structure(corpus):
@@ -897,6 +908,16 @@ def test_cc_best_keeps_highest_score_not_lowest_id(spark):
                  dedup.deduplicate_corpus_cc_best(
                      tied, score_col="score", jaccard_threshold=0.5).collect())
     assert got == [5]
+    # string doc ids work too (the tie-break ranks, never negates the
+    # id — ADVICE r4: arithmetic negation silently required numeric ids)
+    s = spark.createDataFrame(
+        [("doc-a", base, 10), ("doc-b", base, 99), ("doc-c", base, 99),
+         ("doc-z", "totally unrelated text with no shared shingles", 1)],
+        "doc_id string, text string, score long")
+    got_s = sorted(r["doc_id"] for r in
+                   dedup.deduplicate_corpus_cc_best(
+                       s, score_col="score", jaccard_threshold=0.5).collect())
+    assert got_s == ["doc-b", "doc-z"]
 
 
 def test_epoch_shards_total_permutation_and_determinism(spark):
