@@ -965,6 +965,41 @@ def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.col("pr").desc(), F.col("node_id").asc()).limit(30)
 
 
+def _q_link_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution: out-linkless nodes'
+    rank is returned uniformly each iteration (one broadcast integer
+    scalar — exact lattice arithmetic preserved), so ranks approximate
+    a conserved distribution instead of the leaky curation variant."""
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node_id"))
+    pr = linkgraph.pagerank(nodes, _link_edges(spark, sf_dir), iters=2,
+                            redistribute_dangling=True)
+    return pr.orderBy(F.col("pr").desc(), F.col("node_id").asc()).limit(30)
+
+
+def _q_link_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-30 PageRank, but over an edge table PERSISTED
+    BUCKETED BY src (plans/bucketing.py) — the module docstring's own
+    prescription for the 10^12-edge shape: the per-iteration rank-carry
+    join and the out-degree aggregate both consume the prepaid bucket
+    layout, so each iteration plans one fewer Exchange than the
+    unbucketed twin (pinned by tests/test_plan_hygiene.py) while
+    returning the identical rows (same oracle as link_pagerank)."""
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+    from rca_pdf_extraction_pipeline_spark.plans import bucketing
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS entry_bk")
+    bucketing.write_bucketed(_link_edges(spark, sf_dir),
+                             "entry_bk.link_edges", "src", 8)
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node_id"))
+    pr = linkgraph.pagerank(nodes, spark.table("entry_bk.link_edges"),
+                            iters=2)
+    return pr.orderBy(F.col("pr").desc(), F.col("node_id").asc()).limit(30)
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus vocabulary by total term frequency (ties by token)."""
     return textanalysis.vocabulary(_t(spark, sf_dir, "documents"), top_v=50)
@@ -1488,6 +1523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq_topk,
         # new in r5 — IVF x PQ composition (never driver-checked)
         "ann_ivfadc_topk": _q_ann_ivfadc_topk,
+        # new in r5 — PageRank dangling redistribution + bucketed-edge plan
+        "link_pagerank_full": _q_link_pagerank_full,
+        "link_pagerank_bucketed": _q_link_pagerank_bucketed,
         # (3) semantics changed in r4 (public-suffix-aware domain())
         "url_suffix_domains": _q_url_suffix_domains,
         # ---- driver window boundary (first 50 keys above) ----
@@ -1819,6 +1857,37 @@ def oracle_sql() -> dict[str, str]:
             pr0 AS (SELECT doc_id AS node_id, 1000000::BIGINT AS pr
                     FROM documents),"""
         + _pr_iter(1) + "," + _pr_iter(2)
+    )
+
+    # dangling-redistribution variant (linkgraph.pagerank
+    # redistribute_dangling=True): per iteration the out-linkless
+    # nodes' total rank is floor-shared uniformly before damping
+    def _prf_iter(n: int) -> str:
+        return f"""
+            dang{n} AS (SELECT COALESCE(SUM(p.pr), 0)::BIGINT AS ds
+                       FROM prf{n - 1} p
+                       LEFT JOIN deg d ON p.node_id = d.src
+                       WHERE d.src IS NULL),
+            inf{n} AS (SELECT e.dst AS node_id,
+                        SUM(p.pr // d.out_deg) AS inflow
+                      FROM edges e
+                      JOIN prf{n - 1} p ON e.src = p.node_id
+                      JOIN deg d ON e.src = d.src
+                      GROUP BY e.dst),
+            prf{n} AS (SELECT d.doc_id AS node_id,
+                        (150000 + (17 * (COALESCE(i.inflow, 0)
+                           + dg.ds // nn.n)) // 20)::BIGINT AS pr
+                      FROM documents d
+                      LEFT JOIN inf{n} i ON d.doc_id = i.node_id
+                      CROSS JOIN dang{n} dg CROSS JOIN nn)"""
+
+    pagerank_full_ctes = (
+        link_edges_cte + """,
+            deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+            nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+            prf0 AS (SELECT doc_id AS node_id, 1000000::BIGINT AS pr
+                     FROM documents),"""
+        + _prf_iter(1) + "," + _prf_iter(2)
     )
 
     return {
@@ -2534,6 +2603,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "link_pagerank": f"""
+            WITH {pagerank_ctes}
+            SELECT node_id, pr FROM pr2
+            ORDER BY pr DESC, node_id ASC LIMIT 30
+        """,
+        "link_pagerank_full": f"""
+            WITH {pagerank_full_ctes}
+            SELECT node_id, pr FROM prf2
+            ORDER BY pr DESC, node_id ASC LIMIT 30
+        """,
+        # bucketed twin: storage layout changes the PLAN (one fewer
+        # Exchange per iteration), never the rows — same oracle
+        "link_pagerank_bucketed": f"""
             WITH {pagerank_ctes}
             SELECT node_id, pr FROM pr2
             ORDER BY pr DESC, node_id ASC LIMIT 30

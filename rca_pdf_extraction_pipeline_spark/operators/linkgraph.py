@@ -20,10 +20,22 @@ one iteration is
 
 i.e. damping 0.85 = 17/20 as exact rational arithmetic with floor
 division.  Every operation is integer add / floor-div, so the result is
-bit-identical in any engine at any parallelism.  Dangling nodes (no
-out-links) simply leak their mass — the standard simplified variant;
-ranking quality is unaffected for curation purposes and the semantics
-stay one-line explainable.
+bit-identical in any engine at any parallelism.  By default dangling
+nodes (no out-links) simply leak their mass — the standard simplified
+variant; ranking quality is unaffected for curation purposes and the
+semantics stay one-line explainable.  With
+``redistribute_dangling=True`` the leaked mass is returned uniformly
+per iteration (Page et al.'s teleport treatment of dangling nodes):
+
+    pr'(v) = (3 * scale) // 20
+             + (17 * (inflow(v) + dangling_sum // n_nodes)) // 20
+
+where ``dangling_sum`` is the total rank of out-linkless nodes — ONE
+broadcast scalar per iteration (a one-row anti-join aggregate), so the
+exact-integer property is preserved; only the floor-division remainder
+``dangling_sum mod n_nodes`` (< n_nodes lattice units, i.e. < n/scale
+of one unit of mass) still leaks, which keeps every engine
+bit-identical where a rational share would reintroduce float drift.
 
 Scale (10^12 edges): each iteration is one (src) join to carry ranks
 onto edges plus one (dst) partial-aggregate shuffle — the canonical
@@ -72,20 +84,27 @@ def degree_census(nodes: DataFrame, edges: DataFrame,
 
 def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 2,
              scale: int = PR_SCALE, id_col: str = "node_id",
-             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+             src_col: str = "src", dst_col: str = "dst",
+             redistribute_dangling: bool = False) -> DataFrame:
     """Integer-lattice PageRank — (node_id, pr) after ``iters`` unrolled
     iterations; see the module docstring for the exact recurrence and
     why it is bit-identical across engines.
 
     Deterministic by construction: integer sums commute, floor division
     is exact, and the iteration count is fixed — no convergence test, no
-    float epsilon."""
+    float epsilon.  ``redistribute_dangling=True`` returns out-linkless
+    nodes' rank mass uniformly each iteration (module docstring: the
+    per-iteration cost is one anti-join one-row aggregate, broadcast
+    back as a scalar) — use it when ranks must approximate a
+    distribution; the default leaky variant is cheaper and ranks
+    identically for curation."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1; got {iters}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = out_degrees(e)
     pr = nodes.select(F.col(id_col).alias("node_id"),
                       F.lit(scale).cast("long").alias("pr"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     base = (3 * scale) // 20  # (1 - d) * scale with d = 17/20
     for _ in range(iters):
         # `div` is exact integer division on longs (no double quotient
@@ -96,9 +115,24 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 2,
                    .select(F.col("dst").alias("node_id"),
                            F.expr("pr div out_deg").cast("long").alias("c")))
         inflow = contrib.groupBy("node_id").agg(F.sum("c").alias("inflow"))
-        pr = (nodes.select(F.col(id_col).alias("node_id"))
-              .join(inflow, "node_id", "left")
-              .select("node_id",
-                      F.expr(f"{base}L + ((17 * coalesce(inflow, 0L)) "
-                             f"div 20)").cast("long").alias("pr")))
+        carried = (nodes.select(F.col(id_col).alias("node_id"))
+                   .join(inflow, "node_id", "left"))
+        if redistribute_dangling:
+            # total rank sitting on out-linkless nodes: one-row
+            # aggregate (anti-join against the degree table), crossed
+            # back in as a broadcast scalar — exact integers throughout
+            dang = (pr.join(deg, pr["node_id"] == deg["src"], "left_anti")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0).cast("long"))
+                         .alias("dang_sum")))
+            share = (dang.crossJoin(n_nodes)
+                     .select(F.expr("dang_sum div n_nodes").cast("long")
+                             .alias("dang_share")))
+            carried = carried.crossJoin(F.broadcast(share))
+            inflow_expr = "coalesce(inflow, 0L) + dang_share"
+        else:
+            inflow_expr = "coalesce(inflow, 0L)"
+        pr = carried.select(
+            "node_id",
+            F.expr(f"{base}L + ((17 * ({inflow_expr})) div 20)")
+            .cast("long").alias("pr"))
     return pr

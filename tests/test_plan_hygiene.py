@@ -604,3 +604,38 @@ def test_range_rank_single_range_exchange_reused(spark):
               if "ReusedExchange" in ln and "rangepartitioning" in ln]
     assert len(executed) == 1, final
     assert len(reused) == 2, final
+
+
+def test_bucketed_pagerank_one_fewer_exchange_per_iteration(spark):
+    """PageRank over an edge table bucketed by src (the linkgraph
+    module docstring's own 10^12-edge prescription, composed via
+    plans/bucketing.py): the per-iteration rank-carry join consumes the
+    prepaid bucket layout instead of re-shuffling the edges, so the
+    plan carries exactly one fewer Exchange per iteration than the
+    unbucketed twin — with identical output rows."""
+    import re
+
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+    from rca_pdf_extraction_pipeline_spark.plans import bucketing
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = (docs.selectExpr("doc_id AS src",
+                             "cast(doc_id div 2 AS long) AS dst")
+             .where("src != dst"))
+    nodes = docs.selectExpr("doc_id AS node_id")
+    spark.sql("CREATE DATABASE IF NOT EXISTS prbk")
+    try:
+        bucketing.write_bucketed(edges, "prbk.e", "src", 8)
+        iters = 2
+        plain = linkgraph.pagerank(nodes, edges, iters=iters)
+        bucketed = linkgraph.pagerank(nodes, spark.table("prbk.e"),
+                                      iters=iters)
+        n_plain = len(re.findall(r"Exchange hashpartitioning",
+                                 _plan(plain)))
+        n_bucketed = len(re.findall(r"Exchange hashpartitioning",
+                                    _plan(bucketed)))
+        assert n_plain - n_bucketed == iters, (n_plain, n_bucketed)
+        assert sorted(map(tuple, plain.collect())) \
+            == sorted(map(tuple, bucketed.collect()))
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS prbk CASCADE")

@@ -528,6 +528,26 @@ def test_pagerank_partition_invariant(star_graph):
     assert a == b
 
 
+def test_pagerank_dangling_redistribution_exact(star_graph):
+    """redistribute_dangling returns the hub's (out-linkless) mass
+    uniformly: hand-computed 2-iteration lattice PR on the star.
+    iter1: dang=1e6, share=200000 -> hub 150000+17*4200000//20=3720000,
+    leaves 150000+17*200000//20=320000.  iter2: dang=3720000,
+    share=744000 -> hub 150000+17*(1280000+744000)//20=1870400, leaves
+    150000+17*744000//20=782400.  Total mass is conserved exactly
+    (floor remainders are zero on this graph): 1870400+4*782400=5e6,
+    where the leaky default ends at 660000+4*150000 = 1.26e6."""
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    nodes, edges = star_graph
+    pr = {r["node_id"]: r["pr"]
+          for r in linkgraph.pagerank(nodes, edges, iters=2,
+                                      redistribute_dangling=True).collect()}
+    assert pr[0] == 1_870_400
+    assert all(pr[i] == 782_400 for i in range(1, 5))
+    assert sum(pr.values()) == 5_000_000
+
+
 def test_pagerank_iters_guard(star_graph):
     from rca_pdf_extraction_pipeline_spark.operators import linkgraph
 
