@@ -550,6 +550,39 @@ def _q_url_suffix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id")
 
 
+#: PSL-snapshot probe set: 3-level registry (act.edu.au), private
+#: suffix (github.io), longest-match precedence, default-rule fallback
+#: and bare-suffix hosts — the cases the static TWO_LEVEL_SUFFIXES
+#: subset cannot express (operators/urls.with_apex_domain).
+_PSL_DEMO_URLS: list[tuple[int, str]] = [
+    (0, "https://www.education.act.edu.au/school"),
+    (1, "https://someschool.act.edu.au/"),
+    (2, "https://user.github.io/repo"),
+    (3, "https://github.io/"),
+    (4, "https://news.bbc.co.uk/x"),
+    (5, "https://www.amazon.com/x"),
+    (6, "https://edu.au/"),
+    (7, "https://deep.sub.example.github.io/"),
+]
+
+_PSL_DEMO_SUFFIXES: tuple[str, ...] = ("co.uk", "edu.au", "act.edu.au",
+                                       "github.io")
+
+
+def _q_url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered domains under a PSL snapshot table (broadcast
+    longest-suffix-match join): the production path where the full
+    publicsuffix.org list drops in as data, no code changes (sf_dir
+    unused: the probe set IS the contract)."""
+    from rca_pdf_extraction_pipeline_spark.operators import urls
+
+    d = spark.createDataFrame(_PSL_DEMO_URLS, "doc_id long, url string")
+    sfx = spark.createDataFrame([(s,) for s in _PSL_DEMO_SUFFIXES],
+                                "suffix string")
+    return (urls.with_apex_domain(d, suffixes=sfx)
+            .select("doc_id", "url", "apex_domain").orderBy("doc_id"))
+
+
 def _q_dedup_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.deduplicate_corpus_cc(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", "source", "n_chars")
@@ -1526,6 +1559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 — PageRank dangling redistribution + bucketed-edge plan
         "link_pagerank_full": _q_link_pagerank_full,
         "link_pagerank_bucketed": _q_link_pagerank_bucketed,
+        # new in r5 — PSL snapshot as a broadcast suffix table
+        "url_psl_domains": _q_url_psl_domains,
         # (3) semantics changed in r4 (public-suffix-aware domain())
         "url_suffix_domains": _q_url_suffix_domains,
         # ---- driver window boundary (first 50 keys above) ----
@@ -2278,6 +2313,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT url_norm)::BIGINT AS n_urls
             FROM n GROUP BY apex_domain
             ORDER BY n_docs DESC, apex_domain
+        """,
+        # PSL-snapshot longest-suffix-match: candidate last-k-label
+        # slices checked longest-first against the suffix VALUES table,
+        # registered domain = match + one label, default rule = last two
+        "url_psl_domains": f"""
+            WITH u(doc_id, url) AS (VALUES {", ".join(
+                f"({i}::BIGINT, '{u}')" for i, u in _PSL_DEMO_URLS)}),
+            sfx(suffix) AS (VALUES {", ".join(
+                f"('{s}')" for s in _PSL_DEMO_SUFFIXES)}),
+            h AS (SELECT doc_id, url,
+                    regexp_replace(regexp_replace(
+                      lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                        '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)', 1)),
+                      ':\\d+$', ''), '^www\\.', '') AS host FROM u),
+            lv AS (SELECT doc_id, url, host,
+                     regexp_extract(host, '([^.]+)$', 1) AS l1,
+                     regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS l2,
+                     regexp_extract(host,
+                       '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS l3,
+                     regexp_extract(host,
+                       '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) AS l4,
+                     regexp_extract(host,
+                       '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) AS l5
+                   FROM h)
+            SELECT doc_id, url,
+              CASE WHEN l4 IN (SELECT suffix FROM sfx) THEN l5
+                   WHEN l3 IN (SELECT suffix FROM sfx) THEN l4
+                   WHEN l2 IN (SELECT suffix FROM sfx) THEN l3
+                   WHEN l1 IN (SELECT suffix FROM sfx) THEN l2
+                   ELSE l2 END AS apex_domain
+            FROM lv ORDER BY doc_id
         """,
         "url_suffix_domains": f"""
             WITH u(doc_id, url) AS (VALUES {", ".join(

@@ -107,6 +107,61 @@ def domain(url: Column, apex: bool = True) -> Column:
             .otherwise(last2)
 
 
+#: deepest public suffix the PSL-join path matches (the real PSL's
+#: longest entries are 4 labels, e.g. pvt.k12.ma.us)
+MAX_SUFFIX_LEVELS = 4
+
+
+def _last_labels(host: Column, k: int) -> Column:
+    """The last ``k`` dot-separated labels of ``host`` ('' if fewer)."""
+    return F.regexp_extract(host, r"([^.]+" + r"\.[^.]+" * (k - 1) + r")$", 1)
+
+
+def with_apex_domain(docs: DataFrame, url_col: str = "url",
+                     suffixes: DataFrame | None = None,
+                     suffix_col: str = "suffix",
+                     out_col: str = "apex_domain") -> DataFrame:
+    """Append the registered (apex) domain of ``url_col``.
+
+    With ``suffixes=None`` this is exactly the static column expression
+    :func:`domain` (the inline :data:`TWO_LEVEL_SUFFIXES` subset —
+    covers the bulk of real crawl traffic, zero joins).  Pass a
+    ``suffixes`` DataFrame — one ``suffix_col`` string per public
+    suffix, e.g. a full publicsuffix.org snapshot including multi-level
+    registries ('act.edu.au') and private suffixes ('github.io') — and
+    the registered domain becomes *longest matching suffix + one
+    label*, PSL semantics, with no code changes at the call sites.
+
+    Scale: the snapshot is a few thousand short strings — ONE broadcast
+    per level (longest-first ``MAX_SUFFIX_LEVELS`` left joins against
+    the last-k-label candidates), all narrow map-side work: no explode,
+    no groupBy, no extra shuffle on the doc side.  Hosts matching no
+    snapshot entry fall back to the PSL default rule (last label is the
+    suffix => registered = last two labels)."""
+    if suffixes is None:
+        return docs.withColumn(out_col, domain(F.col(url_col)))
+    _, authority, _ = _split(F.col(url_col))
+    host = F.regexp_replace(F.regexp_replace(authority, r":\d+$", ""),
+                            r"^www\.", "")
+    out = docs.withColumn("_psl_host", host)
+    apex = _last_labels(F.col("_psl_host"), 2)  # default rule fallback
+    for k in range(MAX_SUFFIX_LEVELS, 0, -1):
+        m = F.broadcast(
+            suffixes.select(F.col(suffix_col).alias(f"_sfx_{k}")).distinct())
+        out = out.join(
+            m, _last_labels(F.col("_psl_host"), k) == F.col(f"_sfx_{k}"),
+            "left")
+    # longest-first: a k-label suffix match wins over every shorter one,
+    # and the registered domain is the last k+1 labels ('' when the host
+    # IS the suffix — no registrable domain, PSL semantics)
+    for k in range(1, MAX_SUFFIX_LEVELS + 1):
+        apex = F.when(F.col(f"_sfx_{k}").isNotNull(),
+                      _last_labels(F.col("_psl_host"), k + 1)).otherwise(apex)
+    return (out.withColumn(out_col, apex)
+            .drop("_psl_host",
+                  *[f"_sfx_{k}" for k in range(1, MAX_SUFFIX_LEVELS + 1)]))
+
+
 def url_duplicates(docs: DataFrame, url_col: str = "url",
                    id_col: str = "doc_id") -> DataFrame:
     """URL-level exact dedup after canonicalization: one row per
@@ -126,31 +181,37 @@ def url_duplicates(docs: DataFrame, url_col: str = "url",
 
 
 def cap_per_domain(docs: DataFrame, max_docs: int, url_col: str = "url",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   suffixes: DataFrame | None = None) -> DataFrame:
     """Per-domain corpus cap: keep at most ``max_docs`` docs per apex
     domain, lowest ids first (deterministic).  Adds (apex_domain,
     domain_rank) to the surviving rows.  One exchange on the domain
     key; the window never materializes more than a partition's rows and
-    survivors are bounded at ``max_docs`` per key by construction."""
+    survivors are bounded at ``max_docs`` per key by construction.
+    ``suffixes`` switches the apex derivation to a PSL snapshot
+    (:func:`with_apex_domain`)."""
     if max_docs < 1:
         raise ValueError(f"max_docs must be >= 1; got {max_docs}")
     from pyspark.sql import Window
 
-    t = docs.withColumn("apex_domain", domain(F.col(url_col)))
+    t = with_apex_domain(docs, url_col, suffixes)
     w = Window.partitionBy("apex_domain").orderBy(F.col(id_col))
     return (t.withColumn("domain_rank", F.row_number().over(w))
             .where(F.col("domain_rank") <= max_docs))
 
 
 def domain_stats(docs: DataFrame, url_col: str = "url",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 suffixes: DataFrame | None = None) -> DataFrame:
     """Per-apex-domain corpus census — (apex_domain, n_docs, n_urls)
     ordered by (n_docs desc, domain).  n_urls counts distinct
     normalized urls, so n_docs - n_urls is the domain's exact-URL-dup
-    mass — the first dashboard a crawl audit reads."""
-    t = docs.select(F.col(id_col),
-                    domain(F.col(url_col)).alias("apex_domain"),
-                    normalize_url(F.col(url_col)).alias("u"))
+    mass — the first dashboard a crawl audit reads.  ``suffixes``
+    switches the apex derivation to a PSL snapshot
+    (:func:`with_apex_domain`)."""
+    t = with_apex_domain(docs, url_col, suffixes).select(
+        F.col(id_col), F.col("apex_domain"),
+        normalize_url(F.col(url_col)).alias("u"))
     return (t.groupBy("apex_domain")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct("u").alias("n_urls"))

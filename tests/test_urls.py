@@ -135,3 +135,48 @@ def test_url_ops_plan_hygiene(url_corpus):
     assert "EvalPython" not in plan2
     # one exchange: the domain-key window
     assert plan2.count("Exchange") == 1
+
+
+def test_with_apex_domain_psl_snapshot(spark):
+    """A PSL snapshot DataFrame drops in without code changes: 3-level
+    registries (act.edu.au) and private suffixes (github.io) collapse
+    correctly, longest suffix wins, unmatched hosts fall back to the
+    default last-two rule, and a bare-suffix host has no registrable
+    domain (empty)."""
+    sfx = spark.createDataFrame(
+        [("co.uk",), ("edu.au",), ("act.edu.au",), ("github.io",)],
+        "suffix string")
+    d = spark.createDataFrame([
+        (0, "https://www.education.act.edu.au/school"),
+        (1, "https://someschool.act.edu.au/"),
+        (2, "https://user.github.io/repo"),
+        (3, "https://github.io/"),
+        (4, "https://news.bbc.co.uk/x"),
+        (5, "https://www.amazon.com/x"),
+        (6, "https://edu.au/"),
+        (7, "https://deep.sub.example.github.io/"),
+    ], "doc_id long, url string")
+    got = {r["doc_id"]: r["apex_domain"]
+           for r in urls.with_apex_domain(d, suffixes=sfx).collect()}
+    assert got == {
+        0: "education.act.edu.au",   # 3-level registry beats edu.au
+        1: "someschool.act.edu.au",
+        2: "user.github.io",         # private suffix
+        3: "",                       # host IS the suffix: no reg. domain
+        4: "bbc.co.uk",
+        5: "amazon.com",             # no snapshot match -> default rule
+        6: "",
+        7: "example.github.io",
+    }
+    # the static path is unchanged when no snapshot is passed
+    static = {r["doc_id"]: r["apex_domain"]
+              for r in urls.with_apex_domain(d).collect()}
+    assert static[4] == "bbc.co.uk" and static[5] == "amazon.com"
+    # domain_stats / cap_per_domain thread the snapshot through
+    stats = {r["apex_domain"] for r in
+             urls.domain_stats(d, suffixes=sfx).collect()}
+    assert "education.act.edu.au" in stats and "user.github.io" in stats
+    plan = urls.with_apex_domain(d, suffixes=sfx) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
