@@ -1359,6 +1359,20 @@ def _q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs over REAL decoded features (multimodal
+    analogue of SemDeDup): solid-color BMPs are decoded by the numpy
+    codec to mean-RGB feature vectors, sign-LSH-blocked, and gated on
+    exact cosine — closed-form oracle because the fixture colors are
+    pure id arithmetic.  Garbage payloads (id % 10 == 0) and zero-color
+    images drop out before pairing."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 300)
+    media = multimodal.synth_bmp_media(ids)
+    return multimodal.media_near_pairs(media, threshold=0.999, n_bits=8,
+                                       fake=False)
+
+
 def _q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode round-trip: solid-color 8-bit PNGs (stdlib-zlib
     DEFLATE, CRC-correct chunks) built per doc_id, parsed back by the
@@ -1561,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank_bucketed": _q_link_pagerank_bucketed,
         # new in r5 — PSL snapshot as a broadcast suffix table
         "url_psl_domains": _q_url_psl_domains,
+        # new in r5 — codec features wired into the dedup family
+        "media_near_pairs": _q_media_near_pairs,
         # (3) semantics changed in r4 (public-suffix-aware domain())
         "url_suffix_domains": _q_url_suffix_domains,
         # ---- driver window boundary (first 50 keys above) ----
@@ -2872,6 +2888,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(CAST(CAST(r AS DOUBLE) / 255.0 AS FLOAT)::DOUBLE, 4)
                    END AS f0
             FROM m
+        """,
+        # media near-dup: the synth fixture's solid colors give exact
+        # closed-form features (mean RGB / 255 through a float32 store,
+        # contrast 0), sign-LSH bucket = positivity bits of f0..f2
+        "media_near_pairs": """
+            WITH m AS (
+              SELECT doc_id, printf('bmp-%05d', doc_id) AS media_ref,
+                     CAST(CAST((doc_id % 256) / 255.0 AS FLOAT)
+                          AS DOUBLE) AS f0,
+                     CAST(CAST((doc_id * 7 % 256) / 255.0 AS FLOAT)
+                          AS DOUBLE) AS f1,
+                     CAST(CAST((doc_id * 13 % 256) / 255.0 AS FLOAT)
+                          AS DOUBLE) AS f2,
+                     CAST(CAST((greatest(doc_id % 256, doc_id * 7 % 256,
+                                         doc_id * 13 % 256)
+                                - least(doc_id % 256, doc_id * 7 % 256,
+                                        doc_id * 13 % 256)) / 255.0
+                               AS FLOAT) AS DOUBLE) AS f3
+              FROM documents WHERE doc_id < 300 AND doc_id % 10 != 0),
+            v AS (
+              SELECT media_ref,
+                     [f0, f1, f2, f3, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS v,
+                     (CASE WHEN f0 > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN f1 > 0 THEN 2 ELSE 0 END
+                      + CASE WHEN f2 > 0 THEN 4 ELSE 0 END
+                      + CASE WHEN f3 > 0 THEN 8 ELSE 0 END)::BIGINT AS bucket
+              FROM m WHERE f0 + f1 + f2 + f3 > 0)
+            SELECT a.media_ref AS media_a, b.media_ref AS media_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+            FROM v a JOIN v b
+              ON a.bucket = b.bucket AND a.media_ref < b.media_ref
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
         """,
         "multimodal_decode_png": """
             WITH m AS (

@@ -300,7 +300,11 @@ def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         widths[i], heights[i] = w, h
         mean = rgb.reshape(-1, 3).mean(axis=0) / 255.0
         feats[i, :3] = mean
-        feats[i, 3] = rgb.std() / 255.0
+        # contrast = peak-to-peak range: an integer difference of two
+        # uint8s over 255.0 — EXACTLY representable, so the synthetic
+        # solid-color fixtures have a closed-form cross-engine oracle
+        # (np.std's pairwise float summation would not)
+        feats[i, 3] = float(int(rgb.max()) - int(rgb.min())) / 255.0
     frames = np.where(
         pdf["kind"].to_numpy() == "video",
         np.maximum(pdf["duration_ms"].fillna(0).to_numpy() // 1000, 1),
@@ -441,3 +445,43 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.round(F.avg("width"), 2).alias("avg_width"),
         F.round(F.avg("height"), 2).alias("avg_height"),
     )
+
+
+def media_near_pairs(media: DataFrame, threshold: float = 0.999,
+                     n_bits: int = 8, fake: bool = True) -> DataFrame:
+    """Image near-duplicate pairs — the multimodal analogue of SemDeDup,
+    closing the loop between the codec work and the dedup family: decode
+    each payload to its feature vector (:func:`decode_media` — mean-RGB
+    + contrast for the real BMP/PNG codecs), then reuse
+    ``dedup.embedding_near_pairs`` (sign-LSH blocking + exact cosine
+    gate) over the feature column.  A re-encoded / slightly
+    re-compressed copy of an image decodes to a near-identical feature
+    vector even though its bytes (and so its exact-dedup hash) differ.
+
+    Returns (media_a, media_b, cosine_sim) for same-bucket pairs with
+    cosine >= threshold (6 dp, refs ordered); undecodable payloads
+    (ok=False) and zero-feature images (no color signal — cosine is
+    undefined) are excluded.
+
+    Scale: decode is the one Arrow-batched pass the plan already pays
+    for feature extraction; the pair stage inherits embedding_near_
+    pairs' properties — per-bucket joins, never O(N^2).  At 10^12
+    images swap the 8-dim stub features for real embeddings and raise
+    n_bits so expected bucket size stays constant."""
+    from pyspark.sql import functions as F
+
+    from ..functions import vectors as V
+    from .dedup import embedding_near_pairs
+
+    dec = decode_media(media, fake=fake)
+    feats = (dec.filter(F.col("ok"))
+             .select(F.col("media_ref"),
+                     V.as_double(F.col("features")).alias("features"))
+             .filter(F.aggregate("features", F.lit(0.0),
+                                 lambda a, x: a + F.abs(x)) > 0))
+    pairs = embedding_near_pairs(feats, id_col="media_ref",
+                                 vec_col="features",
+                                 threshold=threshold, n_bits=n_bits)
+    return pairs.select(F.col("id_a").alias("media_a"),
+                        F.col("id_b").alias("media_b"),
+                        F.col("cosine_sim"))

@@ -128,3 +128,36 @@ def test_media_stats(spark, media_df):
     assert stats["image"]["n_media"] == 2
     assert stats["image"]["total_bytes"] == len(b"\x89PNGfakebytes")
     assert stats["video"]["avg_width"] == 1280.0
+
+
+def test_media_near_pairs_recall_on_perturbed_images(spark):
+    """Feature-level image dedup catches what byte-level dedup cannot:
+    a one-unit color perturbation and a BMP->PNG re-encode of the same
+    image produce different payload bytes but near-identical decoded
+    features — all three copies pair up above the cosine gate, while a
+    genuinely different image pairs with none of them."""
+    import numpy as np
+
+    def solid(rgb_tuple, w=6, h=4):
+        a = np.empty((h, w, 3), dtype=np.uint8)
+        a[:, :] = rgb_tuple
+        return a
+
+    rows = [
+        ("img-a", "d1", "image", multimodal.encode_bmp(solid((100, 50, 25))),
+         None, None, None),
+        ("img-b", "d2", "image", multimodal.encode_bmp(solid((101, 50, 25))),
+         None, None, None),                      # perturbed near-dup
+        ("img-c", "d3", "image", multimodal.encode_png(solid((100, 50, 25))),
+         None, None, None),                      # PNG re-encode of img-a
+        ("img-z", "d4", "image", multimodal.encode_bmp(solid((25, 200, 100))),
+         None, None, None),                      # genuinely different
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    pairs = {(r["media_a"], r["media_b"]): r["cosine_sim"]
+             for r in multimodal.media_near_pairs(
+                 media, threshold=0.999, fake=False).collect()}
+    assert set(pairs) == {("img-a", "img-b"), ("img-a", "img-c"),
+                          ("img-b", "img-c")}
+    assert pairs[("img-a", "img-c")] == 1.0      # identical features
+    assert pairs[("img-a", "img-b")] >= 0.999    # perturbation survives
