@@ -1024,6 +1024,16 @@ def _q_link_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rca_pdf_extraction_pipeline_spark.plans import bucketing
 
     spark.sql("CREATE DATABASE IF NOT EXISTS entry_bk")
+    # purge BOTH the catalog entry and any orphaned managed-table dir a
+    # previous session left behind (saveAsTable refuses to adopt an
+    # existing location); cleanup must precede the write because the
+    # returned plan reads the table lazily
+    spark.sql("DROP TABLE IF EXISTS entry_bk.link_edges")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/entry_bk.db/link_edges", ignore_errors=True)
     bucketing.write_bucketed(_link_edges(spark, sf_dir),
                              "entry_bk.link_edges", "src", 8)
     nodes = _t(spark, sf_dir, "documents").select(
@@ -1510,109 +1520,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     golden fixtures and lose nothing by sitting past position 50.
     Round 3's gate starved itself by front-loading the stable golden
     queries: round 2's two err rows were fixed but never re-witnessed.
+    Round 5 rotates: r4 spent its window on the 50 never-checked keys,
+    so the 57 keys whose last driver row predates r4 now lead (minus 14
+    golden/byte-parity-pinned ones that yield to the 5 new r5 keys and
+    the 2 whose semantics were touched this round).
     """
     return {
-        # (1) round-2 errs — fixed in r3, never driver-re-witnessed
-        "ann_kmeans_centroids": _q_ann_kmeans_centroids,
-        "text_embed_vectors": _q_text_embed_vectors,
-        # (2) never driver-checked (absent from CORRECTNESS_r01-r03)
-        "ann_ivf_sampled": _q_ann_ivf_sampled,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "semantic_dedup_pairs": _q_semantic_dedup_pairs,
-        "semantic_dedup_keep": _q_semantic_dedup_keep,
-        "text_embed_topk": _q_text_embed_topk,
-        "vocab_topk": _q_vocab_topk,
-        "vocab_coverage": _q_vocab_coverage,
-        "boilerplate_lines": _q_boilerplate_lines,
-        "multimodal_decode_bmp": _q_multimodal_decode_bmp,
-        # new in r4: never-checked, so they outrank the two driver-green
-        # r02 multimodal keys for window slots (canary rule 3)
-        "hist_quantiles": _q_hist_quantiles,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_corpus_cc_best": _q_dedup_corpus_cc_best,
-        "epoch_shards": _q_epoch_shards,
-        "text_token_stats": _q_text_token_stats,
-        "text_quality": _q_text_quality,
-        # new in r4: never-checked PNG decode outranks a green key for a
-        # window slot (canary rule 3)
-        "multimodal_decode_png": _q_multimodal_decode_png,
-        "link_degree_census": _q_link_degree_census,
-        "link_pagerank": _q_link_pagerank,
-        "text_repetition": _q_text_repetition,
-        "text_unigram_lm": _q_text_unigram_lm,
-        "text_bigram_lm": _q_text_bigram_lm,
-        "text_token_bpe": _q_text_token_bpe,
-        "text_pii": _q_text_pii,
-        "substr_dup_ranges": _q_substr_dup_ranges,
-        "decontaminate_report": _q_decontaminate_report,
-        "substr_dup_profile": _q_substr_dup_profile,
-        "bm25_topk": _q_bm25_topk,
-        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
-        "inverted_index": _q_inverted_index,
-        "source_tfidf": _q_source_tfidf,
-        "hll_distinct_tokens": _q_hll_distinct_tokens,
-        "cms_token_counts": _q_cms_token_counts,
-        "bloom_tokens": _q_bloom_tokens,
-        "cluster_profile": _q_cluster_profile,
-        "curation_flags": _q_curation_flags,
-        "source_report": _q_source_report,
-        "corpus_profile": _q_corpus_profile,
-        "chunk_windows": _q_chunk_windows,
-        "pack_bins": _q_pack_bins,
-        "sample_hash": _q_sample_hash,
-        "sample_split": _q_sample_split,
-        "sample_stratified": _q_sample_stratified,
-        "sample_per_group": _q_sample_per_group,
-        "sample_weighted": _q_sample_weighted,
-        "sample_mixture": _q_sample_mixture,
-        # (2b) new in r4 — never driver-checked by construction
-        "ann_pq_codes": _q_ann_pq_codes,
-        "ann_pq_topk": _q_ann_pq_topk,
-        # new in r5 — IVF x PQ composition (never driver-checked)
+        # (2) never driver-checked — new in r5 (window rule 2)
         "ann_ivfadc_topk": _q_ann_ivfadc_topk,
-        # new in r5 — PageRank dangling redistribution + bucketed-edge plan
         "link_pagerank_full": _q_link_pagerank_full,
         "link_pagerank_bucketed": _q_link_pagerank_bucketed,
-        # new in r5 — PSL snapshot as a broadcast suffix table
         "url_psl_domains": _q_url_psl_domains,
-        # new in r5 — codec features wired into the dedup family
         "media_near_pairs": _q_media_near_pairs,
-        # (3) semantics changed in r4 (public-suffix-aware domain())
-        "url_suffix_domains": _q_url_suffix_domains,
-        # ---- driver window boundary (first 50 keys above) ----
-        # multimodal_stats / multimodal_decode: driver-green in r02,
-        # pinned by test_boilerplate_multimodal.py — they yielded their
-        # slots to the two new r4 keys above (canary rule 3)
-        "multimodal_stats": _q_multimodal_stats,
-        "multimodal_decode": _q_multimodal_decode,
-        # c2_structural: driver-green in r02/r03, golden-pinned — yielded
-        # its slot to the new PNG-decode key (canary rule 3); the two
-        # html keys (green r02/r03, pytest-pinned) yielded theirs to
-        # dedup_corpus_cc_best / epoch_shards
-        "c2_structural": _q_c2_structural,
-        "html_boilerplate": _q_html_boilerplate,
-        "html_block_scores": _q_html_block_scores,
-        # text_langid / text_fingerprint: driver-green in r02, pinned by
-        # pytest — they yielded their window slots to the two new r4
-        # link-graph keys (test_driver_window.py rule 3)
-        "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
-        # (4) long-green golden-path queries, all pinned by pytest golden
-        # fixtures / byte-parity tests; driver rows in CORRECTNESS_r01-r03.
-        # domain_caps/domain_stats: r4's public-suffix change altered their
-        # semantics, but both were driver-green in r03 and are pinned by
-        # tests/test_urls.py; the two never-checked PQ keys outrank them
-        # for window slots (test_driver_window.py rule 3).
+        # (3) r4-green but output semantics / implementation touched in r5
+        # (epoch_shards pos int->bigint; cc_best tie-break re-ranked)
+        "epoch_shards": _q_epoch_shards,
+        "dedup_corpus_cc_best": _q_dedup_corpus_cc_best,
+        # stale rotation (VERDICT r4 item 3): keys whose last driver row
+        # predates round 4 — re-witnessed this round, golden-pinned ones
+        # yield first (they are separately pinned by pytest fixtures)
         "domain_caps": _q_domain_caps,
         "domain_stats": _q_domain_stats,
         "extract_flagship": _q_extract_flagship,
-        "c1_classify_golden": _q_classify_golden,
-        "p2_samples_golden": _q_samples_golden,
-        "h1_headers_golden": _q_headers_golden,
-        "h2_verify_golden": _q_h2_verify_golden,
-        "c2_structural_spans": _q_c2_structural_spans,
-        "table_grid_cells": _q_table_grid_cells,
-        "table_consolidated": _q_table_consolidated,
         "f8_page_range": _q_f8_page_range,
         "a8_depth_summary": _q_a8_depth_summary,
         "s5_doc_metadata": _q_s5_doc_metadata,
@@ -1653,6 +1582,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_buckets": _q_sim_lsh_buckets,
         "sim_bucketed_topk": _q_sim_bucketed_topk,
         "sim_multiprobe_topk": _q_sim_multiprobe_topk,
+        # ---- driver window boundary (first 50 keys above) ----
+        # stale but heavily golden/byte-parity-pinned — yielded their
+        # slots to the rotation above (test_driver_window.py rule 3)
+        "multimodal_stats": _q_multimodal_stats,
+        "multimodal_decode": _q_multimodal_decode,
+        "c2_structural": _q_c2_structural,
+        "html_boilerplate": _q_html_boilerplate,
+        "html_block_scores": _q_html_block_scores,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "c1_classify_golden": _q_classify_golden,
+        "p2_samples_golden": _q_samples_golden,
+        "h1_headers_golden": _q_headers_golden,
+        "h2_verify_golden": _q_h2_verify_golden,
+        "c2_structural_spans": _q_c2_structural_spans,
+        "table_grid_cells": _q_table_grid_cells,
+        "table_consolidated": _q_table_consolidated,
+        # r4-green keys (fresh driver rows in CORRECTNESS_r04.json)
+        "ann_kmeans_centroids": _q_ann_kmeans_centroids,
+        "text_embed_vectors": _q_text_embed_vectors,
+        "ann_ivf_sampled": _q_ann_ivf_sampled,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "semantic_dedup_pairs": _q_semantic_dedup_pairs,
+        "semantic_dedup_keep": _q_semantic_dedup_keep,
+        "text_embed_topk": _q_text_embed_topk,
+        "vocab_topk": _q_vocab_topk,
+        "vocab_coverage": _q_vocab_coverage,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "multimodal_decode_bmp": _q_multimodal_decode_bmp,
+        "hist_quantiles": _q_hist_quantiles,
+        "dedup_incremental": _q_dedup_incremental,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "multimodal_decode_png": _q_multimodal_decode_png,
+        "link_degree_census": _q_link_degree_census,
+        "link_pagerank": _q_link_pagerank,
+        "text_repetition": _q_text_repetition,
+        "text_unigram_lm": _q_text_unigram_lm,
+        "text_bigram_lm": _q_text_bigram_lm,
+        "text_token_bpe": _q_text_token_bpe,
+        "text_pii": _q_text_pii,
+        "substr_dup_ranges": _q_substr_dup_ranges,
+        "decontaminate_report": _q_decontaminate_report,
+        "substr_dup_profile": _q_substr_dup_profile,
+        "bm25_topk": _q_bm25_topk,
+        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
+        "inverted_index": _q_inverted_index,
+        "source_tfidf": _q_source_tfidf,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "cms_token_counts": _q_cms_token_counts,
+        "bloom_tokens": _q_bloom_tokens,
+        "cluster_profile": _q_cluster_profile,
+        "curation_flags": _q_curation_flags,
+        "source_report": _q_source_report,
+        "corpus_profile": _q_corpus_profile,
+        "chunk_windows": _q_chunk_windows,
+        "pack_bins": _q_pack_bins,
+        "sample_hash": _q_sample_hash,
+        "sample_split": _q_sample_split,
+        "sample_stratified": _q_sample_stratified,
+        "sample_per_group": _q_sample_per_group,
+        "sample_weighted": _q_sample_weighted,
+        "sample_mixture": _q_sample_mixture,
+        "ann_pq_codes": _q_ann_pq_codes,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "url_suffix_domains": _q_url_suffix_domains,
     }
 
 

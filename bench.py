@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "html_boilerplate",
     "multimodal_stats",
     "c2_structural",
+    # r5 families: IVFADC ANN serving shape; codec-feature image dedup
+    "ann_ivfadc_topk",
+    "media_near_pairs",
 ]
 
 
