@@ -71,10 +71,17 @@ def get_spark(
     # relational queries too (a0 first-run 0.49 s vs 4.93 s).  A real
     # long-lived cluster app amortizes C2 and should NOT set this; it is
     # local-only and overridable via extra_conf/SPARK_GRAFT_JIT_FULL.
-    if master.startswith("local") \
-            and "SPARK_GRAFT_JIT_FULL" not in os.environ:
-        b = b.config("spark.driver.extraJavaOptions",
-                     "-XX:TieredStopAtLevel=1")
+    # Non-tiered JVMs default ReservedCodeCacheSize to 48 MB (vs 240 MB
+    # tiered); a session running the full 112-query oracle sweep fills
+    # that within seconds and the JVM then FAILS HARD — "Out of space in
+    # CodeCache for method handle intrinsic" is a VirtualMachineError,
+    # not a slow path.  Size the cache explicitly whichever JIT mode
+    # runs, so the C1 pin below can never shrink it.
+    if master.startswith("local"):
+        java_opts = "-XX:ReservedCodeCacheSize=512m"
+        if "SPARK_GRAFT_JIT_FULL" not in os.environ:
+            java_opts += " -XX:TieredStopAtLevel=1"
+        b = b.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
