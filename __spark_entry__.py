@@ -1243,6 +1243,15 @@ def _q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang")
 
 
+def _q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS'23): the 25 non-src1
+    documents that look most like the src1 domain under hashed-unigram
+    importance weights, Gumbel-top-k resampled.  n_buckets=512 keeps
+    real hash collisions in play at oracle scale."""
+    return sampling.dsir_topk(_t(spark, sf_dir, "documents"), "src1",
+                              k=25, n_buckets=512, seed=7)
+
+
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_hash_sample(
         _t(spark, sf_dir, "documents"), "lang",
@@ -1532,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank_bucketed": _q_link_pagerank_bucketed,
         "url_psl_domains": _q_url_psl_domains,
         "media_near_pairs": _q_media_near_pairs,
+        "dsir_topk": _q_dsir_topk,
         # (3) r4-green but output semantics / implementation touched in r5
         # (epoch_shards pos int->bigint; cc_best tie-break re-ranked)
         "epoch_shards": _q_epoch_shards,
@@ -2887,6 +2897,50 @@ def oracle_sql() -> dict[str, str]:
         # media near-dup: the synth fixture's solid colors give exact
         # closed-form features (mean RGB / 255 through a float32 store,
         # contrast 0), sign-LSH bucket = positivity bits of f0..f2
+        "dsir_topk": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     unnest(list_filter(string_split(text, ' '),
+                                        t -> t != '')) AS tok
+              FROM documents),
+            bt AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT % 512 AS b
+              FROM toks),
+            freq AS (
+              SELECT b, COUNT(*)::BIGINT AS cnt_r,
+                     SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0
+                         END)::BIGINT AS cnt_t
+              FROM bt GROUP BY b),
+            tot AS (
+              SELECT SUM(cnt_r)::BIGINT AS total_r,
+                     SUM(cnt_t)::BIGINT AS total_t FROM freq),
+            model AS (
+              SELECT b,
+                     round(ln((cnt_t + 1)::DOUBLE
+                              / (total_t + 512)::DOUBLE) * 1000000,
+                           0)::BIGINT
+                     - round(ln(cnt_r::DOUBLE / total_r::DOUBLE) * 1000000,
+                             0)::BIGINT AS lr
+              FROM freq, tot),
+            per_doc AS (
+              SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+                     SUM(m.lr)::BIGINT AS lw
+              FROM bt t JOIN model m USING (b)
+              WHERE t.source != 'src1' GROUP BY t.doc_id),
+            keyed AS (
+              SELECT d.doc_id,
+                     COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+                     round(COALESCE(p.lw, 0) / 1000000.0, 6) AS dsir_logw,
+                     COALESCE(p.lw, 0) + round(-ln(-ln(
+                         ((('0x' || substr(md5('7:' || d.doc_id::VARCHAR),
+                                           1, 8))::BIGINT % 1000000) + 1)
+                         / 1000001.0)) * 1000000, 0)::BIGINT AS dsir_key
+              FROM documents d LEFT JOIN per_doc p USING (doc_id)
+              WHERE d.source != 'src1')
+            SELECT doc_id, n_tokens, dsir_logw, dsir_key
+            FROM keyed ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
         "media_near_pairs": """
             WITH m AS (
               SELECT doc_id, printf('bmp-%05d', doc_id) AS media_ref,

@@ -243,3 +243,79 @@ def stratified_hash_sample(docs: DataFrame, strata_col: str,
         cut = F.when(F.col(strata_col) == value,
                      F.lit(int(round(rate * SAMPLE_BUCKETS)))).otherwise(cut)
     return docs.filter(sample_bucket(F.col(id_col), seed) < cut)
+
+
+def dsir_topk(docs: DataFrame, target_value: str, k: int,
+              n_buckets: int = 10_000, seed: int = 0,
+              text_col: str = "text", source_col: str = "source",
+              id_col: str = "doc_id") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS'23):
+    pick the ``k`` raw-corpus documents that look most like the target
+    domain, by importance weight under hashed bag-of-words models.
+
+    * model fit: ONE corpus token pass builds the hashed-unigram counts
+      for the raw corpus and the target slice (``source == target_value``)
+      simultaneously — tokens are bucketed ``hash32(tok) % n_buckets``
+      exactly as the paper prescribes, so the model table is at most
+      ``n_buckets`` rows regardless of corpus size and broadcasts;
+    * per-token log importance ratio, Laplace-smoothed on the target
+      side: ``ln((cnt_t+1)/(total_t+n_buckets)) - ln(cnt_r/total_r)``,
+      each log quantized to an INTEGER (x1e6) before any cross-row sum,
+      so document weights are exact bigint math (the unigram_logprob
+      discipline — no float summation-order drift between engines);
+    * resampling: Gumbel-top-k over ``logw + g`` where
+      ``g = -ln(-ln(u))`` and ``u = (md5-bucket+1)/(1e6+1)`` — the
+      standard weighted-sampling-without-replacement trick, fully
+      deterministic and replayable by any engine.
+
+    Returns (id, n_tokens, dsir_logw, dsir_key): the selected docs
+    (``source != target_value`` — you select from raw, not from the
+    target itself), dsir_key descending, ties by ascending id.
+
+    Scale: two corpus passes (fit, score) — the paper's own shape; the
+    model join is a broadcast of <= n_buckets rows, scoring is a narrow
+    scan + one partial-agg groupBy(id), and the final top-k is
+    TakeOrderedAndProject (O(k) per task, no global sort).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2; got {n_buckets}")
+    from ..functions import text as T
+    toks = docs.select(
+        F.col(id_col), F.col(source_col),
+        F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    btoks = toks.select(
+        F.col(id_col), F.col(source_col),
+        (H.hash32(F.col("tok")) % n_buckets).alias("b"))
+    freq = btoks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum(F.when(F.col(source_col) == target_value, 1)
+              .otherwise(0)).alias("cnt_t"))
+    tot = freq.agg(F.sum("cnt_r").alias("total_r"),
+                   F.sum("cnt_t").alias("total_t"))
+    lq = lambda x: F.round(F.log(x) * F.lit(1_000_000.0), 0).cast("long")
+    model = (freq.crossJoin(F.broadcast(tot))
+             .select(F.col("b"),
+                     (lq((F.col("cnt_t") + 1)
+                         / (F.col("total_t") + F.lit(n_buckets)))
+                      - lq(F.col("cnt_r") / F.col("total_r"))).alias("lr")))
+    cand = docs.filter(F.col(source_col) != target_value)
+    per_doc = (btoks.filter(F.col(source_col) != target_value)
+               .join(F.broadcast(model), "b")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("lr").alias("lw")))
+    u = ((sample_bucket(F.col(id_col), seed) + 1)
+         / F.lit(float(SAMPLE_BUCKETS + 1)))
+    gumbel = F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0), 0).cast("long")
+    return (cand.select(F.col(id_col)).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.round(F.coalesce(F.col("lw"), F.lit(0))
+                            / F.lit(1_000_000.0), 6).alias("dsir_logw"),
+                    (F.coalesce(F.col("lw"), F.lit(0)) + gumbel)
+                    .alias("dsir_key"))
+            .orderBy(F.col("dsir_key").desc(), F.col(id_col).asc())
+            .limit(k))

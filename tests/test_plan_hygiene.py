@@ -639,3 +639,16 @@ def test_bucketed_pagerank_one_fewer_exchange_per_iteration(spark):
             == sorted(map(tuple, bucketed.collect()))
     finally:
         spark.sql("DROP DATABASE IF EXISTS prbk CASCADE")
+
+
+def test_dsir_topk_broadcast_model_take_ordered(documents):
+    """DSIR scoring: the hashed-unigram model (<= n_buckets rows) must
+    broadcast onto the candidate token stream, the final selection must
+    be TakeOrderedAndProject, and nothing drops to Python."""
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    plan = _plan(sampling.dsir_topk(documents, "src1", k=10, n_buckets=256))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -1273,3 +1273,41 @@ def test_bloom_absent_values_and_guards(spark):
         sketches.bloom_words(vals, "value", m_bits=100, k=4)  # not mult of 32
     with pytest.raises(ValueError):
         sketches.bloom_words(vals, "value", m_bits=1024, k=0)
+
+
+def test_dsir_topk_selects_target_like_docs(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    # 20-token docs: per-doc importance-weight gap between look-alike and
+    # off-domain candidates is ~60 nats, far above the Gumbel noise span
+    # (max ~16 nats), so the selection is forced regardless of seed
+    tgt = " ".join(["alpha beta"] * 10)
+    off = " ".join(["zeta eta theta iota"] * 5)
+    rows = ([(i, tgt, "tgt") for i in range(20)]
+            + [(100 + i, tgt, "web") for i in range(5)]
+            + [(200 + i, off, "web") for i in range(5)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    got = sampling.dsir_topk(docs, "tgt", k=5, n_buckets=4096, seed=0).collect()
+    assert {r["doc_id"] for r in got} == {100, 101, 102, 103, 104}
+    # keys ordered descending, logw of look-alikes strictly above off-domain
+    keys = [r["dsir_key"] for r in got]
+    assert keys == sorted(keys, reverse=True)
+
+    # the target slice itself is never selected; k above the candidate
+    # count returns every candidate
+    allc = sampling.dsir_topk(docs, "tgt", k=25, n_buckets=4096, seed=0).collect()
+    assert len(allc) == 10
+    assert all(r["doc_id"] >= 100 for r in allc)
+    lw = {r["doc_id"]: r["dsir_logw"] for r in allc}
+    assert min(lw[i] for i in range(100, 105)) > max(lw[i] for i in range(200, 205))
+
+    # deterministic at any parallelism
+    again = sampling.dsir_topk(docs.repartition(13), "tgt", k=5,
+                               n_buckets=4096, seed=0).collect()
+    assert {r["doc_id"] for r in again} == {100, 101, 102, 103, 104}
+
+    with pytest.raises(ValueError):
+        sampling.dsir_topk(docs, "tgt", k=0)
+    with pytest.raises(ValueError):
+        sampling.dsir_topk(docs, "tgt", k=5, n_buckets=1)
