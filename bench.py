@@ -60,9 +60,11 @@ BENCH_QUERIES = [
     "html_boilerplate",
     "multimodal_stats",
     "c2_structural",
-    # r5 families: IVFADC ANN serving shape; codec-feature image dedup
+    # r5 families: IVFADC ANN serving shape; codec-feature image dedup;
+    # DSIR importance resampling
     "ann_ivfadc_topk",
     "media_near_pairs",
+    "dsir_topk",
 ]
 
 
