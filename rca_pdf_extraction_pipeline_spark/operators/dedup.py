@@ -350,32 +350,18 @@ def _cc_labels(docs: DataFrame, text_col: str, id_col: str,
                checkpoint_dir: str | None) -> DataFrame:
     """(node, label) — every doc id labelled with the minimum id of its
     near-dup connected component (the label loop shared by the keep-min
-    and keep-best CC policies)."""
-    mat = _Materializer(checkpoint_dir)
+    and keep-best CC policies).  The loop itself is the generic
+    ``linkgraph.connected_components`` min-label propagation; this
+    wrapper only supplies the near-dup pair edges."""
+    from .linkgraph import connected_components  # local: linkgraph imports us
+
     pairs = verified_near_pairs(docs, text_col, id_col, jaccard_threshold,
                                 n_hashes, bands, shingle_size,
                                 checkpoint_dir=checkpoint_dir)
-    edges = mat(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                  F.col("id_a").alias("dst"))), "cc_edges")
-    labels = mat(
-        docs.select(F.col(id_col).alias("node"))
-        .withColumn("label", F.col("node")), "cc_labels")
-    for _ in range(max_iter):
-        incoming = (edges.join(labels, edges["src"] == labels["node"])
-                    .select(F.col("dst").alias("node"), F.col("label")))
-        new_labels = mat(
-            labels.unionByName(incoming)
-            .groupBy("node").agg(F.min("label").alias("label")), "cc_labels")
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    return connected_components(
+        docs.select(F.col(id_col).alias("node")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="node", max_iter=max_iter, checkpoint_dir=checkpoint_dir)
 
 
 def deduplicate_corpus_cc_best(docs: DataFrame, score_col: str,

@@ -56,6 +56,155 @@ from pyspark.sql import functions as F
 PR_SCALE = 1_000_000
 
 
+def undirected_edges(edges: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """Canonical undirected edge set: distinct (a, b) with a < b,
+    self-loops dropped — the shared preprocessing of every undirected
+    graph statistic (triangles, components).  One hash-distinct shuffle
+    on the canonical pair."""
+    return (edges.where(F.col(src_col) != F.col(dst_col))
+            .select(F.least(src_col, dst_col).alias("a"),
+                    F.greatest(src_col, dst_col).alias("b"))
+            .distinct())
+
+
+def triangle_counts(edges: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle participation over the undirected link graph —
+    (node_id, n_triangles) for every node in at least one triangle.
+
+    Triangle density separates organic neighborhoods from link farms
+    (a mirror ring is triangle-free; a spam clique is all triangles),
+    the classic web-graph curation signal alongside PageRank.
+
+    Algorithm — degree orientation (Schank & Wagner 2005; the standard
+    MapReduce form is Suri & Vassilvitskii WWW'11): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher,
+    enumerate wedges u -> {v, w} from each node's ORIENTED out-
+    neighborhood, and close them against the oriented edge set.  Each
+    triangle is produced exactly once, at its lowest-rank vertex.
+
+    Scale (10^12 edges): orientation caps oriented out-degree at
+    O(sqrt(m)) regardless of hub in-degree, so the wedge table is
+    O(m^1.5) worst-case and near-linear on power-law graphs — hubs
+    never self-join on their full neighborhood.  Every step is a keyed
+    equi-join or hash aggregate (no cartesian anywhere); the closing
+    join shuffles on the wedge pair, which AQE can skew-split."""
+    und = undirected_edges(edges, src_col, dst_col)
+    deg = (und.select(F.col("a").alias("n"))
+           .unionByName(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    j = (und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+         .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b"))
+    a_lower = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = j.select(
+        F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("v"))
+    # carry rank(v) so each wedge {v, w} is emitted once, ordered
+    ov = (oriented.join(deg.select(F.col("n").alias("v"),
+                                   F.col("d").alias("dv")), "v")
+          .select("u", "v", "dv"))
+    lo = ov.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    hi = ov.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = (lo.join(hi, "u")
+              .where((F.col("dx") < F.col("dy"))
+                     | ((F.col("dx") == F.col("dy"))
+                        & (F.col("x") < F.col("y"))))
+              .select("u", "x", "y"))
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"])
+    return (closed.select(F.explode(F.array("u", "x", "y")).alias("node_id"))
+            .groupBy("node_id")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def cocitation_pairs(edges: DataFrame, max_fanout: int | None = 64,
+                     src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Co-citation pair mining (Small 1973; the web-curation use is
+    "pages repeatedly linked together are topically related"):
+    (a, b, n_common) — distinct destination pairs a < b with the count
+    of sources linking to BOTH.
+
+    Scale: the per-source pair expansion is Σ C(out_deg, 2), quadratic
+    in hub fan-out — so sources with more than ``max_fanout`` out-links
+    are dropped first (a directory page co-citing 10^4 targets asserts
+    nothing pairwise; capping is the standard guard, and it bounds the
+    expansion at C(max_fanout, 2) per source).  ``max_fanout=None``
+    disables the cap explicitly.  One keyed self-join on src + one hash
+    aggregate on the pair; never a cartesian."""
+    e = (edges.where(F.col(src_col) != F.col(dst_col))
+         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .distinct())
+    if max_fanout is not None:
+        if max_fanout < 2:
+            raise ValueError(f"max_fanout must be >= 2; got {max_fanout}")
+        keep = (e.groupBy("src").agg(F.count(F.lit(1)).alias("_fan"))
+                .where(F.col("_fan") <= max_fanout).select("src"))
+        e = e.join(keep, "src", "left_semi")
+    lo = e.select("src", F.col("dst").alias("a"))
+    hi = e.select("src", F.col("dst").alias("b"))
+    return (lo.join(hi, "src")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common")))
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         id_col: str = "node_id", src_col: str = "src",
+                         dst_col: str = "dst", max_iter: int = 50,
+                         checkpoint_dir: str | None = None) -> DataFrame:
+    """(id_col, label) — every node labelled with the MINIMUM id
+    reachable in its undirected component (isolated nodes label
+    themselves).  The Pregel-style min-label propagation loop shared
+    with the near-dup CC dedup family (``dedup._cc_labels`` delegates
+    here): per round, one join carries labels across edges and one
+    min-aggregate folds them; each round's frontier is materialized
+    (``dedup._Materializer``: ``localCheckpoint`` or durable parquet
+    under ``checkpoint_dir``) so plan depth stays O(1), and the loop
+    stops at fixpoint or ``max_iter``.  Rounds needed = component
+    diameter, so label-prop suits the short-diameter components of
+    dedup/link graphs; at 10^12 edges checkpoint durably and bucket the
+    edge table by src exactly like :func:`pagerank`.
+
+    Edge endpoints outside ``nodes`` still relay labels (they merge the
+    components they bridge) but are dropped from the output — only the
+    requested nodes come back labelled."""
+    from .dedup import _Materializer  # local import: dedup imports us
+
+    mat = _Materializer(checkpoint_dir)
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = mat(e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst")).distinct(), "cc_edges")
+    # seed with nodes AND edge endpoints: a relay endpoint outside
+    # ``nodes`` must hold a label row from round 0, or its first
+    # appearance would not register in the fixpoint test (the change
+    # detector inner-joins consecutive label tables) and the loop could
+    # stop before its label reaches the nodes it bridges
+    labels = mat(nodes.select(F.col(id_col).alias("node"))
+                 .unionByName(sym.select(F.col("src").alias("node")))
+                 .distinct()
+                 .withColumn("label", F.col("node")), "cc_labels")
+    for _ in range(max_iter):
+        incoming = (sym.join(labels, sym["src"] == labels["node"])
+                    .select(F.col("dst").alias("node"), F.col("label")))
+        new_labels = mat(
+            labels.unionByName(incoming)
+            .groupBy("node").agg(F.min("label").alias("label")), "cc_labels")
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return (labels.join(nodes.select(F.col(id_col).alias("node")),
+                        "node", "left_semi")
+            .select(F.col("node").alias(id_col), "label"))
+
+
 def out_degrees(edges: DataFrame, src_col: str = "src",
                 dst_col: str = "dst") -> DataFrame:
     """(src, out_deg) for every node with at least one out-link."""

@@ -231,6 +231,62 @@ def mixture_sample(docs: DataFrame, source_col: str,
             .drop("_n", "_cut"))
 
 
+#: exponent 1 - alpha for each supported temperature, as a SQL factor
+#: over ``r = n_max / n_g`` built from division and sqrt ONLY — both
+#: correctly rounded under IEEE-754, so every engine computes the
+#: bit-identical cut (``pow(r, 0.3)`` carries no such guarantee; a
+#: last-ulp disagreement would flip rows at the cut boundary).
+_TEMPERATURE_FACTORS = {
+    1.0: "1.0",                    # natural distribution
+    0.75: "sqrt(sqrt({r}))",       # r^(1/4)
+    0.5: "sqrt({r})",              # r^(1/2)
+    0.0: "({r})",                  # r^1: equal expected counts per group
+}
+
+
+def temperature_sample(docs: DataFrame, group_col: str = "lang",
+                       alpha: float = 0.5, base_rate: float = 0.2,
+                       seed: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """Temperature-scaled mixture resampling — the multilingual-training
+    rebalance of Lample & Conneau 2019 (XLM) / Conneau et al. 2020
+    (XLM-R): sample groups proportionally to ``p_g^alpha`` so that
+    ``alpha < 1`` upweights tail languages/sources.  Keep rate per
+    group is
+
+        r_g = min(1, base_rate * (n_max / n_g)^(1 - alpha))
+
+    — the LARGEST group keeps exactly ``base_rate``, rarer groups keep
+    progressively more, capped at keeping everything.
+
+    ``alpha`` is restricted to {0.0, 0.5, 0.75, 1.0}: those exponents
+    evaluate via division and sqrt only (see ``_TEMPERATURE_FACTORS``),
+    keeping the per-group cut bit-identical across engines.  Membership
+    is the usual content-independent md5 bucket filter, so the selected
+    set is reproducible on any cluster size and replayable in DuckDB.
+
+    Scale: one tiny per-group counts aggregate (broadcast back) + a
+    narrow filter on the scan — no data shuffle, same shape as
+    :func:`mixture_sample`."""
+    if alpha not in _TEMPERATURE_FACTORS:
+        raise ValueError(
+            f"alpha must be one of {sorted(_TEMPERATURE_FACTORS)} "
+            f"(exponents exactly representable via sqrt chains); got {alpha}")
+    if not 0.0 < base_rate <= 1.0:
+        raise ValueError(f"base_rate must be in (0, 1]; got {base_rate}")
+    cut0 = base_rate * SAMPLE_BUCKETS  # exact: one IEEE multiply
+    factor = _TEMPERATURE_FACTORS[alpha].format(
+        r="cast(_nmax as double) / cast(_n as double)")
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmax = counts.agg(F.max("_n").alias("_nmax"))
+    cuts = (counts.crossJoin(F.broadcast(nmax))
+            .withColumn("_cut", F.expr(
+                f"cast(floor(least({SAMPLE_BUCKETS}.0, "
+                f"{cut0!r} * {factor})) as bigint)")))
+    return (docs.join(F.broadcast(cuts), group_col)
+            .filter(sample_bucket(F.col(id_col), seed) < F.col("_cut"))
+            .drop("_n", "_nmax", "_cut"))
+
+
 def stratified_hash_sample(docs: DataFrame, strata_col: str,
                            rates: dict[str, float],
                            default_rate: float = 0.0, seed: int = 0,

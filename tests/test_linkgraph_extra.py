@@ -1,0 +1,184 @@
+"""Hand-checked fixtures for the round-5 graph additions — triangle
+counting (degree orientation), co-citation mining (fan-out cap), the
+generic connected-components loop — plus temperature-scaled sampling.
+
+The entry-query oracles pin these against DuckDB at corpus scale; this
+file pins the SEMANTICS on graphs small enough to verify by hand (K4,
+paths, two-component forests) and the guard/determinism contracts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rca_pdf_extraction_pipeline_spark.operators import linkgraph, sampling
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src: long, dst: long")
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- triangles
+
+def test_triangles_k4_every_node_in_three(spark):
+    # K4: 4 triangles total, each node a corner of C(3,2)=3 of them
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    rows = {r["node_id"]: r["n_triangles"]
+            for r in linkgraph.triangle_counts(_edges(spark, k4)).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_path_graph_is_empty(spark):
+    path = [(0, 1), (1, 2), (2, 3)]
+    assert linkgraph.triangle_counts(_edges(spark, path)).count() == 0
+
+
+def test_triangles_ignore_direction_duplicates_and_self_loops(spark):
+    # one triangle {1,2,3} hidden under reversed duplicates + a self
+    # loop + a dangling spur; each corner counted exactly once
+    e = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1), (3, 4)]
+    rows = {r["node_id"]: r["n_triangles"]
+            for r in linkgraph.triangle_counts(_edges(spark, e)).collect()}
+    assert rows == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_two_disjoint_triangles(spark):
+    e = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    out = linkgraph.triangle_counts(_edges(spark, e)).collect()
+    assert {r["node_id"] for r in out} == {0, 1, 2, 10, 11, 12}
+    assert all(r["n_triangles"] == 1 for r in out)
+
+
+def test_triangles_plan_no_python_no_cartesian(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    plan = _formatted(linkgraph.triangle_counts(e))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+# --------------------------------------------------------------- cocitation
+
+def test_cocitation_counts_and_ordering(spark):
+    # s1 -> {a,b,c}; s2 -> {a,b}; duplicate (s2,a) collapses
+    e = [(100, 1), (100, 2), (100, 3), (200, 1), (200, 2), (200, 1)]
+    rows = {(r["a"], r["b"]): r["n_common"]
+            for r in linkgraph.cocitation_pairs(_edges(spark, e)).collect()}
+    assert rows == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_cocitation_fanout_cap_drops_hub_sources(spark):
+    e = [(100, 1), (100, 2), (100, 3), (200, 1), (200, 2)]
+    rows = {(r["a"], r["b"]): r["n_common"]
+            for r in linkgraph.cocitation_pairs(
+                _edges(spark, e), max_fanout=2).collect()}
+    assert rows == {(1, 2): 1}  # source 100 (fan-out 3) dropped
+
+
+def test_cocitation_fanout_guard_raises(spark):
+    with pytest.raises(ValueError, match="max_fanout"):
+        linkgraph.cocitation_pairs(_edges(spark, [(0, 1)]), max_fanout=1)
+
+
+# --------------------------------------------------- connected components
+
+def test_connected_components_two_chains_and_isolate(spark):
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9, 42]],
+                                  "node_id: long")
+    # chain 1-2-3, chain 7-8-9 (given reversed), isolated 42
+    e = _edges(spark, [(2, 1), (2, 3), (9, 8), (7, 8)])
+    labels = {r["node_id"]: r["label"]
+              for r in linkgraph.connected_components(nodes, e).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7, 42: 42}
+
+
+def test_connected_components_outside_endpoints_relay_but_drop(spark):
+    # node 99 is not a requested node but bridges 1 and 5 — the two
+    # merge into one component, 99 itself absent from the output
+    nodes = spark.createDataFrame([(1,), (5,)], "node_id: long")
+    e = _edges(spark, [(1, 99), (99, 5)])
+    labels = {r["node_id"]: r["label"]
+              for r in linkgraph.connected_components(nodes, e).collect()}
+    assert labels == {1: 1, 5: 1}
+
+
+def test_connected_components_matches_dedup_cc_loop(spark):
+    # the dedup CC family delegates here: a 2-cluster near-dup corpus
+    # keeps exactly one doc per component under keep-min
+    from rca_pdf_extraction_pipeline_spark.operators import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet woods tonight")
+    alt = ("completely different content about spark shuffles and "
+           "partition pruning strategies for large scale corpora here")
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " extra"), (2, alt), (3, alt + " extra")],
+        "doc_id: long, text: string")
+    kept = sorted(r["doc_id"]
+                  for r in dedup.deduplicate_corpus_cc(docs).collect())
+    assert kept == [0, 2]
+
+
+# ---------------------------------------------------- temperature sampling
+
+def _docs(spark, sizes: dict[str, int]):
+    rows, i = [], 0
+    for g, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id: long, lang: string")
+
+
+def test_temperature_alpha_one_is_flat_base_rate(spark):
+    docs = _docs(spark, {"en": 400, "fr": 100})
+    out = sampling.temperature_sample(docs, alpha=1.0, base_rate=0.5, seed=3)
+    flat = docs.filter(sampling.sample_bucket(F.col("doc_id"), 3)
+                       < int(0.5 * sampling.SAMPLE_BUCKETS))
+    assert {r["doc_id"] for r in out.collect()} == \
+        {r["doc_id"] for r in flat.collect()}
+
+
+def test_temperature_upweights_tail_and_caps_at_one(spark):
+    docs = _docs(spark, {"en": 6400, "fr": 400, "rare": 4})
+    out = sampling.temperature_sample(docs, alpha=0.5, base_rate=0.2, seed=0)
+    by = {r["lang"]: r["n"] for r in
+          out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # cut(en)=0.2, cut(fr)=0.2*sqrt(16)=0.8, cut(rare)=0.2*40=8 -> capped 1.0
+    assert by["rare"] == 4                      # rate capped at 1: keep all
+    assert 0.10 * 6400 < by["en"] < 0.30 * 6400  # ~base rate
+    assert 0.65 * 400 < by["fr"] < 0.95 * 400    # ~sqrt-boosted rate
+    # expected-count ordering: tail boosted ABOVE its natural share
+    assert by["fr"] / 400 > by["en"] / 6400
+
+
+def test_temperature_partition_invariant_and_guards(spark):
+    docs = _docs(spark, {"en": 300, "fr": 60})
+    a = sampling.temperature_sample(docs, alpha=0.5, base_rate=0.3)
+    b = sampling.temperature_sample(docs.repartition(13), alpha=0.5,
+                                    base_rate=0.3)
+    assert {r["doc_id"] for r in a.collect()} == \
+        {r["doc_id"] for r in b.collect()}
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_sample(docs, alpha=0.3)
+    with pytest.raises(ValueError, match="base_rate"):
+        sampling.temperature_sample(docs, base_rate=0.0)
+
+
+def test_temperature_plan_is_broadcast_no_shuffle_on_docs(spark):
+    docs = _docs(spark, {"en": 100, "fr": 20})
+    plan = _formatted(
+        sampling.temperature_sample(docs, alpha=0.5, base_rate=0.2))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
