@@ -1121,6 +1121,46 @@ def _q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("doc_id", "lang", "n_chars")
 
 
+def _q_link_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 nodes by local clustering coefficient (Watts & Strogatz;
+    integer micro-lattice, exact floor division) over the same union
+    graph as link_triangles — high coefficient = organic neighborhood,
+    hub with near-zero coefficient = link farm."""
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    edges = _link_edges(spark, sf_dir).unionByName(
+        _component_edges(spark, sf_dir))
+    cc = linkgraph.clustering_coefficients(edges)
+    return cc.orderBy(F.col("cc_micro").desc(),
+                      F.col("node_id").asc()).limit(30)
+
+
+def _q_link_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the doc_id%100==0 seed set (teleport
+    mass lands only on seeds — TrustRank-style proximity scoring), two
+    exact integer-lattice iterations; top-30 positive-rank nodes."""
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").alias("node_id"))
+    seeds = docs.where("doc_id % 100 = 0").select(
+        F.col("doc_id").alias("node_id"))
+    ppr = linkgraph.personalized_pagerank(
+        nodes, _link_edges(spark, sf_dir), seeds, iters=2)
+    return (ppr.where(F.col("pr") > 0)
+            .orderBy(F.col("pr").desc(), F.col("node_id").asc()).limit(30))
+
+
+def _q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality diagnostic: every banded MinHash candidate
+    pair scored with the signature-agreement Jaccard ESTIMATE next to
+    the exact shingle-set Jaccard, both integer micro-lattice."""
+    from rca_pdf_extraction_pipeline_spark.operators import dedup
+
+    est = dedup.minhash_estimate_pairs(_t(spark, sf_dir, "documents"))
+    return est.orderBy("id_a", "id_b")
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus vocabulary by total term frequency (ties by token)."""
     return textanalysis.vocabulary(_t(spark, sf_dir, "documents"), top_v=50)
@@ -1623,6 +1663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_triangles": _q_link_triangles,
         "link_cocitation": _q_link_cocitation,
         "link_components": _q_link_components,
+        "link_clustering": _q_link_clustering,
+        "link_ppr": _q_link_ppr,
+        "dedup_minhash_est": _q_dedup_minhash_est,
         "sample_temperature": _q_sample_temperature,
         # (3) r4-green but output semantics / implementation touched in r5
         # (epoch_shards pos int->bigint; cc_best tie-break re-ranked)
@@ -1974,6 +2017,45 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id AS src, doc_id // 3 AS dst FROM documents
               WHERE doc_id // 3 != doc_id)"""
+
+    # shared by link_triangles / link_clustering: union graph (link
+    # edges + blocked chords) -> degree-oriented wedge closing ->
+    # per-node triangle counts
+    triangle_ctes = f"""{link_edges_cte},
+            ce AS (SELECT doc_id AS src,
+                     (doc_id // 16) * 16
+                     + (('0x' || substr(md5('cc:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                        % 16) AS dst
+                   FROM documents),
+            alle AS (SELECT src, dst FROM edges
+                     UNION ALL
+                     SELECT src, dst FROM ce
+                     WHERE src <> dst
+                       AND dst IN (SELECT doc_id FROM documents)),
+            und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                    FROM alle WHERE src <> dst GROUP BY 1, 2),
+            deg AS (SELECT n, COUNT(*)::BIGINT AS d
+                    FROM (SELECT a AS n FROM und
+                          UNION ALL SELECT b AS n FROM und) GROUP BY n),
+            orient AS (
+              SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                          THEN und.a ELSE und.b END AS u,
+                     CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                          THEN und.b ELSE und.a END AS v
+              FROM und JOIN deg da ON da.n = und.a
+                       JOIN deg db ON db.n = und.b),
+            ov AS (SELECT o.u, o.v, d.d AS dv
+                   FROM orient o JOIN deg d ON d.n = o.v),
+            wedges AS (SELECT l.u, l.v AS x, r.v AS y
+                       FROM ov l JOIN ov r ON l.u = r.u
+                       WHERE l.dv < r.dv OR (l.dv = r.dv AND l.v < r.v)),
+            tri AS (SELECT w.u, w.x, w.y FROM wedges w
+                    JOIN orient o ON o.u = w.x AND o.v = w.y),
+            tn AS (SELECT u AS node_id FROM tri
+                   UNION ALL SELECT x FROM tri
+                   UNION ALL SELECT y FROM tri),
+            tcount AS (SELECT node_id, COUNT(*)::BIGINT AS n_triangles
+                       FROM tn GROUP BY node_id)"""
 
     def _pr_iter(n: int) -> str:
         return f"""
@@ -2356,6 +2438,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM keys a JOIN keys b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        # estimator-quality diagnostic: signature-agreement Jaccard
+        # estimate vs exact shingle-set Jaccard for every banded
+        # candidate pair (operators/dedup.minhash_estimate_pairs)
+        "dedup_minhash_est": f"""
+            WITH {_SQL_SHINGLE_BASE},
+            sigbase AS (
+              SELECT doc_id, shset,
+                     list_transform(shset, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
+              FROM sh),
+            sig AS (SELECT doc_id, shset, {minhash_sigs} FROM sigbase),
+            keys AS (
+              SELECT doc_id, 0 AS band,
+                     sig_0::VARCHAR || '-' || sig_1::VARCHAR || '-'
+                       || sig_2::VARCHAR || '-' || sig_3::VARCHAR AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     sig_4::VARCHAR || '-' || sig_5::VARCHAR || '-'
+                       || sig_6::VARCHAR || '-' || sig_7::VARCHAR AS band_key FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM keys a JOIN keys b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            sc AS (
+              SELECT c.id_a, c.id_b,
+                     ({" + ".join(f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(8))})::BIGINT AS n_agree,
+                     len(list_intersect(sa.shset, sb.shset))::BIGINT AS inter_n,
+                     len(sa.shset)::BIGINT AS la, len(sb.shset)::BIGINT AS lb
+              FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                          JOIN sig sb ON sb.doc_id = c.id_b)
+            SELECT id_a, id_b, n_agree,
+                   ((n_agree * 1000000) // 8)::BIGINT AS est_micro,
+                   ((inter_n * 1000000) // (la + lb - inter_n))::BIGINT AS jaccard_micro
+            FROM sc ORDER BY id_a, id_b
         """,
         "dedup_incremental": f"""
             WITH {_SQL_SHINGLE_BASE},
@@ -2794,42 +2911,52 @@ def oracle_sql() -> dict[str, str]:
         # corners counted (operators/linkgraph.triangle_counts); the
         # graph is link edges UNION blocked chord edges (_component_edges)
         "link_triangles": f"""
-            WITH {link_edges_cte},
-            ce AS (SELECT doc_id AS src,
-                     (doc_id // 16) * 16
-                     + (('0x' || substr(md5('cc:' || doc_id::VARCHAR), 1, 8))::BIGINT
-                        % 16) AS dst
-                   FROM documents),
-            alle AS (SELECT src, dst FROM edges
-                     UNION ALL
-                     SELECT src, dst FROM ce
-                     WHERE src <> dst
-                       AND dst IN (SELECT doc_id FROM documents)),
-            und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-                    FROM alle WHERE src <> dst GROUP BY 1, 2),
-            deg AS (SELECT n, COUNT(*)::BIGINT AS d
-                    FROM (SELECT a AS n FROM und
-                          UNION ALL SELECT b AS n FROM und) GROUP BY n),
-            orient AS (
-              SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
-                          THEN und.a ELSE und.b END AS u,
-                     CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
-                          THEN und.b ELSE und.a END AS v
-              FROM und JOIN deg da ON da.n = und.a
-                       JOIN deg db ON db.n = und.b),
-            ov AS (SELECT o.u, o.v, d.d AS dv
-                   FROM orient o JOIN deg d ON d.n = o.v),
-            wedges AS (SELECT l.u, l.v AS x, r.v AS y
-                       FROM ov l JOIN ov r ON l.u = r.u
-                       WHERE l.dv < r.dv OR (l.dv = r.dv AND l.v < r.v)),
-            tri AS (SELECT w.u, w.x, w.y FROM wedges w
-                    JOIN orient o ON o.u = w.x AND o.v = w.y),
-            tn AS (SELECT u AS node_id FROM tri
-                   UNION ALL SELECT x FROM tri
-                   UNION ALL SELECT y FROM tri)
-            SELECT node_id, COUNT(*)::BIGINT AS n_triangles
-            FROM tn GROUP BY node_id
+            WITH {triangle_ctes}
+            SELECT node_id, n_triangles FROM tcount
             ORDER BY n_triangles DESC, node_id ASC LIMIT 30
+        """,
+        # Watts-Strogatz local clustering coefficient on the integer
+        # micro-lattice (operators/linkgraph.clustering_coefficients)
+        "link_clustering": f"""
+            WITH {triangle_ctes}
+            SELECT deg.n AS node_id, deg.d AS degree,
+                   COALESCE(t.n_triangles, 0)::BIGINT AS n_triangles,
+                   ((2 * COALESCE(t.n_triangles, 0) * 1000000)
+                    // (deg.d * (deg.d - 1)))::BIGINT AS cc_micro
+            FROM deg LEFT JOIN tcount t ON t.node_id = deg.n
+            WHERE deg.d >= 2
+            ORDER BY cc_micro DESC, node_id ASC LIMIT 30
+        """,
+        # personalized PageRank: teleport mass only on the
+        # doc_id%100==0 seed set, two unrolled exact-integer iterations
+        # (operators/linkgraph.personalized_pagerank)
+        "link_ppr": f"""
+            WITH {link_edges_cte},
+            deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+            sd AS (SELECT doc_id AS node_id FROM documents
+                   WHERE doc_id % 100 = 0),
+            p0 AS (SELECT d.doc_id AS node_id,
+                     (CASE WHEN s.node_id IS NOT NULL
+                           THEN 1000000 ELSE 0 END)::BIGINT AS pr
+                   FROM documents d LEFT JOIN sd s ON d.doc_id = s.node_id),
+            in1 AS (SELECT e.dst AS node_id, SUM(p.pr // d.out_deg) AS inflow
+                    FROM edges e JOIN p0 p ON e.src = p.node_id
+                    JOIN deg d ON e.src = d.src GROUP BY e.dst),
+            p1 AS (SELECT d.doc_id AS node_id,
+                     ((CASE WHEN s.node_id IS NOT NULL THEN 150000 ELSE 0 END)
+                      + (17 * COALESCE(i.inflow, 0)) // 20)::BIGINT AS pr
+                   FROM documents d LEFT JOIN sd s ON d.doc_id = s.node_id
+                   LEFT JOIN in1 i ON d.doc_id = i.node_id),
+            in2 AS (SELECT e.dst AS node_id, SUM(p.pr // d.out_deg) AS inflow
+                    FROM edges e JOIN p1 p ON e.src = p.node_id
+                    JOIN deg d ON e.src = d.src GROUP BY e.dst),
+            p2 AS (SELECT d.doc_id AS node_id,
+                     ((CASE WHEN s.node_id IS NOT NULL THEN 150000 ELSE 0 END)
+                      + (17 * COALESCE(i.inflow, 0)) // 20)::BIGINT AS pr
+                   FROM documents d LEFT JOIN sd s ON d.doc_id = s.node_id
+                   LEFT JOIN in2 i ON d.doc_id = i.node_id)
+            SELECT node_id, pr FROM p2 WHERE pr > 0
+            ORDER BY pr DESC, node_id ASC LIMIT 30
         """,
         "link_cocitation": f"""
             WITH {link_edges_cte},

@@ -285,6 +285,56 @@ def deduplicate_corpus(docs: DataFrame, text_col: str = "text",
     return docs.join(losers, id_col, "left_anti")
 
 
+def minhash_estimate_pairs(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_hashes: int = DEFAULT_MINHASH_SEEDS,
+                           bands: int = DEFAULT_BANDS,
+                           shingle_size: int = 3) -> DataFrame:
+    """LSH candidate pairs scored both ways: the MinHash ESTIMATE of
+    Jaccard (fraction of agreeing signature components — Broder 1997's
+    unbiased estimator) next to the EXACT shingle-set Jaccard, both on
+    the integer micro-lattice (floor division, bit-identical across
+    engines).  This is the estimator-quality diagnostic a pipeline runs
+    before trusting signature-only dedup decisions at scale: plot
+    est vs exact, pick bands/rows for the S-curve you need.
+
+    Returns (id_a, id_b, n_agree, est_micro, jaccard_micro), one row
+    per banded candidate pair (id_a < id_b).
+
+    Scale: candidates come from the banded self-join (never all-pairs);
+    the exact side then joins the two shingle SETS for candidate rows
+    only — the same "shuffle grams only for survivors" discipline as
+    ``verified_near_pairs``.  Signatures and shingle sets are projected
+    once into a column layer so the md5 fold runs once per document per
+    side."""
+    pairs = minhash_candidate_pairs(docs, text_col, id_col, n_hashes,
+                                    bands, shingle_size)
+    sh = docs.select(F.col(id_col),
+                     T.shingle_set(F.col(text_col), shingle_size)
+                     .alias("shset"))
+    side = sh.select(
+        id_col, "shset",
+        H.minhash_int_array(F.col("shset"),
+                            H.MINHASH_SEEDS[:n_hashes]).alias("sig"))
+    a = side.select(F.col(id_col).alias("id_a"),
+                    F.col("shset").alias("sh_a"), F.col("sig").alias("sig_a"))
+    b = side.select(F.col(id_col).alias("id_b"),
+                    F.col("shset").alias("sh_b"), F.col("sig").alias("sig_b"))
+    scored = (pairs.join(a, "id_a").join(b, "id_b")
+              .withColumn("n_agree", F.expr(
+                  "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+                  " 0, (acc, v) -> acc + v)").cast("long"))
+              .withColumn("_inter", F.expr(
+                  "size(array_intersect(sh_a, sh_b))").cast("long")))
+    return scored.select(
+        "id_a", "id_b", "n_agree",
+        F.expr(f"(n_agree * 1000000) div {n_hashes}").cast("long")
+        .alias("est_micro"),
+        F.expr("(_inter * 1000000)"
+               " div (size(sh_a) + size(sh_b) - _inter)").cast("long")
+        .alias("jaccard_micro"))
+
+
 def verified_near_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         jaccard_threshold: float = 0.8,

@@ -120,6 +120,36 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
             .agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
+def clustering_coefficients(edges: DataFrame, src_col: str = "src",
+                            dst_col: str = "dst",
+                            scale: int = PR_SCALE) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998):
+    ``cc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1))`` over the
+    undirected graph — returned on the integer lattice
+    (``cc_micro = (2 * T * scale) div (d * (d-1))``, exact floor
+    division, bit-identical across engines) for every node with
+    degree >= 2 (the coefficient is undefined below that).
+
+    The web-curation read: high coefficient + low degree = organic
+    community; high degree + near-zero coefficient = hub or link farm
+    whose neighbors ignore each other.  Cost: :func:`triangle_counts`
+    plus one degree aggregate and a keyed join — the triangle pass
+    dominates."""
+    und = undirected_edges(edges, src_col, dst_col)
+    deg = (und.select(F.col("a").alias("node_id"))
+           .unionByName(und.select(F.col("b").alias("node_id")))
+           .groupBy("node_id").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_counts(edges, src_col, dst_col)
+    return (deg.where(F.col("degree") >= 2)
+            .join(tri, "node_id", "left")
+            .select("node_id", "degree",
+                    F.coalesce("n_triangles", F.lit(0).cast("long"))
+                    .alias("n_triangles"))
+            .withColumn("cc_micro", F.expr(
+                f"(2 * n_triangles * {scale}) div (degree * (degree - 1))")
+                .cast("long")))
+
+
 def cocitation_pairs(edges: DataFrame, max_fanout: int | None = 64,
                      src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Co-citation pair mining (Small 1973; the web-curation use is
@@ -149,6 +179,56 @@ def cocitation_pairs(edges: DataFrame, max_fanout: int | None = 64,
             .where(F.col("a") < F.col("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_common")))
+
+
+def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
+                          seeds: DataFrame, iters: int = 2,
+                          scale: int = PR_SCALE, id_col: str = "node_id",
+                          src_col: str = "src",
+                          dst_col: str = "dst") -> DataFrame:
+    """Personalized PageRank on the integer lattice (Page et al. 1999
+    §6; Haveliwala WWW'02 topic-sensitive variant): the teleport mass
+    lands only on ``seeds`` — rank becomes proximity-to-the-seed-set,
+    the standard crawl-frontier prioritizer ("score pages by closeness
+    to a trusted seed list", cf. TrustRank, Gyöngyi et al. VLDB'04).
+
+        ppr0(v)  = scale if v in seeds else 0
+        ppr'(v)  = [v in seeds] * (3 * scale) // 20
+                   + (17 * inflow(v)) // 20
+
+    Same exact-integer recurrence as :func:`pagerank` (damping 17/20,
+    floor division; dangling mass leaks as documented there), so any
+    engine reproduces the ranks bit-for-bit.  ``seeds`` is one column
+    of node ids; it is broadcast (seed lists are small by definition)
+    and each iteration stays one rank-carry join + one partial-agg
+    shuffle."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1; got {iters}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = out_degrees(e)
+    seed = F.broadcast(seeds.select(
+        F.col(seeds.columns[0]).alias("node_id"))
+        .withColumn("_seed", F.lit(1)))
+    base = (3 * scale) // 20
+    pr = (nodes.select(F.col(id_col).alias("node_id"))
+          .join(seed, "node_id", "left")
+          .select("node_id",
+                  F.when(F.col("_seed") == 1, F.lit(scale))
+                  .otherwise(F.lit(0)).cast("long").alias("pr")))
+    for _ in range(iters):
+        contrib = (e.join(pr.withColumnRenamed("node_id", "src"), "src")
+                   .join(deg, "src")
+                   .select(F.col("dst").alias("node_id"),
+                           F.expr("pr div out_deg").cast("long").alias("c")))
+        inflow = contrib.groupBy("node_id").agg(F.sum("c").alias("inflow"))
+        pr = (nodes.select(F.col(id_col).alias("node_id"))
+              .join(inflow, "node_id", "left")
+              .join(seed, "node_id", "left")
+              .select("node_id", F.expr(
+                  f"(CASE WHEN _seed = 1 THEN {base}L ELSE 0L END)"
+                  f" + ((17 * coalesce(inflow, 0L)) div 20)")
+                  .cast("long").alias("pr")))
+    return pr
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,

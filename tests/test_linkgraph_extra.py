@@ -68,6 +68,45 @@ def test_triangles_plan_no_python_no_cartesian(spark):
     assert "EvalPython" not in plan
 
 
+# ------------------------------------------------------ clustering coefficient
+
+def test_clustering_k4_is_one_path_is_zero(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    rows = {r["node_id"]: (r["degree"], r["cc_micro"]) for r in
+            linkgraph.clustering_coefficients(_edges(spark, k4)).collect()}
+    assert rows == {i: (3, 1_000_000) for i in range(4)}
+    # path 0-1-2: middle node d=2 T=0 -> cc 0; endpoints d=1 excluded
+    path = {r["node_id"]: r["cc_micro"] for r in
+            linkgraph.clustering_coefficients(
+                _edges(spark, [(0, 1), (1, 2)])).collect()}
+    assert path == {1: 0}
+
+
+# ------------------------------------------------------ personalized pagerank
+
+def test_personalized_pagerank_hand_chain(spark):
+    # chain 1 -> 2 -> 3, seed {1}, two exact-integer iterations:
+    #   iter1: p(1)=150000, p(2)=(17*10^6)//20=850000, p(3)=0
+    #   iter2: p(1)=150000, p(2)=(17*150000)//20=127500,
+    #          p(3)=(17*850000)//20=722500
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node_id: long")
+    seeds = spark.createDataFrame([(1,)], "node_id: long")
+    e = _edges(spark, [(1, 2), (2, 3)])
+    pr = {r["node_id"]: r["pr"] for r in
+          linkgraph.personalized_pagerank(nodes, e, seeds, iters=2).collect()}
+    assert pr == {1: 150000, 2: 127500, 3: 722500}
+
+
+def test_personalized_pagerank_nonseed_component_stays_zero(spark):
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 8, 9]],
+                                  "node_id: long")
+    seeds = spark.createDataFrame([(1,)], "node_id: long")
+    e = _edges(spark, [(1, 2), (8, 9)])  # 8-9 unreachable from the seed
+    pr = {r["node_id"]: r["pr"] for r in
+          linkgraph.personalized_pagerank(nodes, e, seeds, iters=3).collect()}
+    assert pr[8] == 0 and pr[9] == 0 and pr[1] > 0 and pr[2] > 0
+
+
 # --------------------------------------------------------------- cocitation
 
 def test_cocitation_counts_and_ordering(spark):
@@ -128,6 +167,40 @@ def test_connected_components_matches_dedup_cc_loop(spark):
     kept = sorted(r["doc_id"]
                   for r in dedup.deduplicate_corpus_cc(docs).collect())
     assert kept == [0, 2]
+
+
+# ------------------------------------------------------- minhash estimation
+
+def test_minhash_estimate_identical_docs_score_full(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import dedup
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = ("totally unrelated words about spark partitions shuffles "
+             "and adaptive execution planning at corpus scale")
+    docs = spark.createDataFrame([(0, same), (1, same), (2, other)],
+                                 "doc_id: long, text: string")
+    rows = dedup.minhash_estimate_pairs(docs).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
+    r = rows[0]
+    assert r["n_agree"] == 8
+    assert r["est_micro"] == 1_000_000
+    assert r["jaccard_micro"] == 1_000_000
+
+
+def test_minhash_estimate_partial_overlap_bounds(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import dedup
+
+    base = "one two three four five six seven eight nine ten"
+    near = base + " eleven"
+    docs = spark.createDataFrame([(0, base), (1, near)],
+                                 "doc_id: long, text: string")
+    rows = dedup.minhash_estimate_pairs(docs).collect()
+    if rows:  # banding may or may not surface the pair; if it does:
+        r = rows[0]
+        # exact jaccard = 8 shared / 9 union shingles
+        assert r["jaccard_micro"] == (8 * 1_000_000) // 9
+        assert 0 <= r["n_agree"] <= 8
+        assert r["est_micro"] == (r["n_agree"] * 1_000_000) // 8
 
 
 # ---------------------------------------------------- temperature sampling
