@@ -61,10 +61,12 @@ BENCH_QUERIES = [
     "multimodal_stats",
     "c2_structural",
     # r5 families: IVFADC ANN serving shape; codec-feature image dedup;
-    # DSIR importance resampling
+    # DSIR importance resampling; triangle family (clustering coefficient
+    # = triangles + degree join over the persisted canonical edge layer)
     "ann_ivfadc_topk",
     "media_near_pairs",
     "dsir_topk",
+    "link_clustering",
 ]
 
 

@@ -89,11 +89,34 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
     O(m^1.5) worst-case and near-linear on power-law graphs — hubs
     never self-join on their full neighborhood.  Every step is a keyed
     equi-join or hash aggregate (no cartesian anywhere); the closing
-    join shuffles on the wedge pair, which AQE can skew-split."""
-    und = undirected_edges(edges, src_col, dst_col)
+    join shuffles on the wedge pair, which AQE can skew-split.
+
+    The canonical edge set, the degree table, and the oriented-edge
+    layer each feed MULTIPLE downstream branches, so all three are
+    ``.persist()``-pinned for the lifetime of the returned plan —
+    without the barriers the static plan re-derives them per consumer
+    (measured: 152 parquet scans vs 4 on the entry fixture; no
+    cross-branch exchange reuse fires for these shapes).  Same
+    never-explicitly-released note as ``profiling.histogram_quantiles``:
+    callers looping in one long session should
+    ``spark.catalog.clearCache()`` between sweeps."""
+    und, deg = _canonical_graph(edges, src_col, dst_col)
+    return _triangles_from(und, deg)
+
+
+def _canonical_graph(edges: DataFrame, src_col: str, dst_col: str):
+    """(und, deg) — persisted canonical undirected edge set and its
+    degree table, the shared base layer of the triangle family."""
+    und = undirected_edges(edges, src_col, dst_col).persist()
     deg = (und.select(F.col("a").alias("n"))
            .unionByName(und.select(F.col("b").alias("n")))
-           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d"))).persist()
+    return und, deg
+
+
+def _triangles_from(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-oriented wedge closing over a prepared (und, deg) pair —
+    see :func:`triangle_counts` for semantics and the barrier rationale."""
     j = (und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
          .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b"))
     a_lower = (F.col("da") < F.col("db")) | \
@@ -101,10 +124,12 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
     oriented = j.select(
         F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("v"))
-    # carry rank(v) so each wedge {v, w} is emitted once, ordered
+    # carry rank(v) so each wedge {v, w} is emitted once, ordered; this
+    # layer doubles as the edge-existence side of the closing join, so
+    # `oriented` itself has exactly one consumer
     ov = (oriented.join(deg.select(F.col("n").alias("v"),
                                    F.col("d").alias("dv")), "v")
-          .select("u", "v", "dv"))
+          .select("u", "v", "dv")).persist()
     lo = ov.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     hi = ov.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedges = (lo.join(hi, "u")
@@ -113,7 +138,7 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
                         & (F.col("x") < F.col("y"))))
               .select("u", "x", "y"))
     closed = wedges.join(
-        oriented.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ov.select(F.col("u").alias("x"), F.col("v").alias("y")),
         ["x", "y"])
     return (closed.select(F.explode(F.array("u", "x", "y")).alias("node_id"))
             .groupBy("node_id")
@@ -133,13 +158,11 @@ def clustering_coefficients(edges: DataFrame, src_col: str = "src",
     The web-curation read: high coefficient + low degree = organic
     community; high degree + near-zero coefficient = hub or link farm
     whose neighbors ignore each other.  Cost: :func:`triangle_counts`
-    plus one degree aggregate and a keyed join — the triangle pass
-    dominates."""
-    und = undirected_edges(edges, src_col, dst_col)
-    deg = (und.select(F.col("a").alias("node_id"))
-           .unionByName(und.select(F.col("b").alias("node_id")))
-           .groupBy("node_id").agg(F.count(F.lit(1)).alias("degree")))
-    tri = triangle_counts(edges, src_col, dst_col)
+    plus a keyed join — the edge set and degree table are the same
+    persisted layers the triangle pass uses (one derivation total)."""
+    und, deg0 = _canonical_graph(edges, src_col, dst_col)
+    deg = deg0.select(F.col("n").alias("node_id"), F.col("d").alias("degree"))
+    tri = _triangles_from(und, deg0)
     return (deg.where(F.col("degree") >= 2)
             .join(tri, "node_id", "left")
             .select("node_id", "degree",
