@@ -304,9 +304,12 @@ def minhash_estimate_pairs(docs: DataFrame, text_col: str = "text",
     Scale: candidates come from the banded self-join (never all-pairs);
     the exact side then joins the two shingle SETS for candidate rows
     only — the same "shuffle grams only for survivors" discipline as
-    ``verified_near_pairs``.  Signatures and shingle sets are projected
-    once into a column layer so the md5 fold runs once per document per
-    side."""
+    ``verified_near_pairs``.  The (shset, sig) table feeds BOTH sides
+    of the pair join, so it is ``.persist()``-pinned for the lifetime
+    of the returned plan — one md5 fold pass over the corpus instead of
+    one per side (at cluster scale this is the signatures table written
+    once and joined twice, cf. ``minhash_candidate_pairs``); pinned by
+    the exactly-one-md5 plan test."""
     pairs = minhash_candidate_pairs(docs, text_col, id_col, n_hashes,
                                     bands, shingle_size)
     sh = docs.select(F.col(id_col),
@@ -315,7 +318,7 @@ def minhash_estimate_pairs(docs: DataFrame, text_col: str = "text",
     side = sh.select(
         id_col, "shset",
         H.minhash_int_array(F.col("shset"),
-                            H.MINHASH_SEEDS[:n_hashes]).alias("sig"))
+                            H.MINHASH_SEEDS[:n_hashes]).alias("sig")).persist()
     a = side.select(F.col(id_col).alias("id_a"),
                     F.col("shset").alias("sh_a"), F.col("sig").alias("sig_a"))
     b = side.select(F.col(id_col).alias("id_b"),

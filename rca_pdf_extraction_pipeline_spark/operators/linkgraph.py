@@ -186,10 +186,13 @@ def cocitation_pairs(edges: DataFrame, max_fanout: int | None = 64,
     nothing pairwise; capping is the standard guard, and it bounds the
     expansion at C(max_fanout, 2) per source).  ``max_fanout=None``
     disables the cap explicitly.  One keyed self-join on src + one hash
-    aggregate on the pair; never a cartesian."""
+    aggregate on the pair; never a cartesian.  The distinct edge set
+    feeds the fan-out census and both self-join sides, so it is
+    ``.persist()``-pinned for the lifetime of the returned plan (same
+    multi-consumer rationale as :func:`triangle_counts`)."""
     e = (edges.where(F.col(src_col) != F.col(dst_col))
          .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-         .distinct())
+         .distinct()).persist()
     if max_fanout is not None:
         if max_fanout < 2:
             raise ValueError(f"max_fanout must be >= 2; got {max_fanout}")

@@ -429,6 +429,17 @@ def test_asof_join_is_one_exchange_per_side(spark):
     assert plan.count("Exchange hashpartitioning(k#") == 1
 
 
+def test_minhash_estimate_single_md5_fold(documents):
+    """minhash_estimate_pairs feeds BOTH pair-join sides from one
+    persisted (shset, sig) layer: the md5-per-shingle fold must appear
+    exactly once in the final plan (the candidate-pair side is already
+    lineage-cut by its materializer).  A second occurrence means a join
+    side re-inlined the fold — doubling the dominant cost."""
+    plan = _formatted(dedup.minhash_estimate_pairs(documents))
+    assert "EvalPython" not in plan
+    assert plan.count("md5") == 1, plan.count("md5")
+
+
 def test_simhash_swar_single_project_no_hof_filters(documents):
     """The SWAR signature must evaluate the md5 transform ONCE (a single
     non-collapsed projection feeding 16 scalar folds) — no ArrayFilter
