@@ -1151,6 +1151,19 @@ def _q_link_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("pr").desc(), F.col("node_id").asc()).limit(30))
 
 
+def _q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized integer HITS (Kleinberg): two hub/authority sweeps
+    over the fixture link graph — top-30 by (auth, hub, node_id).
+    Exact integer walk counts, bit-identical in both engines."""
+    from rca_pdf_extraction_pipeline_spark.operators import linkgraph
+
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node_id"))
+    hits = linkgraph.hits_scores(nodes, _link_edges(spark, sf_dir), iters=2)
+    return hits.orderBy(F.col("auth").desc(), F.col("hub").desc(),
+                        F.col("node_id").asc()).limit(30)
+
+
 def _q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality diagnostic: every banded MinHash candidate
     pair scored with the signature-agreement Jaccard ESTIMATE next to
@@ -1665,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_components": _q_link_components,
         "link_clustering": _q_link_clustering,
         "link_ppr": _q_link_ppr,
+        "link_hits": _q_link_hits,
         "dedup_minhash_est": _q_dedup_minhash_est,
         "sample_temperature": _q_sample_temperature,
         # (3) r4-green but output semantics / implementation touched in r5
@@ -2904,6 +2918,35 @@ def oracle_sql() -> dict[str, str]:
             WITH {pagerank_ctes}
             SELECT node_id, pr FROM pr2
             ORDER BY pr DESC, node_id ASC LIMIT 30
+        """,
+        # unnormalized integer HITS, two unrolled sweeps
+        # (operators/linkgraph.hits_scores): a1 = in-degree (h0 = 1),
+        # h1 = sum of out-linked a1, a2 = sum of in-linking h1,
+        # h2 = sum of out-linked a2
+        "link_hits": f"""
+            WITH {link_edges_cte},
+            a1 AS (SELECT d.doc_id AS node_id, COALESCE(x.a, 0)::BIGINT AS a
+                   FROM documents d LEFT JOIN
+                     (SELECT dst, COUNT(*)::BIGINT AS a
+                      FROM edges GROUP BY dst) x ON d.doc_id = x.dst),
+            h1 AS (SELECT d.doc_id AS node_id, COALESCE(x.h, 0)::BIGINT AS h
+                   FROM documents d LEFT JOIN
+                     (SELECT e.src, SUM(a1.a)::BIGINT AS h
+                      FROM edges e JOIN a1 ON e.dst = a1.node_id
+                      GROUP BY e.src) x ON d.doc_id = x.src),
+            a2 AS (SELECT d.doc_id AS node_id, COALESCE(x.a, 0)::BIGINT AS a
+                   FROM documents d LEFT JOIN
+                     (SELECT e.dst, SUM(h1.h)::BIGINT AS a
+                      FROM edges e JOIN h1 ON e.src = h1.node_id
+                      GROUP BY e.dst) x ON d.doc_id = x.dst),
+            h2 AS (SELECT d.doc_id AS node_id, COALESCE(x.h, 0)::BIGINT AS h
+                   FROM documents d LEFT JOIN
+                     (SELECT e.src, SUM(a2.a)::BIGINT AS h
+                      FROM edges e JOIN a2 ON e.dst = a2.node_id
+                      GROUP BY e.src) x ON d.doc_id = x.src)
+            SELECT h2.node_id, h2.h AS hub, a2.a AS auth
+            FROM h2 JOIN a2 ON h2.node_id = a2.node_id
+            ORDER BY auth DESC, hub DESC, h2.node_id ASC LIMIT 30
         """,
         # degree-oriented triangle enumeration: orient each undirected
         # edge low-(degree,id) -> high, close wedges against the

@@ -207,6 +207,56 @@ def cocitation_pairs(edges: DataFrame, max_fanout: int | None = 64,
             .agg(F.count(F.lit(1)).alias("n_common")))
 
 
+def hits_scores(nodes: DataFrame, edges: DataFrame, iters: int = 2,
+                id_col: str = "node_id", src_col: str = "src",
+                dst_col: str = "dst") -> DataFrame:
+    """Unnormalized HITS (Kleinberg JACM'99): per iteration the
+    authority score is the sum of in-linking hub scores, then the hub
+    score is the sum of out-linked authority scores:
+
+        a_i(v) = SUM over (u, v) of h_{i-1}(u)
+        h_i(v) = SUM over (v, w) of a_i(w)
+
+    starting from h_0 = 1 everywhere.  Kleinberg normalizes per
+    iteration to converge toward the dominant eigenvector; this variant
+    drops the normalization so every value stays an EXACT integer
+    (bit-identical across engines) — after ``iters`` rounds the scores
+    are the (A^T A)^i walk counts, which rank identically to one
+    normalized power-iteration step of the same depth.  Magnitudes grow
+    as O(d_max^(2*iters)) so keep ``iters`` small (<= 3 on web-scale
+    graphs keeps sums far inside int64; the curation use — "separate
+    directory hubs from destination authorities" — needs one or two).
+
+    Returns (node_id, hub, auth), every node present — a node with no
+    out-links scores hub 0, a node with no in-links scores auth 0.
+
+    Scale: each iteration is two keyed join + partial-agg shuffles (the
+    canonical shape shared with :func:`pagerank`); bucket the edge
+    table by src/dst for the exchange-free variant."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1; got {iters}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    base = nodes.select(F.col(id_col).alias("node_id"))
+    h = base.withColumn("h", F.lit(1).cast("long"))
+    a = None
+    for _ in range(iters):
+        a_in = (e.join(h.withColumnRenamed("node_id", "src"), "src")
+                .groupBy(F.col("dst").alias("node_id"))
+                .agg(F.sum("h").alias("a")))
+        a = (base.join(a_in, "node_id", "left")
+             .select("node_id", F.coalesce("a", F.lit(0).cast("long"))
+                     .alias("a")))
+        h_out = (e.join(a.withColumnRenamed("node_id", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node_id"))
+                 .agg(F.sum("a").alias("h")))
+        h = (base.join(h_out, "node_id", "left")
+             .select("node_id", F.coalesce("h", F.lit(0).cast("long"))
+                     .alias("h")))
+    return (h.join(a, "node_id")
+            .select("node_id", F.col("h").alias("hub"),
+                    F.col("a").alias("auth")))
+
+
 def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
                           seeds: DataFrame, iters: int = 2,
                           scale: int = PR_SCALE, id_col: str = "node_id",

@@ -107,6 +107,44 @@ def test_personalized_pagerank_nonseed_component_stays_zero(spark):
     assert pr[8] == 0 and pr[9] == 0 and pr[1] > 0 and pr[2] > 0
 
 
+# ---------------------------------------------------------------------- hits
+
+def test_hits_hand_computed_two_sweeps(spark):
+    # 1 -> 3, 2 -> 3, 3 -> 4; h0 = 1:
+    #   a1 = in-degree: {3: 2, 4: 1}
+    #   h1(v) = sum a1 over out-links: {1: 2, 2: 2, 3: 1}
+    #   a2(v) = sum h1 over in-links:  {3: 4, 4: 1}
+    #   h2(v) = sum a2 over out-links: {1: 4, 2: 4, 3: 1}
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]],
+                                  "node_id: long")
+    e = _edges(spark, [(1, 3), (2, 3), (3, 4)])
+    out = {r["node_id"]: (r["hub"], r["auth"]) for r in
+           linkgraph.hits_scores(nodes, e, iters=2).collect()}
+    assert out == {1: (4, 0), 2: (4, 0), 3: (1, 4), 4: (0, 1)}
+
+
+def test_hits_and_ppr_plans_no_python_no_cartesian(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node_id: long")
+    seeds = spark.createDataFrame([(0,)], "node_id: long")
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (3, 4)])
+    for df in (linkgraph.hits_scores(nodes, e, iters=2),
+               linkgraph.personalized_pagerank(nodes, e, seeds, iters=2)):
+        plan = _formatted(df)
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_isolated_node_scores_zero_and_guard(spark):
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "node_id: long")
+    out = {r["node_id"]: (r["hub"], r["auth"]) for r in
+           linkgraph.hits_scores(nodes, _edges(spark, [(1, 2)]),
+                                 iters=1).collect()}
+    assert out == {1: (1, 0), 2: (0, 1), 9: (0, 0)}
+    with pytest.raises(ValueError, match="iters"):
+        linkgraph.hits_scores(nodes, _edges(spark, [(1, 2)]), iters=0)
+
+
 # --------------------------------------------------------------- cocitation
 
 def test_cocitation_counts_and_ordering(spark):
