@@ -1164,6 +1164,18 @@ def _q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("node_id").asc()).limit(30)
 
 
+def _q_text_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 document pairs by sparse tf-idf cosine (Bayardo-style
+    all-pairs with a df-cap stop-term guard): exact integer dot on the
+    quantized-idf micro-lattice, 6-dp cosine; ties by (id_a, id_b)."""
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    pairs = similarity.sparse_cosine_pairs(_t(spark, sf_dir, "documents"),
+                                           df_frac=0.1)
+    return pairs.orderBy(F.col("cosine").desc(), F.col("id_a").asc(),
+                         F.col("id_b").asc()).limit(30)
+
+
 def _q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality diagnostic: every banded MinHash candidate
     pair scored with the signature-agreement Jaccard ESTIMATE next to
@@ -1679,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_clustering": _q_link_clustering,
         "link_ppr": _q_link_ppr,
         "link_hits": _q_link_hits,
+        "text_allpairs_cosine": _q_text_allpairs_cosine,
         "dedup_minhash_est": _q_dedup_minhash_est,
         "sample_temperature": _q_sample_temperature,
         # (3) r4-green but output semantics / implementation touched in r5
@@ -2918,6 +2931,43 @@ def oracle_sql() -> dict[str, str]:
             WITH {pagerank_ctes}
             SELECT node_id, pr FROM pr2
             ORDER BY pr DESC, node_id ASC LIMIT 30
+        """,
+        # Bayardo-style all-pairs tf-idf cosine with df-cap stop-term
+        # guard (operators/similarity.sparse_cosine_pairs): exact
+        # integer dot on the quantized-idf micro-lattice, 6-dp cosine
+        "text_allpairs_cosine": """
+            WITH base AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t != '') AS toks
+                 FROM documents),
+            tok AS (SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 2
+                          THEN list_transform(generate_series(1, len(toks) - 1),
+                                              i -> toks[i] || ' ' || toks[i+1])
+                          ELSE [] END) AS term
+                 FROM base),
+            tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+            w AS (SELECT tf.doc_id, tf.term,
+                    (tf.tf * round(ln(n.n_docs::DOUBLE / df.df::DOUBLE)
+                     * 1000000))::BIGINT AS w
+                  FROM tf JOIN df USING (term) CROSS JOIN n
+                  WHERE df.df >= 2
+                    AND df.df <= floor(0.1 * n.n_docs::DOUBLE)::BIGINT),
+            norm AS (SELECT doc_id, SUM(w * w)::BIGINT AS n2
+                     FROM w GROUP BY doc_id),
+            dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      SUM(a.w * b.w)::BIGINT AS dot
+                    FROM w a JOIN w b
+                      ON a.term = b.term AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+            SELECT id_a, id_b, dot,
+                   round(dot::DOUBLE / (sqrt(na.n2::DOUBLE)
+                         * sqrt(nb.n2::DOUBLE)), 6) AS cosine
+            FROM dot JOIN norm na ON na.doc_id = id_a
+                     JOIN norm nb ON nb.doc_id = id_b
+            ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 30
         """,
         # unnormalized integer HITS, two unrolled sweeps
         # (operators/linkgraph.hits_scores): a1 = in-degree (h0 = 1),

@@ -31,6 +31,23 @@ def n_tokens(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def bigrams(toks: Column) -> Column:
+    """Word-bigram array over a token array (empty below 2 tokens) —
+    built as zip_with over two shifted slices, one pass, no explode.
+
+    DuckDB twin over a ``toks`` list column:
+    ``CASE WHEN len(toks) >= 2 THEN list_transform(
+    generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END``.
+    """
+    n = F.size(toks)
+    return F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-gram shingles (order-sensitive), the standard MinHash
     unit (Broder 1997). Falls back to the whole text as one shingle

@@ -116,6 +116,67 @@ def bucketed_topk_multiprobe(embs: DataFrame, query_id: int, k: int = 10,
 KMEANS_SCALE = 1000
 
 
+def sparse_cosine_pairs(docs: DataFrame, df_frac: float = 0.1,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """All-pairs sparse tf-idf cosine over the corpus's word-BIGRAM
+    vocabulary (Bayardo et al. WWW'07 "Scaling up all pairs similarity
+    search", simplified): pairs of documents sharing at least one
+    retained bigram, scored by the cosine of their tf-idf vectors.
+    Bigram terms, not unigrams: a web corpus's unigram vocabulary is
+    dominated by stop-words that pair everything with everything, while
+    bigrams spread document frequency into the informative mid-band.
+
+    Returns (id_a, id_b, dot, cosine) with id_a < id_b; ``dot`` is the
+    EXACT integer inner product on the micro-lattice (idf quantized to
+    round(ln(n_docs/df) * 1e6), weight = tf * idf_micro — same
+    quantized-log determinism as ``textanalysis.unigram_logprob``) and
+    ``cosine`` its 6-dp normalization (sums are exact bigints below
+    2^53, so the final divide/sqrt/round reproduces bit-for-bit).
+
+    Scale: the pair expansion is Σ over terms of C(df, 2) — unbounded
+    on stop-terms — so terms appearing in more than ``df_frac`` of the
+    corpus are dropped BEFORE the self-join (they carry ~zero idf
+    weight anyway; the fraction tracks corpus growth where an absolute
+    cap would not, and is the simplified stand-in for Bayardo's prefix
+    filter).  df < 2 terms cannot pair and are also dropped.  The
+    weight table feeds the norm aggregate and both self-join sides, so
+    it is ``.persist()``-pinned for the lifetime of the returned plan
+    (see CLAUDE.md on multi-consumer layers)."""
+    if not 0.0 < df_frac <= 1.0:
+        raise ValueError(f"df_frac must be in (0, 1]; got {df_frac}")
+    from ..functions import text as T
+
+    tf = (docs.select(F.col(id_col).alias("doc"),
+                      F.explode(T.bigrams(T.tokens(F.col(text_col))))
+                      .alias("term"))
+          .groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (tf.join(dfreq.where(F.col("df") >= 2), "term")
+         .crossJoin(F.broadcast(n_docs))
+         .where(F.col("df") <= F.expr(f"cast(floor({df_frac!r} * "
+                                      f"cast(n_docs as double)) as bigint)"))
+         .select("doc", "term", F.expr(
+             "cast(tf * round(ln(cast(n_docs as double) / cast(df as double))"
+             " * 1000000) as bigint)").alias("w"))).persist()
+    norm = w.groupBy("doc").agg(F.expr("sum(w * w)").cast("long").alias("n2"))
+    a = w.select(F.col("doc").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc").alias("id_b"), "term", F.col("w").alias("wb"))
+    dot = (a.join(b, "term")
+           .where(F.col("id_a") < F.col("id_b"))
+           .groupBy("id_a", "id_b")
+           .agg(F.expr("sum(wa * wb)").cast("long").alias("dot")))
+    return (dot
+            .join(norm.select(F.col("doc").alias("id_a"),
+                              F.col("n2").alias("na2")), "id_a")
+            .join(norm.select(F.col("doc").alias("id_b"),
+                              F.col("n2").alias("nb2")), "id_b")
+            .select("id_a", "id_b", "dot", F.expr(
+                "round(cast(dot as double) / (sqrt(cast(na2 as double))"
+                " * sqrt(cast(nb2 as double))), 6)").alias("cosine")))
+
+
 def _lattice(embs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     qv = F.transform(
         V.as_double(F.col(vec_col)),

@@ -241,6 +241,45 @@ def test_minhash_estimate_partial_overlap_bounds(spark):
         assert r["est_micro"] == (r["n_agree"] * 1_000_000) // 8
 
 
+# ------------------------------------------------------- all-pairs cosine
+
+def test_sparse_cosine_hand_computed(spark):
+    import math
+
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    # bigram vocab: doc1 "x y x y" -> ("x y": 2, "y x": 1);
+    # doc2 "x y q" -> ("x y": 1, df-1 tail); doc3 "y x m" -> ("y x": 1,
+    # tail).  Retained terms "x y" and "y x" share one idf unit u:
+    #   cos(1,2) = 2/sqrt(5);  cos(1,3) = 1/sqrt(5);  no (2,3) pair
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y q"), (3, "y x m")],
+        "doc_id: long, text: string")
+    rows = {(r["id_a"], r["id_b"]): (r["dot"], r["cosine"]) for r in
+            similarity.sparse_cosine_pairs(docs, df_frac=1.0).collect()}
+    u = round(math.log(3 / 2) * 1_000_000)
+    assert rows[(1, 2)] == (2 * u * u, round(2 / math.sqrt(5), 6))
+    assert rows[(1, 3)] == (1 * u * u, round(1 / math.sqrt(5), 6))
+    assert len(rows) == 2
+
+
+def test_sparse_cosine_drops_unpaired_and_capped_terms(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    # identical docs pair at cosine 1.0; the all-singleton doc cannot
+    # pair (df=1 bigrams dropped)
+    docs = spark.createDataFrame(
+        [(1, "red green"), (2, "red green"), (3, "solo tokens")],
+        "doc_id: long, text: string")
+    rows = [(r["id_a"], r["id_b"], r["cosine"]) for r in
+            similarity.sparse_cosine_pairs(docs, df_frac=1.0).collect()]
+    assert rows == [(1, 2, 1.0)]
+    # fractional cap: floor(0.5 * 3) = 1 < 2 drops every term -> empty
+    assert similarity.sparse_cosine_pairs(docs, df_frac=0.5).count() == 0
+    with pytest.raises(ValueError, match="df_frac"):
+        similarity.sparse_cosine_pairs(docs, df_frac=0.0)
+
+
 # ---------------------------------------------------- temperature sampling
 
 def _docs(spark, sizes: dict[str, int]):
