@@ -1164,6 +1164,16 @@ def _q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("node_id").asc()).limit(30)
 
 
+def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val/test split: near-dup components
+    co-travel (membership hashes the component LABEL, not the doc), so
+    no near-duplicate pair ever straddles the train/test boundary."""
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    out = sampling.leakage_safe_split(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "split")
+
+
 def _q_text_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 document pairs by sparse tf-idf cosine (Bayardo-style
     all-pairs with a df-cap stop-term guard): exact integer dot on the
@@ -1692,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_ppr": _q_link_ppr,
         "link_hits": _q_link_hits,
         "text_allpairs_cosine": _q_text_allpairs_cosine,
+        "split_leakage_safe": _q_split_leakage_safe,
         "dedup_minhash_est": _q_dedup_minhash_est,
         "sample_temperature": _q_sample_temperature,
         # (3) r4-green but output semantics / implementation touched in r5
@@ -2500,6 +2511,60 @@ def oracle_sql() -> dict[str, str]:
                    ((n_agree * 1000000) // 8)::BIGINT AS est_micro,
                    ((inter_n * 1000000) // (la + lb - inter_n))::BIGINT AS jaccard_micro
             FROM sc ORDER BY id_a, id_b
+        """,
+        # leakage-safe split: the dedup_corpus_cc label chain, then the
+        # sample_split bucket rule applied to the component LABEL so
+        # near-dup components co-travel (operators/sampling.
+        # leakage_safe_split)
+        "split_leakage_safe": f"""
+            WITH RECURSIVE {_SQL_SHINGLE_BASE},
+            sigbase AS (
+              SELECT doc_id,
+                     list_transform(shset, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
+              FROM sh),
+            sig AS (SELECT doc_id, {minhash_sigs} FROM sigbase),
+            keys AS (
+              SELECT doc_id, 0 AS band,
+                     sig_0::VARCHAR || '-' || sig_1::VARCHAR || '-'
+                       || sig_2::VARCHAR || '-' || sig_3::VARCHAR AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     sig_4::VARCHAR || '-' || sig_5::VARCHAR || '-'
+                       || sig_6::VARCHAR || '-' || sig_7::VARCHAR AS band_key FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM keys a JOIN keys b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+              WHERE round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                    / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 6)
+                    >= 0.8),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                      UNION
+                      SELECT id_b, id_a FROM verified),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            minlab AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS label
+              FROM reach GROUP BY src),
+            lab AS (SELECT d.doc_id, COALESCE(m.label, d.doc_id) AS label
+                    FROM documents d LEFT JOIN minlab m ON m.doc_id = d.doc_id),
+            bk AS (SELECT doc_id,
+                     ('0x' || substr(md5('0:' || label::VARCHAR), 1, 8))::BIGINT
+                     % 1000000 AS bkt
+                   FROM lab)
+            SELECT doc_id,
+              CASE WHEN bkt < 800000 THEN 'train'
+                   WHEN bkt < 900000 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM bk
         """,
         "dedup_incremental": f"""
             WITH {_SQL_SHINGLE_BASE},

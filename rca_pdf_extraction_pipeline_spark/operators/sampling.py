@@ -153,6 +153,47 @@ def train_val_test_split(docs: DataFrame,
     return docs.withColumn("split", split)
 
 
+def leakage_safe_split(docs: DataFrame,
+                       weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+                       seed: int = 0, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       jaccard_threshold: float = 0.8,
+                       checkpoint_dir: str | None = None) -> DataFrame:
+    """Contamination-safe train/val/test split: every MinHash near-dup
+    connected component travels into ONE split, because membership is
+    decided by the hash bucket of the component LABEL (the component's
+    minimum doc id), not of the document itself.  A plain per-document
+    hash split lets near-duplicates straddle the train/test boundary —
+    the train-test leakage that deduplication papers warn inflates
+    eval scores (Lee et al. 2021 §6.2; GPT-3's contamination appendix).
+
+    Documents in no near-dup component label themselves, so for a
+    fully-deduplicated corpus this degrades EXACTLY to
+    :func:`train_val_test_split` with the same seed.
+
+    Scale: the component labels come from the shared min-label loop
+    (``dedup._cc_labels`` -> ``linkgraph.connected_components``;
+    banded candidate generation, never all-pairs; pass
+    ``checkpoint_dir`` for durable round materialization on a cluster),
+    then one keyed join and a narrow bucket filter."""
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1; got {weights}")
+    from .dedup import _cc_labels
+
+    labels = _cc_labels(docs, text_col, id_col, jaccard_threshold,
+                        n_hashes=8, bands=2, shingle_size=3, max_iter=50,
+                        checkpoint_dir=checkpoint_dir)
+    cut1 = int(round(weights[0] * SAMPLE_BUCKETS))
+    cut2 = cut1 + int(round(weights[1] * SAMPLE_BUCKETS))
+    b = sample_bucket(F.col("label"), seed)
+    split = (F.when(b < cut1, F.lit("train"))
+             .when(b < cut2, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return (docs.join(labels.withColumnRenamed("node", id_col), id_col)
+            .withColumn("split", split)
+            .drop("label"))
+
+
 def per_group_sample(docs: DataFrame, group_col: str, k: int,
                      seed: int = 0, id_col: str = "doc_id") -> DataFrame:
     """EXACTLY ``k`` rows per group (fewer if the group is smaller) —

@@ -280,6 +280,48 @@ def test_sparse_cosine_drops_unpaired_and_capped_terms(spark):
         similarity.sparse_cosine_pairs(docs, df_frac=0.0)
 
 
+# ---------------------------------------------------- leakage-safe split
+
+def test_leakage_safe_split_co_travels_near_dups(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import dedup, sampling
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet woods tonight for a while")
+    uniq = [f"totally distinct document number {i} about spark shuffle "
+            f"planning partition pruning and adaptive execution {i}"
+            for i in range(40)]
+    rows = [(i, uniq[i]) for i in range(40)]
+    rows += [(100 + j, base + f" tail{j}") for j in range(6)]  # one component
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    out = sampling.leakage_safe_split(docs)
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    # exhaustive and disjoint
+    assert len(split) == 46 and set(split.values()) <= {"train", "val", "test"}
+    # every verified near-dup pair lands in ONE split
+    pairs = dedup.verified_near_pairs(docs).collect()
+    assert pairs, "fixture must actually contain near-dup pairs"
+    for p in pairs:
+        assert split[p["id_a"]] == split[p["id_b"]]
+    # singletons (label = own id) match the plain per-doc split exactly
+    plain = {r["doc_id"]: r["split"]
+             for r in sampling.train_val_test_split(docs).collect()}
+    comp_ids = {p[c] for p in pairs for c in ("id_a", "id_b")}
+    for i in range(40):
+        if i not in comp_ids:
+            assert split[i] == plain[i]
+
+
+def test_leakage_safe_split_weights_guard(spark):
+    import pytest as _pt
+
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    with _pt.raises(ValueError, match="weights"):
+        sampling.leakage_safe_split(docs, weights=(0.5, 0.1, 0.1))
+
+
 # ---------------------------------------------------- temperature sampling
 
 def _docs(spark, sizes: dict[str, int]):
