@@ -1396,6 +1396,18 @@ def _q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang")
 
 
+def _q_sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture: ~3000 chars of src0, ~1500 of src1,
+    everything of src2 (budget above its mass) — keep-rate =
+    target_tokens / source_tokens, docs kept whole."""
+    from rca_pdf_extraction_pipeline_spark.operators import sampling as S
+
+    return S.token_mixture_sample(
+        _t(spark, sf_dir, "documents"), "source",
+        {"src0": 3_000, "src1": 1_500, "src2": 10_000_000}, seed=5) \
+        .select("doc_id", "source", "n_chars")
+
+
 def _q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al., NeurIPS'23): the 25 non-src1
     documents that look most like the src1 domain under hashed-unigram
@@ -1703,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": _q_link_hits,
         "text_allpairs_cosine": _q_text_allpairs_cosine,
         "split_leakage_safe": _q_split_leakage_safe,
+        "sample_token_mixture": _q_sample_token_mixture,
         "dedup_minhash_est": _q_dedup_minhash_est,
         "sample_temperature": _q_sample_temperature,
         # (3) r4-green but output semantics / implementation touched in r5
@@ -3903,6 +3916,24 @@ def oracle_sql() -> dict[str, str]:
                        AS cut
               FROM c)
             SELECT d.doc_id, d.source, d.lang
+            FROM documents d JOIN cuts ON d.source = cuts.source
+            WHERE ('0x' || substr(md5('5:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 1000000 < cut
+        """,
+        # token-budget mixture (operators/sampling.token_mixture_sample):
+        # per-source cut = round(target_tokens * 1e6 / sum(n_chars))
+        "sample_token_mixture": """
+            WITH c AS (
+              SELECT source, SUM(n_chars)::BIGINT AS tok FROM documents
+              WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+            cuts AS (
+              SELECT source,
+                     least(1000000, round((CASE source
+                         WHEN 'src0' THEN 3000 WHEN 'src1' THEN 1500
+                         ELSE 10000000 END)::DOUBLE * 1000000 / tok)::BIGINT)
+                       AS cut
+              FROM c)
+            SELECT d.doc_id, d.source, d.n_chars
             FROM documents d JOIN cuts ON d.source = cuts.source
             WHERE ('0x' || substr(md5('5:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
                   % 1000000 < cut

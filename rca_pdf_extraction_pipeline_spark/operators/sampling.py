@@ -272,6 +272,38 @@ def mixture_sample(docs: DataFrame, source_col: str,
             .drop("_n", "_cut"))
 
 
+def token_mixture_sample(docs: DataFrame, source_col: str,
+                         token_targets: dict[str, int],
+                         token_col: str = "n_chars", seed: int = 0,
+                         id_col: str = "doc_id") -> DataFrame:
+    """:func:`mixture_sample` with TOKEN budgets instead of row counts —
+    the unit a training recipe is actually written in ("500B web
+    tokens, 100B code tokens").  Per-source keep-rate is
+    ``min(1, target_tokens / total_tokens)`` over ``token_col`` (a
+    pre-computed per-doc token/char count column); membership is the
+    usual content-independent md5 bucket filter, so the EXPECTED kept
+    token mass per source is the target (exact only in expectation —
+    documents are kept whole; a row-count mixture can't even promise
+    that when doc lengths differ across sources).
+
+    Scale: one tiny per-source SUM aggregate broadcast back + a narrow
+    scan filter — same shape as :func:`mixture_sample`."""
+    for s, t in token_targets.items():
+        if t < 0:
+            raise ValueError(f"negative token target for source {s!r}: {t}")
+    tgt = F.create_map(*[F.lit(x) for kv in token_targets.items() for x in kv])
+    totals = (docs.filter(F.col(source_col).isin(*token_targets.keys()))
+              .groupBy(source_col)
+              .agg(F.sum(F.col(token_col).cast("long")).alias("_tok"))
+              .withColumn("_cut", F.least(
+                  F.lit(SAMPLE_BUCKETS).cast("bigint"),
+                  F.round(tgt[F.col(source_col)].cast("double")
+                          * SAMPLE_BUCKETS / F.col("_tok")).cast("bigint"))))
+    return (docs.join(F.broadcast(totals), source_col)
+            .filter(sample_bucket(F.col(id_col), seed) < F.col("_cut"))
+            .drop("_tok", "_cut"))
+
+
 #: exponent 1 - alpha for each supported temperature, as a SQL factor
 #: over ``r = n_max / n_g`` built from division and sqrt ONLY — both
 #: correctly rounded under IEEE-754, so every engine computes the

@@ -280,6 +280,44 @@ def test_sparse_cosine_drops_unpaired_and_capped_terms(spark):
         similarity.sparse_cosine_pairs(docs, df_frac=0.0)
 
 
+# ------------------------------------------------------ empty-graph edges
+
+def test_graph_ops_empty_and_selfloop_only_edges(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], "node_id: long")
+    loops = _edges(spark, [(1, 1), (2, 2)])
+    assert linkgraph.triangle_counts(loops).count() == 0
+    assert linkgraph.clustering_coefficients(loops).count() == 0
+    assert linkgraph.cocitation_pairs(loops).count() == 0
+    labels = {r["node_id"]: r["label"] for r in
+              linkgraph.connected_components(nodes, loops).collect()}
+    assert labels == {1: 1, 2: 2}
+    hits = {r["node_id"]: (r["hub"], r["auth"]) for r in
+            linkgraph.hits_scores(nodes, loops, iters=1).collect()}
+    # self-loops are real directed edges for HITS (a node cites itself)
+    assert set(hits) == {1, 2}
+
+
+# ------------------------------------------------------ token mixture
+
+def test_token_mixture_budgets_token_mass(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    rows = [(i, "web", 100) for i in range(400)] \
+        + [(1000 + i, "code", 50) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id: long, source: string, n_chars: long")
+    out = sampling.token_mixture_sample(
+        docs, "source", {"web": 4_000, "code": 1_000_000})
+    by = {r["source"]: (r["n"], r["tok"]) for r in
+          out.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("tok"))
+          .collect()}
+    # web: 40k tokens total, budget 4k -> rate 0.1 -> ~400*0.1 docs
+    assert 0.03 * 40_000 < by["web"][1] < 0.25 * 40_000
+    assert by["code"] == (40, 2_000)  # budget above mass: keep everything
+    with pytest.raises(ValueError, match="negative"):
+        sampling.token_mixture_sample(docs, "source", {"web": -1})
+
+
 # ---------------------------------------------------- leakage-safe split
 
 def test_leakage_safe_split_co_travels_near_dups(spark):
