@@ -927,6 +927,24 @@ def _q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=2, nprobe=2, sample_rate=0.5, seed=0)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the trained-IVF search (4 cells, nprobe 2) against
+    the exact brute-force neighbor set — the measure-don't-guess
+    diagnostic run before committing an ANN index configuration;
+    integer micro-lattice recall, bit-identical in both engines."""
+    embs = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(embs, query_id=0, k=10).select("vec_id")
+    approx = similarity.ivf_topk(embs, query_id=0, k=10, n_centroids=4,
+                                 iters=2, nprobe=2).select("vec_id")
+    hits = (exact.join(approx, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    return hits.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr("cast((n_hits * 1000000) div 10 as bigint)")
+        .alias("recall_micro"))
+
+
 def _q_sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bucketed_topk_multiprobe(
         _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=8, nprobe=4)
@@ -1716,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_allpairs_cosine": _q_text_allpairs_cosine,
         "split_leakage_safe": _q_split_leakage_safe,
         "sample_token_mixture": _q_sample_token_mixture,
+        "ann_recall": _q_ann_recall,
         "dedup_minhash_est": _q_dedup_minhash_est,
         "sample_temperature": _q_sample_temperature,
         # (3) r4-green but output semantics / implementation touched in r5
@@ -2917,6 +2936,41 @@ def oracle_sql() -> dict[str, str]:
             FROM a3 JOIN probes USING (cid), q
             WHERE a3.vec_id <> 0
             ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        # recall@10 of IVF(4 cells, nprobe 2) vs exact brute force —
+        # the estimator-quality diagnostic of the ANN family
+        # (composes the ann_ivf_topk and sim_topk_cosine chains)
+        "ann_recall": f"""
+            WITH {kmeans_ctes},
+            p3 AS (SELECT e.vec_id, e.embedding, c.cid,
+                     list_aggregate(list_transform(generate_series(1, len(e.qv)),
+                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                       'sum') AS d2
+                   FROM e CROSS JOIN c2 c),
+            a3 AS (SELECT vec_id, embedding, cid FROM (
+                     SELECT p3.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p3)
+                   WHERE rn = 1),
+            probes AS (SELECT cid FROM p3 WHERE vec_id = 0
+                       ORDER BY d2, cid LIMIT 2),
+            q AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings
+                  WHERE vec_id = 0),
+            appr AS (SELECT a3.vec_id,
+                       round(list_cosine_similarity(a3.embedding::DOUBLE[],
+                             q_vec), 6) AS cs
+                     FROM a3 JOIN probes USING (cid), q
+                     WHERE a3.vec_id <> 0
+                     ORDER BY cs DESC, vec_id ASC LIMIT 10),
+            exact AS (SELECT vec_id,
+                        round(list_cosine_similarity(embedding::DOUBLE[],
+                              q.q_vec), 6) AS cs
+                      FROM embeddings, q WHERE vec_id <> 0
+                      ORDER BY cs DESC, vec_id ASC LIMIT 10),
+            hits AS (SELECT COUNT(*)::BIGINT AS n_hits FROM exact
+                     WHERE vec_id IN (SELECT vec_id FROM appr))
+            SELECT 10::BIGINT AS k, n_hits,
+                   ((n_hits * 1000000) // 10)::BIGINT AS recall_micro
+            FROM hits
         """,
         "ann_ivf_sampled": f"""
             WITH {kmeans_sampled_ctes},
