@@ -1182,6 +1182,19 @@ def _q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("node_id").asc()).limit(30)
 
 
+def _q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of a self-trained multinomial Naive Bayes
+    language classifier (Laplace smoothing, quantized-log integer
+    scores) — the deterministic stand-in for the model-based quality/
+    domain filters real pipelines run (GPT-3 LR filter, CCNet
+    fastText)."""
+    pred = textanalysis.nb_classify(_t(spark, sf_dir, "documents"),
+                                    class_col="lang")
+    return (pred.groupBy("actual", "predicted")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("actual", "predicted"))
+
+
 def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination-safe train/val/test split: near-dup components
     co-travel (membership hashes the component LABEL, not the doc), so
@@ -1735,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": _q_split_leakage_safe,
         "sample_token_mixture": _q_sample_token_mixture,
         "ann_recall": _q_ann_recall,
+        "nb_confusion": _q_nb_confusion,
         "dedup_minhash_est": _q_dedup_minhash_est,
         "sample_temperature": _q_sample_temperature,
         # (3) r4-green but output semantics / implementation touched in r5
@@ -2543,6 +2557,49 @@ def oracle_sql() -> dict[str, str]:
                    ((n_agree * 1000000) // 8)::BIGINT AS est_micro,
                    ((inter_n * 1000000) // (la + lb - inter_n))::BIGINT AS jaccard_micro
             FROM sc ORDER BY id_a, id_b
+        """,
+        # self-trained multinomial NB language classifier, confusion
+        # matrix (operators/textanalysis.nb_classify): Laplace-smoothed
+        # counts, quantized-log integer scores, argmax ties by class
+        "nb_confusion": """
+            WITH tok AS (SELECT doc_id AS doc, lang AS actual,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t != '')) AS token
+                 FROM documents),
+            cc AS (SELECT actual AS cls, token,
+                     round(ln((COUNT(*) + 1)::DOUBLE) * 1000000)::BIGINT AS lp
+                   FROM tok GROUP BY 1, 2),
+            v AS (SELECT COUNT(DISTINCT token)::BIGINT AS v FROM tok),
+            nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+            ncls AS (SELECT lang AS cls, COUNT(*)::BIGINT AS n_c
+                     FROM documents GROUP BY lang),
+            tot AS (SELECT actual AS cls, COUNT(*)::BIGINT AS tot
+                    FROM tok GROUP BY 1),
+            stats AS (SELECT tot.cls,
+                        round(ln((tot.tot + v.v)::DOUBLE)
+                              * 1000000)::BIGINT AS lp_denom,
+                        round(ln(ncls.n_c::DOUBLE / nd.n_docs::DOUBLE)
+                              * 1000000)::BIGINT AS lp_prior
+                      FROM tot CROSS JOIN v CROSS JOIN nd
+                      JOIN ncls ON ncls.cls = tot.cls),
+            obs AS (SELECT tok.doc, cc.cls, SUM(cc.lp)::BIGINT AS lp_obs
+                    FROM tok JOIN cc ON cc.token = tok.token
+                    GROUP BY 1, 2),
+            pd AS (SELECT doc_id AS doc, lang AS actual,
+                     len(list_filter(string_split(text, ' '),
+                                     t -> t != ''))::BIGINT AS n_tok
+                   FROM documents),
+            scored AS (SELECT pd.doc, pd.actual, s.cls,
+                         (s.lp_prior + COALESCE(o.lp_obs, 0)
+                          - pd.n_tok * s.lp_denom)::BIGINT AS score
+                       FROM pd CROSS JOIN stats s
+                       LEFT JOIN obs o ON o.doc = pd.doc AND o.cls = s.cls),
+            pick AS (SELECT doc, actual, cls AS predicted FROM (
+                       SELECT scored.*, ROW_NUMBER() OVER (
+                         PARTITION BY doc ORDER BY score DESC, cls ASC) AS rn
+                       FROM scored) WHERE rn = 1)
+            SELECT actual, predicted, COUNT(*)::BIGINT AS n_docs
+            FROM pick GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # leakage-safe split: the dedup_corpus_cc label chain, then the
         # sample_split bucket rule applied to the component LABEL so

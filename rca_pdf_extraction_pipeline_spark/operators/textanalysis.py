@@ -346,3 +346,82 @@ def vocab_coverage(docs: DataFrame, top_v: int, text_col: str = "text",
             .select("vocab_size", "total_tokens", "covered_tokens",
                     F.round(F.lit(1.0) - F.col("covered_tokens").cast("double")
                             / F.col("total_tokens"), 6).alias("oov_rate")))
+
+
+def nb_classify(docs: DataFrame, class_col: str = "lang",
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Multinomial Naive Bayes classification of every document, with
+    the model TRAINED on the same corpus's ``class_col`` labels — the
+    deterministic stand-in for the model-based quality/domain
+    classifiers real pipelines run (GPT-3's LR quality filter, Brown
+    et al. 2020 appendix A; CCNet's fastText lang-ID): training is
+    pure counting, so the whole train+score round trip is exact.
+
+    Laplace-smoothed unigram model.  With V = trained vocabulary size,
+    tot_c = class token mass, n_c = class doc count:
+
+        score_c(doc) = ln(n_c / n_docs)
+                       + Σ_t ln(cnt_{t,c} + 1)
+                       - n_tokens(doc) * ln(tot_c + V)
+
+    Every ln is quantized to an integer (round(ln(x) * 1e6), the house
+    log-determinism idiom), so per-document scores are exact bigint
+    sums and the argmax is bit-identical in any engine.  Unseen
+    (token, class) pairs contribute ln(0 + 1) = 0, so the score join
+    only touches OBSERVED class-conditional counts — no dense
+    vocabulary x classes table ever materializes.
+
+    Returns (doc_id, actual, predicted, score_micro) — ties broken by
+    ascending class name.
+
+    Scale: two hash aggregates over (class, token) and (doc, class),
+    one broadcast of the tiny per-class stats, one keyed join of doc
+    tokens against the class-conditional count table (vocabulary-sized,
+    shuffles on token). Out-of-fold evaluation is a caller concern —
+    split first (``sampling.leakage_safe_split``), train on one split,
+    score another by passing that split's rows as ``docs``."""
+    tok = (docs.select(F.col(id_col).alias("doc"),
+                       F.col(class_col).alias("actual"),
+                       F.explode(T.tokens(F.col(text_col))).alias("token")))
+    # class-conditional token counts over OBSERVED pairs only
+    cc = (tok.groupBy(F.col("actual").alias("cls"), "token")
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .select("cls", "token",
+                  F.expr("cast(round(ln(cast(cnt + 1 as double)) * 1000000)"
+                         " as bigint)").alias("lp")))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    stats = (tok.groupBy(F.col("actual").alias("cls"))
+             .agg(F.count(F.lit(1)).alias("tot"))
+             .crossJoin(F.broadcast(vocab))
+             .crossJoin(F.broadcast(
+                 docs.agg(F.count(F.lit(1)).alias("n_docs"))))
+             .join(docs.groupBy(F.col(class_col).alias("cls"))
+                   .agg(F.count(F.lit(1)).alias("n_c")), "cls")
+             .select("cls",
+                     F.expr("cast(round(ln(cast(tot + v as double))"
+                            " * 1000000) as bigint)").alias("lp_denom"),
+                     F.expr("cast(round(ln(cast(n_c as double)"
+                            " / cast(n_docs as double)) * 1000000)"
+                            " as bigint)").alias("lp_prior")))
+    # Σ ln(cnt+1) per (doc, class) over observed pairs; missing pairs
+    # add zero, so the inner join is exact
+    obs = (tok.join(cc, "token")
+           .groupBy("doc", "cls")
+           .agg(F.sum("lp").alias("lp_obs")))
+    per_doc = (docs.select(F.col(id_col).alias("doc"),
+                           F.col(class_col).alias("actual"),
+                           T.n_tokens(F.col(text_col)).cast("long")
+                           .alias("n_tok")))
+    scored = (per_doc.crossJoin(F.broadcast(stats))
+              .join(obs, ["doc", "cls"], "left")
+              .select("doc", "actual", "cls", F.expr(
+                  "lp_prior + coalesce(lp_obs, 0L) - n_tok * lp_denom")
+                  .cast("long").alias("score_micro")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc").orderBy(F.col("score_micro").desc(),
+                                          F.col("cls").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("doc").alias("doc_id"), "actual",
+                    F.col("cls").alias("predicted"), "score_micro"))
