@@ -1195,6 +1195,23 @@ def _q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("actual", "predicted"))
 
 
+def _q_nb_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold evaluation hygiene, end to end: leakage-safe split
+    (near-dup components co-travel), NB model trained on the 'train'
+    split ONLY, held-out 'test' split scored against it — confusion
+    matrix.  Composes split_leakage_safe with nb_classify(train_docs=)."""
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    sp = sampling.leakage_safe_split(_t(spark, sf_dir, "documents"))
+    train = sp.where("split = 'train'").drop("split")
+    test = sp.where("split = 'test'").drop("split")
+    pred = textanalysis.nb_classify(test, class_col="lang",
+                                    train_docs=train)
+    return (pred.groupBy("actual", "predicted")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("actual", "predicted"))
+
+
 def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination-safe train/val/test split: near-dup components
     co-travel (membership hashes the component LABEL, not the doc), so
@@ -1749,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_mixture": _q_sample_token_mixture,
         "ann_recall": _q_ann_recall,
         "nb_confusion": _q_nb_confusion,
+        "nb_holdout_confusion": _q_nb_holdout_confusion,
         "dedup_minhash_est": _q_dedup_minhash_est,
         "sample_temperature": _q_sample_temperature,
         # (3) r4-green but output semantics / implementation touched in r5
@@ -2594,6 +2612,106 @@ def oracle_sql() -> dict[str, str]:
                           - pd.n_tok * s.lp_denom)::BIGINT AS score
                        FROM pd CROSS JOIN stats s
                        LEFT JOIN obs o ON o.doc = pd.doc AND o.cls = s.cls),
+            pick AS (SELECT doc, actual, cls AS predicted FROM (
+                       SELECT scored.*, ROW_NUMBER() OVER (
+                         PARTITION BY doc ORDER BY score DESC, cls ASC) AS rn
+                       FROM scored) WHERE rn = 1)
+            SELECT actual, predicted, COUNT(*)::BIGINT AS n_docs
+            FROM pick GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # out-of-fold NB: the split_leakage_safe chain assigns splits,
+        # the NB chain trains (counts, vocab, priors) on 'train' rows
+        # ONLY and scores the 'test' rows (textanalysis.nb_classify
+        # train_docs=)
+        "nb_holdout_confusion": f"""
+            WITH RECURSIVE {_SQL_SHINGLE_BASE},
+            sigbase AS (
+              SELECT doc_id,
+                     list_transform(shset, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
+              FROM sh),
+            sig AS (SELECT doc_id, {minhash_sigs} FROM sigbase),
+            keys AS (
+              SELECT doc_id, 0 AS band,
+                     sig_0::VARCHAR || '-' || sig_1::VARCHAR || '-'
+                       || sig_2::VARCHAR || '-' || sig_3::VARCHAR AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     sig_4::VARCHAR || '-' || sig_5::VARCHAR || '-'
+                       || sig_6::VARCHAR || '-' || sig_7::VARCHAR AS band_key FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM keys a JOIN keys b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+              WHERE round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                    / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 6)
+                    >= 0.8),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                      UNION
+                      SELECT id_b, id_a FROM verified),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            minlab AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS label
+              FROM reach GROUP BY src),
+            lab AS (SELECT d.doc_id, COALESCE(m.label, d.doc_id) AS label
+                    FROM documents d LEFT JOIN minlab m ON m.doc_id = d.doc_id),
+            bk AS (SELECT doc_id,
+                     ('0x' || substr(md5('0:' || label::VARCHAR), 1, 8))::BIGINT
+                     % 1000000 AS bkt
+                   FROM lab),
+            sp AS (SELECT doc_id,
+                     CASE WHEN bkt < 800000 THEN 'train'
+                          WHEN bkt < 900000 THEN 'val'
+                          ELSE 'test' END AS split
+                   FROM bk),
+            tr AS (SELECT d.* FROM documents d
+                   JOIN sp ON sp.doc_id = d.doc_id AND sp.split = 'train'),
+            te AS (SELECT d.* FROM documents d
+                   JOIN sp ON sp.doc_id = d.doc_id AND sp.split = 'test'),
+            tr_tok AS (SELECT lang AS actual,
+                         unnest(list_filter(string_split(text, ' '),
+                                            t -> t != '')) AS token
+                       FROM tr),
+            tok AS (SELECT doc_id AS doc, lang AS actual,
+                      unnest(list_filter(string_split(text, ' '),
+                                         t -> t != '')) AS token
+                    FROM te),
+            cc AS (SELECT actual AS cls, token,
+                     round(ln((COUNT(*) + 1)::DOUBLE) * 1000000)::BIGINT AS lp
+                   FROM tr_tok GROUP BY 1, 2),
+            v AS (SELECT COUNT(DISTINCT token)::BIGINT AS v FROM tr_tok),
+            nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM tr),
+            ncls AS (SELECT lang AS cls, COUNT(*)::BIGINT AS n_c
+                     FROM tr GROUP BY lang),
+            tot AS (SELECT actual AS cls, COUNT(*)::BIGINT AS tot
+                    FROM tr_tok GROUP BY 1),
+            stats AS (SELECT tot.cls,
+                        round(ln((tot.tot + v.v)::DOUBLE)
+                              * 1000000)::BIGINT AS lp_denom,
+                        round(ln(ncls.n_c::DOUBLE / nd.n_docs::DOUBLE)
+                              * 1000000)::BIGINT AS lp_prior
+                      FROM tot CROSS JOIN v CROSS JOIN nd
+                      JOIN ncls ON ncls.cls = tot.cls),
+            obs AS (SELECT tok.doc, cc.cls, SUM(cc.lp)::BIGINT AS lp_obs
+                    FROM tok JOIN cc ON cc.token = tok.token
+                    GROUP BY 1, 2),
+            pdoc AS (SELECT doc_id AS doc, lang AS actual,
+                       len(list_filter(string_split(text, ' '),
+                                       t -> t != ''))::BIGINT AS n_tok
+                     FROM te),
+            scored AS (SELECT pdoc.doc, pdoc.actual, s.cls,
+                         (s.lp_prior + COALESCE(o.lp_obs, 0)
+                          - pdoc.n_tok * s.lp_denom)::BIGINT AS score
+                       FROM pdoc CROSS JOIN stats s
+                       LEFT JOIN obs o ON o.doc = pdoc.doc AND o.cls = s.cls),
             pick AS (SELECT doc, actual, cls AS predicted FROM (
                        SELECT scored.*, ROW_NUMBER() OVER (
                          PARTITION BY doc ORDER BY score DESC, cls ASC) AS rn

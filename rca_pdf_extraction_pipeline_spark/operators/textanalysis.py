@@ -350,7 +350,8 @@ def vocab_coverage(docs: DataFrame, top_v: int, text_col: str = "text",
 
 def nb_classify(docs: DataFrame, class_col: str = "lang",
                 text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                train_docs: DataFrame | None = None) -> DataFrame:
     """Multinomial Naive Bayes classification of every document, with
     the model TRAINED on the same corpus's ``class_col`` labels — the
     deterministic stand-in for the model-based quality/domain
@@ -378,25 +379,32 @@ def nb_classify(docs: DataFrame, class_col: str = "lang",
     Scale: two hash aggregates over (class, token) and (doc, class),
     one broadcast of the tiny per-class stats, one keyed join of doc
     tokens against the class-conditional count table (vocabulary-sized,
-    shuffles on token). Out-of-fold evaluation is a caller concern —
-    split first (``sampling.leakage_safe_split``), train on one split,
-    score another by passing that split's rows as ``docs``."""
+    shuffles on token). Out-of-fold evaluation: pass the training split
+    as ``train_docs`` (model counts, vocabulary, and priors come from
+    it alone) and the held-out rows as ``docs`` — split first with
+    ``sampling.leakage_safe_split`` so near-dups never straddle the
+    boundary.  ``train_docs=None`` self-trains on ``docs``."""
+    if train_docs is None:
+        train_docs = docs
+    tr_tok = (train_docs.select(F.col(class_col).alias("actual"),
+                                F.explode(T.tokens(F.col(text_col)))
+                                .alias("token")))
     tok = (docs.select(F.col(id_col).alias("doc"),
                        F.col(class_col).alias("actual"),
                        F.explode(T.tokens(F.col(text_col))).alias("token")))
     # class-conditional token counts over OBSERVED pairs only
-    cc = (tok.groupBy(F.col("actual").alias("cls"), "token")
+    cc = (tr_tok.groupBy(F.col("actual").alias("cls"), "token")
           .agg(F.count(F.lit(1)).alias("cnt"))
           .select("cls", "token",
                   F.expr("cast(round(ln(cast(cnt + 1 as double)) * 1000000)"
                          " as bigint)").alias("lp")))
-    vocab = tok.agg(F.countDistinct("token").alias("v"))
-    stats = (tok.groupBy(F.col("actual").alias("cls"))
+    vocab = tr_tok.agg(F.countDistinct("token").alias("v"))
+    stats = (tr_tok.groupBy(F.col("actual").alias("cls"))
              .agg(F.count(F.lit(1)).alias("tot"))
              .crossJoin(F.broadcast(vocab))
              .crossJoin(F.broadcast(
-                 docs.agg(F.count(F.lit(1)).alias("n_docs"))))
-             .join(docs.groupBy(F.col(class_col).alias("cls"))
+                 train_docs.agg(F.count(F.lit(1)).alias("n_docs"))))
+             .join(train_docs.groupBy(F.col(class_col).alias("cls"))
                    .agg(F.count(F.lit(1)).alias("n_c")), "cls")
              .select("cls",
                      F.expr("cast(round(ln(cast(tot + v as double))"
