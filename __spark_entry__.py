@@ -1620,6 +1620,23 @@ def _q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode round-trip: solid-color 4:2:0 JPEGs
+    with restart markers and ALL-ONES quant tables (lossless
+    quantization) built per doc_id, parsed back by the pure-numpy JPEG
+    kernel (kernels/jpeg.py: canonical Huffman + batched-matmul IDCT).
+    The only lossy steps are the two color-conversion roundings, so the
+    oracle is the closed-form YCbCr round trip of the fixture color;
+    ids % 10 == 0 carry garbage payloads and must come back ok=False."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 300)
+    dec = multimodal.decode_media(multimodal.synth_jpeg_media(ids), fake=False)
+    return dec.select(
+        "media_ref", "ok", "decoded_width", "decoded_height",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode (no codecs in env) — exercises the real Arrow
     plumbing: binary payloads, batch shapes, typed output. The md5-seeded
@@ -1769,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_holdout_confusion": _q_nb_holdout_confusion,
         "dedup_minhash_est": _q_dedup_minhash_est,
         "sample_temperature": _q_sample_temperature,
+        "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
         # (3) r4-green but output semantics / implementation touched in r5
         # (epoch_shards pos int->bigint; cc_best tie-break re-ranked)
         "epoch_shards": _q_epoch_shards,
@@ -3676,6 +3694,47 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b
               ON a.bucket = b.bucket AND a.media_ref < b.media_ref
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+        """,
+        # jpeg fixture: ALL-ONES quant => DCT+quantize is lossless for
+        # solid blocks; the decode expectation is the pure color-space
+        # round trip with the codec's explicit floor(x + 0.5) roundings
+        # (kernels/jpeg.py rgb_to_ycbcr / ycbcr_roundtrip_rgb), written
+        # out term-for-term so DuckDB's double arithmetic matches
+        # numpy's left-associated evaluation exactly
+        "multimodal_decode_jpeg": """
+            WITH m AS (
+              SELECT doc_id, printf('jpg-%05d', doc_id) AS media_ref,
+                     (doc_id % 16 + 1)::INT AS w, (doc_id % 8 + 1)::INT AS h,
+                     (doc_id % 256)::DOUBLE AS r,
+                     (doc_id * 7 % 256)::DOUBLE AS g,
+                     (doc_id * 13 % 256)::DOUBLE AS b
+              FROM documents WHERE doc_id < 300),
+            ycc AS (
+              SELECT *,
+                LEAST(255, GREATEST(0, FLOOR(
+                    0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+                LEAST(255, GREATEST(0, FLOOR(
+                    -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5)))
+                    AS cb,
+                LEAST(255, GREATEST(0, FLOOR(
+                    0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5)))
+                    AS cr
+              FROM m),
+            dec AS (
+              SELECT *, LEAST(255, GREATEST(0, FLOOR(
+                  y + 1.402 * (cr - 128.0) + 0.5))) AS r2
+              FROM ycc)
+            SELECT media_ref,
+                   (doc_id % 10 != 0) AS ok,
+                   (CASE WHEN doc_id % 10 = 0 THEN 0 ELSE w END)::INT
+                       AS decoded_width,
+                   (CASE WHEN doc_id % 10 = 0 THEN 0 ELSE h END)::INT
+                       AS decoded_height,
+                   CASE WHEN doc_id % 10 = 0 THEN 0.0
+                        ELSE round(CAST(CAST(r2 / 255.0 AS FLOAT)::DOUBLE
+                                        AS DOUBLE), 4)
+                   END AS f0
+            FROM dec
         """,
         "multimodal_decode_png": """
             WITH m AS (

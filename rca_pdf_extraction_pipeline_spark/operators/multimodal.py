@@ -11,9 +11,11 @@ handling.  ``fake=False`` REALLY decodes uncompressed 24-bit BMP
 payloads (pure-numpy header+pixel parser, :func:`decode_bmp`) and
 non-interlaced 8-bit PNGs (:func:`decode_png` — stdlib zlib inflate +
 numpy unfiltering of all five scanline filters; no codec library
-needed), each round-trip-tested against its encoder; other formats
-(JPEG, video codecs) come back ok=False because the container ships no
-codec libraries — that plug point is :func:`_real_decode_batch`.
+needed), and baseline JPEGs (:mod:`..kernels.jpeg` — pure-numpy
+marker walk, canonical Huffman, batched-matmul IDCT, 4:2:0 chroma
+upsample), each round-trip-tested against its encoder; remaining
+formats (progressive JPEG, video codecs) come back ok=False — that
+plug point is :func:`_real_decode_batch`.
 
 Data model (mirrors the reference's image handling, which exports
 binary payloads to files and keeps only ``media_ref`` strings in the
@@ -269,20 +271,26 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Magic-byte dispatch over the built-in codecs: BMP ('BM') and PNG
-    (8-byte signature).  Returns (w, h, rgb) or None."""
+    """Magic-byte dispatch over the built-in codecs: BMP ('BM'), PNG
+    (8-byte signature), and baseline JPEG (SOI+marker prefix, decoded
+    by the pure-numpy :mod:`..kernels.jpeg`).  Returns (w, h, rgb) or
+    None."""
     if payload is None or len(payload) < 8:
         return None
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:3] == b"\xFF\xD8\xFF":
+        from ..kernels.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     return None
 
 
 def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Real decode pass: BMP and PNG payloads are parsed for actual
-    geometry and mean-RGB features; undecodable payloads get ok=False
+    """Real decode pass: BMP, PNG, and baseline-JPEG payloads are parsed
+    for actual geometry and mean-RGB features; undecodable payloads get
+    ok=False
     (graceful, like the reference's per-image try/except —
     extractor.py:177-195).  The loop is per IMAGE (ragged payloads),
     never per pixel — the pixel math is numpy."""
@@ -327,11 +335,11 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
 
     ``fake=True`` — deterministic md5-seeded stub, with the md5 computed
     JVM-side so the pandas step is fully vectorized (no per-row hashing).
-    ``fake=False`` — REAL decode for uncompressed 24-bit BMP and
-    non-interlaced 8-bit PNG payloads (:func:`decode_image` dispatch);
-    payloads in any other format decode to ok=False.  JPEG/video need
-    codec libraries not present in this environment — that plug point
-    is :func:`_real_decode_batch`."""
+    ``fake=False`` — REAL decode for uncompressed 24-bit BMP,
+    non-interlaced 8-bit PNG, and baseline-JPEG payloads
+    (:func:`decode_image` dispatch); payloads in any other format
+    decode to ok=False.  Video needs codec libraries not present in
+    this environment — that plug point is :func:`_real_decode_batch`."""
     from pyspark.sql import functions as F
 
     if not fake:
@@ -426,6 +434,40 @@ def synth_png_media(ids: DataFrame) -> DataFrame:
                     rgb[:, :] = (did % 256, did * 7 % 256, did * 13 % 256)
                     payload = encode_png(rgb)
                 out.append((f"png-{did:05d}", f"doc-{did}", "image", payload,
+                            None, None, None))
+            yield pd.DataFrame(out, columns=["media_ref", "doc_id", "kind",
+                                             "payload", "width", "height",
+                                             "duration_ms"])
+
+    return ids.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_jpeg_media(ids: DataFrame) -> DataFrame:
+    """JPEG twin of :func:`synth_bmp_media`: each doc becomes a solid-
+    color baseline JPEG (4:2:0, restart interval 1, ALL-ONES quant
+    tables so quantization is lossless and the decode expectation stays
+    closed-form — the only lossy steps are the two color-conversion
+    roundings, reproduced exactly by ``kernels.jpeg.ycbcr_roundtrip_
+    rgb`` and its DuckDB SQL twin).  Same geometry/color formulas as
+    the BMP/PNG fixtures; ids divisible by 10 get an undecodable
+    payload."""
+    from ..kernels.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for did in pdf["doc_id"].astype(int):
+                if did % 10 == 0:
+                    payload = b"not a jpeg payload"
+                else:
+                    w, h = did % 16 + 1, did % 8 + 1
+                    rgb = np.empty((h, w, 3), dtype=np.uint8)
+                    rgb[:, :] = (did % 256, did * 7 % 256, did * 13 % 256)
+                    payload = encode_jpeg(rgb, subsample=True,
+                                          restart_interval=1)
+                out.append((f"jpg-{did:05d}", f"doc-{did}", "image", payload,
                             None, None, None))
             yield pd.DataFrame(out, columns=["media_ref", "doc_id", "kind",
                                              "payload", "width", "height",
