@@ -1465,6 +1465,19 @@ def _q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               k=25, n_buckets=512, seed=7)
 
 
+def _q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report: treat the src1 slice as the NEW corpus
+    drop and everything else as the OLD snapshot, and rank the 30
+    hashed-vocab buckets (512-bucket DSIR idiom) whose probability
+    moved most — integer-quantized log-ratio ordering, so ties and
+    ranks are exact across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return profiling.corpus_drift(
+        docs.filter(F.col("source") != "src1"),
+        docs.filter(F.col("source") == "src1"),
+        n_buckets=512, top_k=30)
+
+
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_hash_sample(
         _t(spark, sf_dir, "documents"), "lang",
@@ -1787,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_est": _q_dedup_minhash_est,
         "sample_temperature": _q_sample_temperature,
         "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
+        "corpus_drift": _q_corpus_drift,
         # (3) r4-green but output semantics / implementation touched in r5
         # (epoch_shards pos int->bigint; cc_best tie-break re-ranked)
         "epoch_shards": _q_epoch_shards,
@@ -3622,6 +3636,41 @@ def oracle_sql() -> dict[str, str]:
         # media near-dup: the synth fixture's solid colors give exact
         # closed-form features (mean RGB / 255 through a float32 store,
         # contrast 0), sign-LSH bucket = positivity bits of f0..f2
+        # drift: same hashed-vocab + integer-quantized-log idioms as
+        # dsir_topk; ordering is on the exact BIGINT log-ratio magnitude
+        "corpus_drift": """
+            WITH toks AS (
+              SELECT CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS isnew,
+                     unnest(list_filter(string_split(text, ' '),
+                                        t -> t != '')) AS tok
+              FROM documents),
+            bt AS (
+              SELECT isnew,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT % 512 AS bucket
+              FROM toks),
+            cnt AS (
+              SELECT bucket, SUM(1 - isnew)::BIGINT AS n_old,
+                     SUM(isnew)::BIGINT AS n_new
+              FROM bt GROUP BY bucket),
+            tot AS (
+              SELECT SUM(n_old)::BIGINT AS tot_old,
+                     SUM(n_new)::BIGINT AS tot_new FROM cnt),
+            sc AS (
+              SELECT bucket, n_old, n_new,
+                     round(ln((n_new + 1)::DOUBLE
+                              / (tot_new + 512)::DOUBLE) * 1000000,
+                           0)::BIGINT
+                     - round(ln((n_old + 1)::DOUBLE
+                                / (tot_old + 512)::DOUBLE) * 1000000,
+                             0)::BIGINT AS lr,
+                     abs(n_new::DOUBLE / tot_new::DOUBLE
+                         - n_old::DOUBLE / tot_old::DOUBLE) AS l1
+              FROM cnt, tot)
+            SELECT bucket, n_old, n_new,
+                   round(lr / 1000000.0, 6) AS log_ratio,
+                   round(l1, 6) AS l1_term
+            FROM sc ORDER BY abs(lr) DESC, bucket ASC LIMIT 30
+        """,
         "dsir_topk": """
             WITH toks AS (
               SELECT doc_id, source,

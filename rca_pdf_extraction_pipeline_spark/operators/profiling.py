@@ -157,3 +157,72 @@ def source_tfidf_terms(docs: DataFrame, top_k: int = 5,
         F.col("tfidf").desc(), F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k))
+
+
+def corpus_drift(old_docs: DataFrame, new_docs: DataFrame,
+                 n_buckets: int = 512, top_k: int = 30,
+                 text_col: str = "text") -> DataFrame:
+    """Snapshot-to-snapshot token-distribution drift — the refresh-ops
+    check a pipeline runs before swapping in a new corpus drop: which
+    parts of the vocabulary moved, and by how much?
+
+    Tokens are bucketed ``hash32(md5(tok)) % n_buckets`` (the DSIR
+    hashed-vocab idiom — the comparison table is at most ``n_buckets``
+    rows regardless of corpus size), counted per snapshot in ONE union
+    pass, and scored per bucket:
+
+    * ``log_ratio`` — Laplace-smoothed log probability ratio
+      ``ln((n_new+1)/(N_new+B)) - ln((n_old+1)/(N_old+B))``, each log
+      quantized to an integer (x1e6) before the subtraction (the
+      unigram_logprob discipline: ordering and ties are exact integer
+      math, no float drift between engines);
+    * ``l1_term`` — |p_new - p_old|, this bucket's contribution to the
+      total-variation distance between the two snapshots.
+
+    Returns the ``top_k`` most-drifted buckets (|log_ratio| integer
+    magnitude desc, bucket asc): (bucket, n_old, n_new, log_ratio,
+    l1_term).
+
+    Scale: one token pass over old ∪ new with map-side combine down to
+    <= n_buckets rows, then tiny-table math (one broadcast totals row)
+    and a TakeOrderedAndProject top-k — no corpus-size state anywhere.
+    A 100 TB refresh pays exactly two scans' worth of tokenization and
+    shuffles only bucket counts."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2; got {n_buckets}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1; got {top_k}")
+    from ..functions import hashing as H
+    from ..functions import text as T
+
+    tagged = (old_docs.select(F.col(text_col).alias("_txt"))
+              .withColumn("_new", F.lit(0))
+              .unionByName(new_docs.select(F.col(text_col).alias("_txt"))
+                           .withColumn("_new", F.lit(1))))
+    buckets = (tagged.select(F.col("_new"),
+                             F.explode(T.tokens(F.col("_txt"))).alias("tok"))
+               .select(F.col("_new"),
+                       (H.hash32(F.col("tok")) % n_buckets).alias("bucket"))
+               .groupBy("bucket")
+               .agg(F.sum(1 - F.col("_new")).alias("n_old"),
+                    F.sum("_new").alias("n_new")))
+    tot = buckets.agg(F.sum("n_old").alias("tot_old"),
+                      F.sum("n_new").alias("tot_new"))
+    lq = lambda x: F.round(F.log(x) * F.lit(1_000_000.0), 0).cast("long")
+    scored = (buckets.crossJoin(F.broadcast(tot))
+              .withColumn("_lr", lq((F.col("n_new") + 1)
+                                    / (F.col("tot_new") + F.lit(n_buckets)))
+                          - lq((F.col("n_old") + 1)
+                               / (F.col("tot_old") + F.lit(n_buckets)))))
+    return (scored.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.round(F.col("_lr") / F.lit(1_000_000.0), 6).alias("log_ratio"),
+        F.round(F.abs(F.col("n_new") / F.col("tot_new")
+                      - F.col("n_old") / F.col("tot_old")), 6)
+        .alias("l1_term"),
+        F.abs(F.col("_lr")).alias("_mag"))
+        .orderBy(F.col("_mag").desc(), F.col("bucket").asc())
+        .limit(top_k)
+        .drop("_mag"))

@@ -1311,3 +1311,42 @@ def test_dsir_topk_selects_target_like_docs(spark):
         sampling.dsir_topk(docs, "tgt", k=0)
     with pytest.raises(ValueError):
         sampling.dsir_topk(docs, "tgt", k=5, n_buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# corpus drift (snapshot-to-snapshot distribution shift)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_drift_flags_shifted_token(spark):
+    """A token that exists only in the new snapshot must rank first by
+    |log_ratio|, with its counts split correctly across snapshots."""
+    from rca_pdf_extraction_pipeline_spark.functions import hashing as H
+    from rca_pdf_extraction_pipeline_spark.operators.profiling import corpus_drift
+
+    common = "alpha beta gamma delta"
+    old = spark.createDataFrame(
+        [(i, common) for i in range(20)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, common) for i in range(20)]
+        + [(100 + i, "zeta zeta zeta zeta zeta zeta") for i in range(10)],
+        "doc_id long, text string")
+    out = corpus_drift(old, new, n_buckets=64, top_k=5).collect()
+    zeta_bucket = spark.range(1).select(
+        (H.hash32(F.lit("zeta")) % 64).alias("b")).collect()[0].b
+    assert out[0].bucket == zeta_bucket
+    assert out[0].n_old == 0 and out[0].n_new == 60
+    assert out[0].log_ratio > 0          # probability went UP in new
+    # identical snapshots: every bucket's log_ratio magnitude is the
+    # pure totals-smoothing residue -> l1_term exactly 0 everywhere
+    same = corpus_drift(old, old, n_buckets=64, top_k=5).collect()
+    assert all(r.l1_term == 0.0 for r in same)
+
+
+def test_corpus_drift_guards():
+    from rca_pdf_extraction_pipeline_spark.operators.profiling import corpus_drift
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        corpus_drift(None, None, n_buckets=1)
+    with pytest.raises(ValueError, match="top_k"):
+        corpus_drift(None, None, top_k=0)
