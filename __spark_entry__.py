@@ -37,6 +37,7 @@ from rca_pdf_extraction_pipeline_spark.functions import hashing as H
 from rca_pdf_extraction_pipeline_spark.operators import (
     asof,
     boilerplate,
+    bpe,
     chunking,
     consolidate,
     curation,
@@ -1478,6 +1479,114 @@ def _q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=512, top_k=30)
 
 
+BPE_MERGES = 10
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (Sennrich et al. 2016) over the corpus: 10
+    merge rounds on the word-frequency table, deterministic argmax
+    (count desc, pair asc).  The oracle replays every round via the
+    wrapped-unit literal-replace formulation (operators/bpe.py module
+    docstring) — greedy merge application IS non-overlapping string
+    replace in both engines."""
+    return bpe.bpe_train(_t(spark, sf_dir, "documents"),
+                         n_merges=BPE_MERGES)
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-tokenize composition: the 10 learned merges are
+    collected (tiny artifact, like a broadcast dim) and applied as a
+    literal replace chain; output is per-doc BPE token counts.  The
+    oracle re-learns the same merges and counts units as pipe-pairs of
+    the encoded string."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"])
+              for r in bpe.bpe_train(docs, n_merges=BPE_MERGES).collect()]
+    return (bpe.bpe_apply(docs, merges)
+            .select("doc_id",
+                    F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")))
+
+
+def _bpe_oracle_rounds(k: int) -> str:
+    """CTE chain learning k BPE merges — v0 is the encoded word-freq
+    table; each round is (pair counts, argmax, literal replace), all
+    MATERIALIZED so the per-round tables evaluate once."""
+    parts = [r"""v0 AS MATERIALIZED (
+              SELECT word, COUNT(*)::BIGINT AS freq,
+                     regexp_replace(word, '(.)', '|\1|', 'g')
+                     || '|</w>|' AS enc
+              FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                              t -> t != '')) AS word
+                    FROM documents)
+              WHERE regexp_matches(word, '^[!-~]+$')
+                AND NOT contains(word, '|')
+              GROUP BY word)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+              SELECT z[1] AS l, z[2] AS r, SUM(freq)::BIGINT AS cnt
+              FROM (SELECT freq,
+                           unnest(list_zip(u[1:len(u)-1], u[2:len(u)])) AS z
+                    FROM (SELECT freq,
+                                 string_split(trim(enc, '|'), '||') AS u
+                          FROM v{i-1}))
+              GROUP BY 1, 2)""")
+        parts.append(f"""b{i} AS MATERIALIZED (
+              SELECT l, r, cnt FROM p{i}
+              ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""")
+        parts.append(f"""v{i} AS MATERIALIZED (
+              SELECT word, freq,
+                     replace(enc,
+                             '|' || (SELECT l FROM b{i}) || '||'
+                                 || (SELECT r FROM b{i}) || '|',
+                             '|' || (SELECT l FROM b{i})
+                                 || (SELECT r FROM b{i}) || '|') AS enc
+              FROM v{i-1})""")
+    return ",\n            ".join(parts)
+
+
+def _bpe_merges_oracle(k: int) -> str:
+    union = "\n              UNION ALL ".join(
+        f"SELECT {i}::INT AS rank, l AS \"left\", r AS \"right\", "
+        f"cnt AS pair_count FROM b{i}" for i in range(1, k + 1))
+    return f"""
+            WITH {_bpe_oracle_rounds(k)}
+            SELECT * FROM (
+              {union})
+            ORDER BY rank
+        """
+
+
+def _bpe_token_stats_oracle(k: int) -> str:
+    chain = r"regexp_replace(w, '(.)', '|\1|', 'g') || '|</w>|'"
+    for i in range(1, k + 1):
+        chain = (f"replace({chain}, "
+                 f"'|' || (SELECT l FROM b{i}) || '||' "
+                 f"|| (SELECT r FROM b{i}) || '|', "
+                 f"'|' || (SELECT l FROM b{i}) "
+                 f"|| (SELECT r FROM b{i}) || '|')")
+    return f"""
+            WITH {_bpe_oracle_rounds(k)},
+            words AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        t -> t != '')) AS w
+              FROM documents),
+            wenc AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_matches(w, '^[!-~]+$')
+                               AND NOT contains(w, '|')
+                          THEN {chain}
+                          ELSE NULL END AS enc
+              FROM words)
+            SELECT doc_id,
+                   SUM(CASE WHEN enc IS NULL THEN 1
+                            ELSE (length(enc)
+                                  - length(replace(enc, '|', ''))) / 2
+                       END)::BIGINT AS n_bpe_tokens
+            FROM wenc GROUP BY doc_id
+        """
+
+
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_hash_sample(
         _t(spark, sf_dir, "documents"), "lang",
@@ -1801,6 +1910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": _q_sample_temperature,
         "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
         "corpus_drift": _q_corpus_drift,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_stats": _q_bpe_token_stats,
         # (3) r4-green but output semantics / implementation touched in r5
         # (epoch_shards pos int->bigint; cc_best tie-break re-ranked)
         "epoch_shards": _q_epoch_shards,
@@ -3636,6 +3747,12 @@ def oracle_sql() -> dict[str, str]:
         # media near-dup: the synth fixture's solid colors give exact
         # closed-form features (mean RGB / 255 through a float32 store,
         # contrast 0), sign-LSH bucket = positivity bits of f0..f2
+        # BPE: every merge round replayed as a MATERIALIZED CTE chain
+        # (pair counts -> deterministic argmax -> literal replace); the
+        # wrapped-unit encoding makes replace() exactly greedy-leftmost
+        # merge application in both engines (operators/bpe.py docstring)
+        "bpe_merges": _bpe_merges_oracle(BPE_MERGES),
+        "bpe_token_stats": _bpe_token_stats_oracle(BPE_MERGES),
         # drift: same hashed-vocab + integer-quantized-log idioms as
         # dsir_topk; ordering is on the exact BIGINT log-ratio magnitude
         "corpus_drift": """

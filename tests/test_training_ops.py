@@ -1350,3 +1350,82 @@ def test_corpus_drift_guards():
         corpus_drift(None, None, n_buckets=1)
     with pytest.raises(ValueError, match="top_k"):
         corpus_drift(None, None, top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(texts, k):
+    """Independent pure-Python Sennrich BPE (explicit symbol-list scan,
+    no string-encoding trick) — the semantic cross-check for bpe_train."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        m = max(pc.values())
+        best = sorted(p for p, c in pc.items() if c == m)[0]
+        merges.append((best[0], best[1], pc[best]))
+        new_vocab = Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_independent_reference(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import bpe
+
+    texts = ["low low low low low lower lower newest newest newest",
+             "newest newest newest widest widest widest new new hug"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = [(r.left, r.right, r.pair_count)
+           for r in bpe.bpe_train(docs, 8).collect()]
+    assert got == _ref_bpe(texts, 8)
+    # ranks are 1..k in learning order
+    assert [r.rank for r in bpe.bpe_train(docs, 3).collect()] == [1, 2, 3]
+
+
+def test_bpe_apply_order_and_fallback(spark):
+    from rca_pdf_extraction_pipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower für low")], "doc_id long, text string")
+    out = bpe.bpe_apply(docs, [("l", "o"), ("lo", "w"), ("low", "</w>")]) \
+        .collect()[0]
+    # word order preserved through the shuffle; non-ASCII word passes
+    # through as one NUL-flagged unknown token
+    assert out.bpe_tokens[0] == "low</w>"
+    assert out.bpe_tokens[-1] == "low</w>"
+    assert "\x00für" in out.bpe_tokens
+    assert out.n_bpe_tokens == len(out.bpe_tokens)
+
+
+def test_bpe_guards():
+    from rca_pdf_extraction_pipeline_spark.operators import bpe
+
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.bpe_train(None, 0)
+    with pytest.raises(ValueError, match=r"\|"):
+        bpe.bpe_apply(None, [("a|b", "c")])
