@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     "media_near_pairs",
     "dsir_topk",
     "link_clustering",
+    # r5 additions: real-JPEG-codec decode (mapInPandas + numpy IDCT),
+    # snapshot drift (one union token pass, 512-row state), BPE merge
+    # training (1 corpus pass + 10 materialized vocab rounds)
+    "multimodal_decode_jpeg",
+    "corpus_drift",
+    "bpe_merges",
 ]
 
 
