@@ -3780,8 +3780,9 @@ def oracle_sql() -> dict[str, str]:
                      - round(ln((n_old + 1)::DOUBLE
                                 / (tot_old + 512)::DOUBLE) * 1000000,
                              0)::BIGINT AS lr,
-                     abs(n_new::DOUBLE / tot_new::DOUBLE
-                         - n_old::DOUBLE / tot_old::DOUBLE) AS l1
+                     abs(n_new::DOUBLE / GREATEST(tot_new, 1)::DOUBLE
+                         - n_old::DOUBLE / GREATEST(tot_old, 1)::DOUBLE)
+                         AS l1
               FROM cnt, tot)
             SELECT bucket, n_old, n_new,
                    round(lr / 1000000.0, 6) AS log_ratio,

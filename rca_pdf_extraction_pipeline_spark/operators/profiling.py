@@ -219,9 +219,13 @@ def corpus_drift(old_docs: DataFrame, new_docs: DataFrame,
         F.col("n_old").cast("long").alias("n_old"),
         F.col("n_new").cast("long").alias("n_new"),
         F.round(F.col("_lr") / F.lit(1_000_000.0), 6).alias("log_ratio"),
-        F.round(F.abs(F.col("n_new") / F.col("tot_new")
-                      - F.col("n_old") / F.col("tot_old")), 6)
-        .alias("l1_term"),
+        # an EMPTY snapshot (no tokens on one side) has p = 0 for every
+        # bucket, not a divide-by-zero: greatest(tot, 1) keeps the
+        # division safe under ANSI mode while leaving non-empty totals
+        # untouched (n is 0 whenever tot is 0)
+        F.round(F.abs(F.col("n_new") / F.greatest("tot_new", F.lit(1))
+                      - F.col("n_old") / F.greatest("tot_old", F.lit(1))),
+                6).alias("l1_term"),
         F.abs(F.col("_lr")).alias("_mag"))
         .orderBy(F.col("_mag").desc(), F.col("bucket").asc())
         .limit(top_k)

@@ -663,3 +663,27 @@ def test_dsir_topk_broadcast_model_take_ordered(documents):
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_drift_and_bpe_no_python_eval_topk_shape(spark, documents):
+    """corpus_drift and the BPE stages are pure column expressions: no
+    EvalPython anywhere; drift's final top-k is TakeOrderedAndProject
+    (O(k) per task), and bpe_apply's merge chain is a narrow replace
+    projection (no shuffle until the per-doc regroup)."""
+    from rca_pdf_extraction_pipeline_spark.operators import bpe
+    from rca_pdf_extraction_pipeline_spark.operators.profiling import corpus_drift
+
+    drift = corpus_drift(documents.limit(100), documents.limit(100),
+                         n_buckets=64, top_k=5)
+    plan = _plan(drift)
+    assert "EvalPython" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+    pairs = bpe._pair_counts(bpe._word_vocab(documents.limit(100), "text"))
+    plan = _plan(pairs)
+    assert "EvalPython" not in plan, plan[:2000]
+
+    applied = bpe.bpe_apply(documents.limit(100),
+                            [("e", "s"), ("es", "t")])
+    plan = _plan(applied)
+    assert "EvalPython" not in plan, plan[:2000]

@@ -1429,3 +1429,17 @@ def test_bpe_guards():
         bpe.bpe_train(None, 0)
     with pytest.raises(ValueError, match=r"\|"):
         bpe.bpe_apply(None, [("a|b", "c")])
+
+
+def test_corpus_drift_empty_snapshot_is_graceful(spark):
+    """An empty snapshot (e.g. a filter that matched nothing) must not
+    divide by zero under ANSI mode: p is 0 on the empty side, the
+    smoothed log_ratio still orders buckets."""
+    from rca_pdf_extraction_pipeline_spark.operators.profiling import corpus_drift
+
+    old = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    empty = old.filter("doc_id < 0")
+    out = corpus_drift(old, empty, n_buckets=16, top_k=4).collect()
+    assert len(out) > 0
+    assert all(r.n_new == 0 for r in out)
+    assert all(r.log_ratio < 0 for r in out)   # everything vanished
