@@ -1587,6 +1587,20 @@ def _bpe_token_stats_oracle(k: int) -> str:
         """
 
 
+def _q_corpus_drift_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving form of the drift report: both snapshots reduced to
+    stored (bucket, n) count tables first (profiling.token_bucket_
+    counts — the state a streaming monitor maintains), then scored via
+    drift_from_counts.  Must equal corpus_drift over the same rows, so
+    it shares that oracle verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    old = profiling.token_bucket_counts(
+        docs.filter(F.col("source") != "src1"), n_buckets=512)
+    new = profiling.token_bucket_counts(
+        docs.filter(F.col("source") == "src1"), n_buckets=512)
+    return profiling.drift_from_counts(old, new, n_buckets=512, top_k=30)
+
+
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_hash_sample(
         _t(spark, sf_dir, "documents"), "lang",
@@ -1910,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": _q_sample_temperature,
         "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
         "corpus_drift": _q_corpus_drift,
+        "corpus_drift_counts": _q_corpus_drift_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_stats": _q_bpe_token_stats,
         # (3) r4-green but output semantics / implementation touched in r5
@@ -2032,6 +2047,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literal()
+    # the stored/streamed-counts drift form must EQUAL the batch form
+    # over the same rows — one oracle, two Spark plans
+    d["corpus_drift_counts"] = d["corpus_drift"]
+    return d
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     from rca_pdf_extraction_pipeline_spark.functions.hashing import (
         MINHASH_MOD,
         MINHASH_SEEDS,

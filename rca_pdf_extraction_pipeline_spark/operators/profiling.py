@@ -206,6 +206,48 @@ def corpus_drift(old_docs: DataFrame, new_docs: DataFrame,
                .groupBy("bucket")
                .agg(F.sum(1 - F.col("_new")).alias("n_old"),
                     F.sum("_new").alias("n_new")))
+    return _drift_scores(buckets, n_buckets, top_k)
+
+
+def token_bucket_counts(docs: DataFrame, text_col: str = "text",
+                        n_buckets: int = 512) -> DataFrame:
+    """(bucket, n) — one snapshot's hashed-vocab counts: the <= n_buckets
+    rows of state a drift monitor stores per corpus drop, and exactly
+    the expression tree ``streaming.drift.drift_bucket_stream`` runs as
+    a streaming aggregation (constant state, like the HLL registers)."""
+    from ..functions import hashing as H
+    from ..functions import text as T
+
+    return (docs.select(F.explode(T.tokens(F.col(text_col))).alias("tok"))
+            .select((H.hash32(F.col("tok")) % n_buckets).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+def drift_from_counts(old_counts: DataFrame, new_counts: DataFrame,
+                      n_buckets: int = 512, top_k: int = 30) -> DataFrame:
+    """The same drift report computed from two stored/streamed
+    (bucket, n) count tables instead of raw corpora — the serving form:
+    the old snapshot's counts are a persisted artifact, the new side
+    arrives from :func:`token_bucket_counts` over the fresh drop or
+    from the streaming monitor's state table.  Bit-identical to
+    :func:`corpus_drift` over the same rows (parity pinned in
+    test_streaming.py)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2; got {n_buckets}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1; got {top_k}")
+    o = old_counts.select(F.col("bucket"), F.col("n").alias("_no"))
+    nw = new_counts.select(F.col("bucket"), F.col("n").alias("_nn"))
+    buckets = (o.join(nw, "bucket", "full_outer")
+               .select(F.col("bucket"),
+                       F.coalesce(F.col("_no"), F.lit(0)).alias("n_old"),
+                       F.coalesce(F.col("_nn"), F.lit(0)).alias("n_new")))
+    return _drift_scores(buckets, n_buckets, top_k)
+
+
+def _drift_scores(buckets: DataFrame, n_buckets: int,
+                  top_k: int) -> DataFrame:
+    """Shared scoring tail: (bucket, n_old, n_new) -> ranked report."""
     tot = buckets.agg(F.sum("n_old").alias("tot_old"),
                       F.sum("n_new").alias("tot_new"))
     lq = lambda x: F.round(F.log(x) * F.lit(1_000_000.0), 0).cast("long")

@@ -354,3 +354,40 @@ def test_hll_registers_stream_equals_batch(spark, tmp_path):
     est = S.hll_estimate(spark.sql("select * from hllregs")).collect()
     est_b = S.hll_estimate(S.hll_registers(docs, "v")).collect()
     assert est == est_b
+
+
+def test_drift_stream_equals_batch(spark, tmp_path):
+    """Streaming drift: the bucket-count state after consuming the new
+    drop as a stream, joined against the old snapshot's stored counts,
+    yields EXACTLY the batch corpus_drift report over the same rows —
+    one expression tree, two execution modes."""
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.operators import profiling as P
+    from rca_pdf_extraction_pipeline_spark.streaming import drift as SD
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("source") != "src1")
+    new = docs.filter(F.col("source") == "src1")
+    in_dir = str(tmp_path / "newdrop")
+    new.select("doc_id", "text").coalesce(3).write.parquet(in_dir)
+
+    batch = [tuple(r) for r in
+             P.corpus_drift(old, new, n_buckets=64, top_k=10).collect()]
+
+    stream = (spark.readStream
+              .schema(new.select("doc_id", "text").schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (SD.drift_bucket_stream(stream, n_buckets=64)
+         .writeStream.format("memory").queryName("driftcounts")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed_counts = spark.sql("select * from driftcounts")
+    got = [tuple(r) for r in
+           P.drift_from_counts(P.token_bucket_counts(old, n_buckets=64),
+                               streamed_counts,
+                               n_buckets=64, top_k=10).collect()]
+    assert got == batch and len(batch) == 10
