@@ -1587,6 +1587,14 @@ def _bpe_token_stats_oracle(k: int) -> str:
         """
 
 
+def _q_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class census (charset sanity: mis-decoded
+    or mojibake drops show up as a collapsing letter share / spiking
+    non-ASCII share).  Single-char regex classes count identically in
+    both engines; non_ascii is the exhaustive remainder."""
+    return textanalysis.charset_profile(_t(spark, sf_dir, "documents"))
+
+
 def _q_corpus_drift_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving form of the drift report: both snapshots reduced to
     stored (bucket, n) count tables first (profiling.token_bucket_
@@ -1599,6 +1607,66 @@ def _q_corpus_drift_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = profiling.token_bucket_counts(
         docs.filter(F.col("source") == "src1"), n_buckets=512)
     return profiling.drift_from_counts(old, new, n_buckets=512, top_k=30)
+
+
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source — the eval a pipeline publishes
+    with every tokenizer drop (BPE tokens per whitespace word; rising
+    fertility on one source = the merges stopped covering it): the 10
+    learned merges are applied corpus-wide and token counts roll up per
+    source next to the whitespace baseline."""
+    from rca_pdf_extraction_pipeline_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"])
+              for r in bpe.bpe_train(docs, n_merges=BPE_MERGES).collect()]
+    toks = bpe.bpe_apply(docs, merges).select("doc_id", "n_bpe_tokens")
+    base = docs.select("doc_id", "source",
+                       T.n_tokens(F.col("text")).alias("_nw"))
+    return (base.join(toks, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.sum("_nw").cast("bigint").alias("n_words"),
+                 F.sum(F.coalesce(F.col("n_bpe_tokens"), F.lit(0)))
+                 .cast("bigint").alias("n_bpe_tokens"))
+            .withColumn("fertility",
+                        F.round(F.col("n_bpe_tokens")
+                                / F.greatest("n_words", F.lit(1)), 6)))
+
+
+def _bpe_fertility_oracle(k: int) -> str:
+    chain = r"regexp_replace(w, '(.)', '|\1|', 'g') || '|</w>|'"
+    for i in range(1, k + 1):
+        chain = (f"replace({chain}, "
+                 f"'|' || (SELECT l FROM b{i}) || '||' "
+                 f"|| (SELECT r FROM b{i}) || '|', "
+                 f"'|' || (SELECT l FROM b{i}) "
+                 f"|| (SELECT r FROM b{i}) || '|')")
+    return f"""
+            WITH {_bpe_oracle_rounds(k)},
+            words AS (
+              SELECT doc_id, source,
+                     unnest(list_filter(string_split(text, ' '),
+                                        t -> t != '')) AS w
+              FROM documents),
+            wenc AS (
+              SELECT source,
+                     CASE WHEN regexp_matches(w, '^[!-~]+$')
+                               AND NOT contains(w, '|')
+                          THEN {chain}
+                          ELSE NULL END AS enc
+              FROM words),
+            per_src AS (
+              SELECT source, COUNT(*)::BIGINT AS n_words,
+                     SUM(CASE WHEN enc IS NULL THEN 1
+                              ELSE (length(enc)
+                                    - length(replace(enc, '|', ''))) / 2
+                         END)::BIGINT AS n_bpe_tokens
+              FROM wenc GROUP BY source)
+            SELECT source, n_words, n_bpe_tokens,
+                   round(n_bpe_tokens::DOUBLE
+                         / GREATEST(n_words, 1)::DOUBLE, 6) AS fertility
+            FROM per_src
+        """
 
 
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1925,8 +1993,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
         "corpus_drift": _q_corpus_drift,
         "corpus_drift_counts": _q_corpus_drift_counts,
+        "charset_profile": _q_charset_profile,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_stats": _q_bpe_token_stats,
+        "bpe_fertility": _q_bpe_fertility,
         # (3) r4-green but output semantics / implementation touched in r5
         # (epoch_shards pos int->bigint; cc_best tie-break re-ranked)
         "epoch_shards": _q_epoch_shards,
@@ -3776,6 +3846,35 @@ def _oracle_sql_literal() -> dict[str, str]:
         # merge application in both engines (operators/bpe.py docstring)
         "bpe_merges": _bpe_merges_oracle(BPE_MERGES),
         "bpe_token_stats": _bpe_token_stats_oracle(BPE_MERGES),
+        "bpe_fertility": _bpe_fertility_oracle(BPE_MERGES),
+        # charset census: single-char regex classes count identically
+        # under Java regex and RE2 for ASCII; non_ascii is the
+        # exhaustive remainder so the census always sums to n_chars
+        "charset_profile": """
+            WITH per_doc AS (
+              SELECT source,
+                     length(text)::BIGINT AS n,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         ::BIGINT AS l,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         ::BIGINT AS d,
+                     length(regexp_replace(text, '[^ \t\n\r]', '', 'g'))
+                         ::BIGINT AS s,
+                     length(regexp_replace(text, '[^!-~]', '', 'g'))
+                         ::BIGINT AS p
+              FROM documents)
+            SELECT source,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(n)::BIGINT AS n_chars,
+                   SUM(l)::BIGINT AS letters,
+                   SUM(d)::BIGINT AS digits,
+                   SUM(s)::BIGINT AS spaces,
+                   SUM(p - l - d)::BIGINT AS other_ascii,
+                   SUM(n - s - p)::BIGINT AS non_ascii,
+                   round(SUM(l)::DOUBLE
+                         / GREATEST(SUM(n), 1)::DOUBLE, 6) AS letter_ratio
+            FROM per_doc GROUP BY source
+        """,
         # drift: same hashed-vocab + integer-quantized-log idioms as
         # dsir_topk; ordering is on the exact BIGINT log-ratio magnitude
         "corpus_drift": """

@@ -433,3 +433,41 @@ def nb_classify(docs: DataFrame, class_col: str = "lang",
             .where(F.col("_rn") == 1)
             .select(F.col("doc").alias("doc_id"), "actual",
                     F.col("cls").alias("predicted"), "score_micro"))
+
+
+def charset_profile(docs: DataFrame, group_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Per-group character-class census — the charset-sanity signal of
+    corpus QA (a source whose letter share collapses or whose non-ASCII
+    share spikes between drops is mis-decoded, mojibake, or spam):
+
+      (group, n_docs, n_chars, letters, digits, spaces, other_ascii,
+       non_ascii, letter_ratio)
+
+    Classes are counted with single-character regex classes
+    (``regexp_count`` — JVM-side, engine-exact for ASCII classes);
+    ``non_ascii`` is the remainder ``n_chars - ascii classes``, so the
+    census is exhaustive by construction.  Narrow column expressions +
+    one tiny group aggregate — no corpus-size state."""
+    n = F.length(F.col(text_col))
+    letters = F.regexp_count(F.col(text_col), F.lit("[A-Za-z]"))
+    digits = F.regexp_count(F.col(text_col), F.lit("[0-9]"))
+    spaces = F.regexp_count(F.col(text_col), F.lit("[ \\t\\n\\r]"))
+    other_ascii = F.regexp_count(
+        F.col(text_col), F.lit("[\\x21-\\x7e]")) - letters - digits
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"), n.alias("_n"),
+        letters.alias("_l"), digits.alias("_d"), spaces.alias("_s"),
+        other_ascii.alias("_o"))
+    return (per_doc.groupBy(F.col("grp").alias(group_col))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_n").alias("n_chars"),
+                 F.sum("_l").alias("letters"),
+                 F.sum("_d").alias("digits"),
+                 F.sum("_s").alias("spaces"),
+                 F.sum("_o").alias("other_ascii"),
+                 (F.sum("_n") - F.sum("_l") - F.sum("_d") - F.sum("_s")
+                  - F.sum("_o")).alias("non_ascii"))
+            .withColumn("letter_ratio",
+                        F.round(F.col("letters")
+                                / F.greatest("n_chars", F.lit(1)), 6)))

@@ -1443,3 +1443,25 @@ def test_corpus_drift_empty_snapshot_is_graceful(spark):
     assert len(out) > 0
     assert all(r.n_new == 0 for r in out)
     assert all(r.log_ratio < 0 for r in out)   # everything vanished
+
+
+def test_charset_profile_counts_exactly(spark):
+    from rca_pdf_extraction_pipeline_spark.operators.textanalysis import (
+        charset_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "Ab1 ,\tü"), (2, "s1", ""), (3, "s2", "xyz")],
+        "doc_id long, source string, text string")
+    rows = {r.source: r for r in charset_profile(docs).collect()}
+    s1 = rows["s1"]
+    # "Ab1 ,\tü": 2 letters, 1 digit, 2 spaces (space + tab), 1 punct,
+    # 1 non-ascii, 7 chars total; the empty doc adds zeros only
+    assert (s1.n_docs, s1.n_chars, s1.letters, s1.digits, s1.spaces,
+            s1.other_ascii, s1.non_ascii) == (2, 7, 2, 1, 2, 1, 1)
+    s2 = rows["s2"]
+    assert (s2.letters, s2.non_ascii, s2.letter_ratio) == (3, 0, 1.0)
+    # census is exhaustive by construction
+    for r in rows.values():
+        assert r.letters + r.digits + r.spaces + r.other_ascii \
+            + r.non_ascii == r.n_chars
