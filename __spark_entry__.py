@@ -1809,6 +1809,22 @@ def _q_media_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        fake=False)
 
 
+def _q_media_cross_codec_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FORMAT image near-dup: the same picture stored once as a
+    BMP and once as a JPEG has different bytes (exact dedup is blind to
+    it) but decodes to near-identical features — the codec dispatch +
+    feature extraction + sign-LSH pipeline catches the re-encode.  BMP
+    features are the exact fixture colors; JPEG features are the
+    closed-form YCbCr round trip, so every surviving pair is replayed
+    in SQL."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 150)
+    media = multimodal.synth_bmp_media(ids).unionByName(
+        multimodal.synth_jpeg_media(ids))
+    return multimodal.media_near_pairs(media, threshold=0.999, n_bits=8,
+                                       fake=False)
+
+
 def _q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode round-trip: solid-color 8-bit PNGs (stdlib-zlib
     DEFLATE, CRC-correct chunks) built per doc_id, parsed back by the
@@ -1994,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": _q_corpus_drift,
         "corpus_drift_counts": _q_corpus_drift_counts,
         "charset_profile": _q_charset_profile,
+        "media_cross_codec_pairs": _q_media_cross_codec_pairs,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_fertility": _q_bpe_fertility,
@@ -4024,6 +4041,68 @@ def _oracle_sql_literal() -> dict[str, str]:
                                         AS DOUBLE), 4)
                    END AS f0
             FROM dec
+        """,
+        # cross-codec near-dup: bmp vectors are the exact fixture
+        # colors; jpg vectors are the closed-form YCbCr round trip
+        # (same formulas as multimodal_decode_jpeg); the sign-LSH
+        # bucket and cosine gate mirror the media_near_pairs twin
+        "media_cross_codec_pairs": """
+            WITH base AS (
+              SELECT doc_id,
+                     (doc_id % 256)::DOUBLE AS r,
+                     (doc_id * 7 % 256)::DOUBLE AS g,
+                     (doc_id * 13 % 256)::DOUBLE AS b
+              FROM documents WHERE doc_id < 150 AND doc_id % 10 != 0),
+            conv AS (
+              SELECT *,
+                LEAST(255, GREATEST(0, FLOOR(
+                    0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+                LEAST(255, GREATEST(0, FLOOR(
+                    -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5)))
+                    AS cb,
+                LEAST(255, GREATEST(0, FLOOR(
+                    0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5)))
+                    AS cr
+              FROM base),
+            dec AS (
+              SELECT *,
+                LEAST(255, GREATEST(0, FLOOR(
+                    y + 1.402 * (cr - 128.0) + 0.5))) AS r2,
+                LEAST(255, GREATEST(0, FLOOR(
+                    y - 0.344136 * (cb - 128.0)
+                      - 0.714136 * (cr - 128.0) + 0.5))) AS g2,
+                LEAST(255, GREATEST(0, FLOOR(
+                    y + 1.772 * (cb - 128.0) + 0.5))) AS b2
+              FROM conv),
+            feats AS (
+              SELECT printf('bmp-%05d', doc_id) AS media_ref,
+                     CAST(CAST(r / 255.0 AS FLOAT) AS DOUBLE) AS f0,
+                     CAST(CAST(g / 255.0 AS FLOAT) AS DOUBLE) AS f1,
+                     CAST(CAST(b / 255.0 AS FLOAT) AS DOUBLE) AS f2,
+                     CAST(CAST((GREATEST(r, g, b) - LEAST(r, g, b))
+                               / 255.0 AS FLOAT) AS DOUBLE) AS f3
+              FROM dec
+              UNION ALL
+              SELECT printf('jpg-%05d', doc_id) AS media_ref,
+                     CAST(CAST(r2 / 255.0 AS FLOAT) AS DOUBLE) AS f0,
+                     CAST(CAST(g2 / 255.0 AS FLOAT) AS DOUBLE) AS f1,
+                     CAST(CAST(b2 / 255.0 AS FLOAT) AS DOUBLE) AS f2,
+                     CAST(CAST((GREATEST(r2, g2, b2) - LEAST(r2, g2, b2))
+                               / 255.0 AS FLOAT) AS DOUBLE) AS f3
+              FROM dec),
+            v AS (
+              SELECT media_ref,
+                     [f0, f1, f2, f3, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS v,
+                     (CASE WHEN f0 > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN f1 > 0 THEN 2 ELSE 0 END
+                      + CASE WHEN f2 > 0 THEN 4 ELSE 0 END
+                      + CASE WHEN f3 > 0 THEN 8 ELSE 0 END)::BIGINT AS bucket
+              FROM feats WHERE f0 + f1 + f2 + f3 > 0)
+            SELECT a.media_ref AS media_a, b.media_ref AS media_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+            FROM v a JOIN v b
+              ON a.bucket = b.bucket AND a.media_ref < b.media_ref
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
         """,
         "multimodal_decode_png": """
             WITH m AS (
