@@ -134,3 +134,42 @@ def test_real_decode_media_jpeg(spark):
     assert r7.features[0] == pytest.approx(exp_r / 255.0, abs=1e-6)
     assert not by_ref["jpg-00010"].ok
     assert by_ref["jpg-00010"].decoded_width == 0
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+import hypothesis.strategies as st  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 24), st.integers(1, 18),
+       st.booleans())
+def test_jpeg_solid_roundtrip_property(seed, w, h, sub):
+    """For ANY geometry and color: solid image through q=1 encode/decode
+    equals the closed-form YCbCr round trip exactly."""
+    rng = np.random.RandomState(seed % (2**31))
+    c = tuple(int(v) for v in rng.randint(0, 256, 3))
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :] = c
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, subsample=sub))
+    assert out is not None and out[:2] == (w, h)
+    assert np.all(out[2].reshape(-1, 3) == jpeg.ycbcr_roundtrip_rgb(c))
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 20), st.integers(2, 16))
+def test_jpeg_random_image_bounded_error_property(seed, w, h):
+    """Arbitrary pixel content, q=1, 4:4:4: the only loss is DCT
+    coefficient rounding — per-pixel error stays within a few levels and
+    restart markers never change the result."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, subsample=False))
+    assert out is not None and out[:2] == (w, h)
+    assert np.abs(out[2].astype(int) - img.astype(int)).max() <= 4
+    rst = jpeg.decode_jpeg(jpeg.encode_jpeg(img, subsample=False,
+                                            restart_interval=1))
+    assert np.array_equal(rst[2], out[2])

@@ -1465,3 +1465,18 @@ def test_charset_profile_counts_exactly(spark):
     for r in rows.values():
         assert r.letters + r.digits + r.spaces + r.other_ascii \
             + r.non_ascii == r.n_chars
+
+
+def test_bpe_untrainable_corpus_is_graceful(spark):
+    """A corpus with no trainable words (non-ASCII / pipes only) yields
+    an empty merge table, not an error; bpe_apply with no merges is
+    plain character tokenization."""
+    from rca_pdf_extraction_pipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "für | ||")],
+                                 "doc_id long, text string")
+    assert bpe.bpe_train(docs, 3).count() == 0
+    out = bpe.bpe_apply(
+        spark.createDataFrame([(1, "ab")], "doc_id long, text string"),
+        []).collect()[0]
+    assert out.bpe_tokens == ["a", "b", "</w>"]
