@@ -1587,6 +1587,16 @@ def _bpe_token_stats_oracle(k: int) -> str:
         """
 
 
+def _q_vocab_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise language-vocabulary overlap via HLL inclusion-exclusion
+    (|A ∩ B| ≈ |A| + |B| - |A ∪ B|, union = bucket-wise register max):
+    the cross-source contamination signal at sketch cost — one token
+    pass, no token join.  Every estimate is the integer-lattice HLL
+    formula, replayed exactly in SQL."""
+    return sketches.vocab_overlap_by_group(
+        _t(spark, sf_dir, "documents"), group_col="lang")
+
+
 def _q_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source character-class census (charset sanity: mis-decoded
     or mojibake drops show up as a collapsing letter share / spiking
@@ -2011,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_counts": _q_corpus_drift_counts,
         "charset_profile": _q_charset_profile,
         "media_cross_codec_pairs": _q_media_cross_codec_pairs,
+        "vocab_overlap_hll": _q_vocab_overlap_hll,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_fertility": _q_bpe_fertility,
@@ -4746,6 +4757,73 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM tok GROUP BY tok)
             SELECT value, est_count, exact_count
             FROM est JOIN ex USING (value) ORDER BY value
+        """,
+        # pairwise HLL overlap: the same register/estimate formulas as
+        # hll_distinct_tokens, applied per group AND per merged pair
+        # (union = bucket-wise MAX of the two groups' registers)
+        "vocab_overlap_hll": """
+            WITH tok AS (
+              SELECT lang AS grp,
+                     unnest(list_filter(string_split(text, ' '),
+                            t -> t != '')) AS tok
+              FROM documents),
+            h AS (
+              SELECT grp, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h60
+              FROM tok),
+            regs AS (
+              SELECT grp, h60 >> 48 AS bucket,
+                MAX(CASE WHEN (h60 & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                         ELSE 48 - len(bin(h60 & ((1::BIGINT << 48) - 1))) + 1
+                    END) AS max_rank
+              FROM h GROUP BY 1, 2),
+            est1 AS (
+              SELECT grp,
+                     SUM(1::BIGINT << (49 - max_rank))::BIGINT AS si,
+                     COUNT(*)::BIGINT AS nz
+              FROM regs GROUP BY grp),
+            fin1 AS (
+              SELECT grp,
+                CASE WHEN ((0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                           / (si / 562949953421312.0 + (4096 - nz)))
+                          <= 2.5 * 4096
+                       AND (4096 - nz) > 0
+                     THEN round(4096 * ln(4096.0 / (4096 - nz)), 3)
+                     ELSE round((0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                           / (si / 562949953421312.0 + (4096 - nz)), 3)
+                END AS est_distinct
+              FROM est1),
+            pairs AS (
+              SELECT a.grp AS ga, a.est_distinct AS est_a,
+                     b.grp AS gb, b.est_distinct AS est_b
+              FROM fin1 a JOIN fin1 b ON a.grp < b.grp),
+            uregs AS (
+              SELECT p.ga, p.gb, r.bucket, MAX(r.max_rank) AS max_rank
+              FROM (SELECT ga, gb FROM pairs) p
+              JOIN regs r ON r.grp = p.ga OR r.grp = p.gb
+              GROUP BY 1, 2, 3),
+            estu AS (
+              SELECT ga, gb,
+                     SUM(1::BIGINT << (49 - max_rank))::BIGINT AS si,
+                     COUNT(*)::BIGINT AS nz
+              FROM uregs GROUP BY ga, gb),
+            finu AS (
+              SELECT ga, gb,
+                CASE WHEN ((0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                           / (si / 562949953421312.0 + (4096 - nz)))
+                          <= 2.5 * 4096
+                       AND (4096 - nz) > 0
+                     THEN round(4096 * ln(4096.0 / (4096 - nz)), 3)
+                     ELSE round((0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                           / (si / 562949953421312.0 + (4096 - nz)), 3)
+                END AS est_union
+              FROM estu)
+            SELECT p.ga AS group_a, p.gb AS group_b,
+                   p.est_a, p.est_b, u.est_union,
+                   round(p.est_a + p.est_b - u.est_union, 3) AS est_overlap,
+                   round(round(p.est_a + p.est_b - u.est_union, 3)
+                         / u.est_union, 6) AS est_jaccard
+            FROM pairs p JOIN finu u USING (ga, gb)
+            ORDER BY group_a, group_b
         """,
         "hll_distinct_tokens": """
             WITH tok AS (

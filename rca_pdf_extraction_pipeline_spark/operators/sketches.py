@@ -290,3 +290,57 @@ def bloom_contains(words: DataFrame, probes: DataFrame, value_col: str,
             .groupBy("probe")
             .agg(F.bool_and("hit").alias("maybe_present"))
             .orderBy("probe"))
+
+
+def vocab_overlap_by_group(docs: DataFrame, group_col: str = "lang",
+                           text_col: str = "text",
+                           p: int = DEFAULT_P) -> DataFrame:
+    """Pairwise vocabulary overlap between groups WITHOUT a token join —
+    HLL inclusion-exclusion: |A ∩ B| ≈ |A| + |B| - |A ∪ B|, where the
+    union estimate comes from bucket-wise max-merging the two groups'
+    register tables (the mergeability that makes HLL an algebra, not
+    just a counter).  The cross-source contamination / shared-jargon
+    signal a curation dashboard wants, at sketch cost.
+
+    Returns (group_a, group_b, est_a, est_b, est_union, est_overlap,
+    est_jaccard) for every unordered group pair, groups ascending.
+    Every component is the deterministic integer-lattice estimate of
+    :func:`hll_estimate`, so the numbers replay bit-for-bit in SQL.
+
+    Scale: ONE corpus token pass builds the per-group registers
+    (<= groups x 2^p rows — the stored sketch artifact); the pair stage
+    is tiny-table math (pairs x 2^p), so G groups cost G^2 register
+    merges, never another corpus scan.  Cap or pre-filter groups
+    upstream if G^2 x 2^p stops being tiny."""
+    from ..functions import text as T
+
+    toks = (docs.select(F.col(group_col).alias("grp"),
+                        F.explode(T.tokens(F.col(text_col))).alias("tok")))
+    # multi-consumer layer (single estimates + pair merges): persist so
+    # the corpus token pass runs once (CLAUDE.md cross-branch rule)
+    regs = hll_registers(toks, "tok", ("grp",), p).persist()
+    singles = hll_estimate(regs, ("grp",), p)
+    groups = singles.select(F.col("grp"), F.col("est_distinct"))
+    pairs = (groups.select(F.col("grp").alias("ga"),
+                           F.col("est_distinct").alias("est_a"))
+             .join(groups.select(F.col("grp").alias("gb"),
+                                 F.col("est_distinct").alias("est_b")),
+                   F.col("ga") < F.col("gb")))
+    merged = (pairs.select("ga", "gb")
+              .join(regs, (F.col("grp") == F.col("ga"))
+                    | (F.col("grp") == F.col("gb")))
+              .groupBy("ga", "gb", "bucket")
+              .agg(F.max("max_rank").alias("max_rank")))
+    eu = hll_estimate(merged, ("ga", "gb"), p) \
+        .withColumnRenamed("est_distinct", "est_union")
+    out = (pairs.join(eu, ["ga", "gb"])
+           .withColumn("est_overlap",
+                       F.round(F.col("est_a") + F.col("est_b")
+                               - F.col("est_union"), 3))
+           .withColumn("est_jaccard",
+                       F.round(F.col("est_overlap") / F.col("est_union"), 6)))
+    return (out.select(F.col("ga").alias("group_a"),
+                       F.col("gb").alias("group_b"),
+                       "est_a", "est_b", "est_union",
+                       "est_overlap", "est_jaccard")
+            .orderBy("group_a", "group_b"))

@@ -1480,3 +1480,33 @@ def test_bpe_untrainable_corpus_is_graceful(spark):
         spark.createDataFrame([(1, "ab")], "doc_id long, text string"),
         []).collect()[0]
     assert out.bpe_tokens == ["a", "b", "</w>"]
+
+
+def test_vocab_overlap_hll_monoid_and_sanity(spark):
+    """est_union from merged registers must EQUAL the direct estimate
+    over the concatenated corpora (HLL is a monoid — merge loses
+    nothing), and the inclusion-exclusion overlap tracks the true
+    intersection on constructed vocabularies."""
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.operators import sketches as S
+
+    # A: tokens 0..399; B: tokens 200..599 -> |A|=|B|=400, overlap 200
+    rows = [(i, "a", f"tok{i % 400}") for i in range(400)] \
+        + [(1000 + i, "b", f"tok{200 + i % 400}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = S.vocab_overlap_by_group(docs, group_col="lang").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b) == ("a", "b")
+    # sketch error at p=12 over 400-element sets is a few percent
+    assert abs(r.est_a - 400) / 400 < 0.1
+    assert abs(r.est_overlap - 200) / 200 < 0.2
+    # monoid: union estimate == direct estimate over relabeled union
+    both = docs.withColumn("lang", F.lit("u"))
+    direct = S.hll_estimate(
+        S.hll_registers(
+            both.select(F.col("lang").alias("grp"),
+                        F.explode(F.split("text", " ")).alias("tok")),
+            "tok", ("grp",)), ("grp",)).collect()[0]["est_distinct"]
+    assert r.est_union == direct
