@@ -1587,6 +1587,23 @@ def _bpe_token_stats_oracle(k: int) -> str:
         """
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the events table: users
+    cohorted by first-event week (whole-day counts from a fixed NTZ
+    epoch — the timestamp discipline from the sessions family), one
+    (user, week) distinct as the only corpus-scale shuffle."""
+    return sessions.cohort_retention(_t(spark, sf_dir, "events"),
+                                     period_days=7)
+
+
+def _q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU + trailing-7-day WAU: the rolling DISTINCT no native
+    window computes — day-grid range join over the (user, day) distinct
+    table."""
+    return sessions.active_users(_t(spark, sf_dir, "events"),
+                                 window_days=7)
+
+
 def _q_vocab_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise language-vocabulary overlap via HLL inclusion-exclusion
     (|A ∩ B| ≈ |A| + |B| - |A ∪ B|, union = bucket-wise register max):
@@ -2022,6 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_profile": _q_charset_profile,
         "media_cross_codec_pairs": _q_media_cross_codec_pairs,
         "vocab_overlap_hll": _q_vocab_overlap_hll,
+        "cohort_retention": _q_cohort_retention,
+        "active_users": _q_active_users,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_fertility": _q_bpe_fertility,
@@ -4761,6 +4780,49 @@ def _oracle_sql_literal() -> dict[str, str]:
         # pairwise HLL overlap: the same register/estimate formulas as
         # hll_distinct_tokens, applied per group AND per merged pair
         # (union = bucket-wise MAX of the two groups' registers)
+        # cohort/retention: day index = whole days from the fixed NTZ
+        # epoch (Spark timestampdiff(DAY) == DuckDB datediff('day')
+        # when the epoch is midnight — the sessions-family discipline)
+        "cohort_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id AS u,
+                     FLOOR(datediff('day',
+                           TIMESTAMP '2024-01-01 00:00:00', ts)
+                           / 7)::BIGINT AS w
+              FROM events),
+            firsts AS (SELECT u, MIN(w) AS cw FROM uw GROUP BY u),
+            sizes AS (
+              SELECT cw, COUNT(DISTINCT u)::BIGINT AS cohort_size
+              FROM firsts GROUP BY cw),
+            ret AS (
+              SELECT f.cw AS cohort_period,
+                     (uw.w - f.cw)::BIGINT AS period_offset,
+                     COUNT(DISTINCT uw.u)::BIGINT AS n_active
+              FROM uw JOIN firsts f USING (u) GROUP BY 1, 2)
+            SELECT r.cohort_period, r.period_offset, r.n_active,
+                   s.cohort_size,
+                   round(r.n_active::DOUBLE / s.cohort_size, 6) AS retention
+            FROM ret r JOIN sizes s ON r.cohort_period = s.cw
+            ORDER BY cohort_period, period_offset
+        """,
+        "active_users": """
+            WITH ud AS (
+              SELECT DISTINCT user_id AS u,
+                     datediff('day', TIMESTAMP '2024-01-01 00:00:00', ts)
+                         ::BIGINT AS d
+              FROM events),
+            days AS (SELECT DISTINCT d AS day FROM ud),
+            dau AS (
+              SELECT d AS day, COUNT(DISTINCT u)::BIGINT AS dau
+              FROM ud GROUP BY 1),
+            wau AS (
+              SELECT days.day, COUNT(DISTINCT ud.u)::BIGINT AS wau
+              FROM days JOIN ud
+                ON ud.d <= days.day AND ud.d > days.day - 7
+              GROUP BY days.day)
+            SELECT day, dau, wau FROM dau JOIN wau USING (day)
+            ORDER BY day
+        """,
         "vocab_overlap_hll": """
             WITH tok AS (
               SELECT lang AS grp,

@@ -56,3 +56,77 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                     F.col("w.end").alias("session_end"),
                     "n_events",
                     F.round(F.col("total_value"), 2).alias("total_value")))
+
+
+#: fixed NTZ epoch for period arithmetic — both engines count whole
+#: days from the same midnight, so period ids are engine-exact ints
+PERIOD_EPOCH = "2024-01-01 00:00:00"
+
+
+def _period(ts_col: str, period_days: int) -> "F.Column":
+    return F.floor(
+        F.expr(f"timestampdiff(DAY, timestamp'{PERIOD_EPOCH}', {ts_col})")
+        / period_days).cast("long")
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period_days: int = 7) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by the period of
+    their FIRST event; for each (cohort, offset) cell, how many of them
+    were active ``offset`` periods later.
+
+    Returns (cohort_period, period_offset, n_active, cohort_size,
+    retention) ordered by cohort then offset; offset 0 rows have
+    retention 1.0 by construction.  Period ids are whole-day counts
+    from a fixed NTZ epoch (engine-exact integers), retention a single
+    rounded division.
+
+    Scale: ONE distinct over (user, period) — map-side combined, the
+    only corpus-proportional shuffle; first-period and activity both
+    group on user (shared exchange), cohort sizes broadcast back.  No
+    window over users, no per-user state."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1; got {period_days}")
+    uw = (events.select(F.col(user_col).alias("u"),
+                        _period(ts_col, period_days).alias("w"))
+          .distinct())
+    firsts = uw.groupBy("u").agg(F.min("w").alias("cw"))
+    sizes = firsts.groupBy("cw").agg(
+        F.countDistinct("u").alias("cohort_size"))
+    ret = (uw.join(firsts, "u")
+           .groupBy(F.col("cw").alias("cohort_period"),
+                    (F.col("w") - F.col("cw")).alias("period_offset"))
+           .agg(F.countDistinct("u").alias("n_active")))
+    return (ret.join(F.broadcast(sizes),
+                     ret["cohort_period"] == sizes["cw"])
+            .drop("cw")
+            .withColumn("retention",
+                        F.round(F.col("n_active") / F.col("cohort_size"), 6))
+            .orderBy("cohort_period", "period_offset"))
+
+
+def active_users(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", window_days: int = 7) -> DataFrame:
+    """Per-day DAU and trailing-window WAU: (day, dau, wau).
+
+    WAU(d) = distinct users active in [d - window + 1, d] — computed by
+    joining the per-(user, day) distinct table to the day grid on a
+    range predicate, then counting distinct per day: the windowed
+    distinct no engine's rolling window does natively.
+
+    Scale: the (user, day) distinct table is the corpus-proportional
+    piece; the grid join fans each row out ``window_days`` times (a
+    constant), and the day grid itself is tiny (one row per day)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1; got {window_days}")
+    ud = (events.select(F.col(user_col).alias("u"),
+                        _period(ts_col, 1).alias("d"))
+          .distinct())
+    days = ud.select(F.col("d").alias("day")).distinct()
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("u").alias("dau"))
+    wau = (days.join(ud, (F.col("d") <= F.col("day"))
+                     & (F.col("d") > F.col("day") - window_days))
+           .groupBy("day").agg(F.countDistinct("u").alias("wau")))
+    return dau.join(wau, "day").orderBy("day")

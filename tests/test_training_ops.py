@@ -1510,3 +1510,34 @@ def test_vocab_overlap_hll_monoid_and_sanity(spark):
                         F.explode(F.split("text", " ")).alias("tok")),
             "tok", ("grp",)), ("grp",)).collect()[0]["est_distinct"]
     assert r.est_union == direct
+
+
+def test_cohort_retention_and_active_users_hand_check(spark):
+    """Constructed 3-user event log with known cohorts: retention and
+    rolling active-user counts match hand arithmetic."""
+    from rca_pdf_extraction_pipeline_spark.operators import sessions
+
+    rows = [
+        # u1: weeks 0, 1, 2 ; u2: weeks 0, 2 ; u3: week 1 only
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-08 10:00:00"),
+        (1, "2024-01-16 10:00:00"),
+        (2, "2024-01-02 00:00:01"), (2, "2024-01-15 23:59:59"),
+        (3, "2024-01-09 12:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string") \
+        .selectExpr("user_id", "cast(ts_s as timestamp) AS ts")
+    ret = {(r.cohort_period, r.period_offset):
+           (r.n_active, r.cohort_size, r.retention)
+           for r in sessions.cohort_retention(ev).collect()}
+    assert ret[(0, 0)] == (2, 2, 1.0)       # u1, u2 start week 0
+    assert ret[(0, 1)] == (1, 2, 0.5)       # only u1 back in week 1
+    assert ret[(0, 2)] == (2, 2, 1.0)       # both back in week 2
+    assert ret[(1, 0)] == (1, 1, 1.0)       # u3's own cohort
+    assert len(ret) == 4
+
+    au = {r.day: (r.dau, r.wau)
+          for r in sessions.active_users(ev, window_days=7).collect()}
+    assert au[0] == (1, 1)                  # day 0: u1
+    assert au[1] == (1, 2)                  # day 1: u2; window {u1, u2}
+    assert au[7] == (1, 2)                  # day 7: u1; window {u1(d7), u2(d1)}
+    assert au[8] == (1, 2)                  # day 8: u3; window {u1, u3}
