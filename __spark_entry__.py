@@ -1604,6 +1604,35 @@ def _q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  window_days=7)
 
 
+def _q_embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign projection (Achlioptas 2003 database-friendly variant)
+    of the first 40 embeddings onto 16 dims: integer-lattice sums over
+    a content-addressed ±1 matrix — bit-exact in both engines,
+    relational (vec_id, j, y) output."""
+    embs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    return (similarity.project_embeddings(embs, out_dim=16, seed=0)
+            .select(F.col("vec_id"), F.col("j").cast("long").alias("j"),
+                    F.col("y").cast("long").alias("y")))
+
+
+def _q_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of cosine top-k in the 16-dim PROJECTED space vs the
+    exact 64-dim neighbor set — the measure-don't-guess check before
+    committing a projection dimension; same diagnostic row shape as
+    ann_recall."""
+    embs = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(embs, query_id=0, k=10).select("vec_id")
+    approx = similarity.jl_topk(embs, query_id=0, k=10, out_dim=16) \
+        .select("vec_id")
+    hits = (exact.join(approx, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    return hits.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr("cast((n_hits * 1000000) div 10 as bigint)")
+        .alias("recall_micro"))
+
+
 def _q_vocab_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise language-vocabulary overlap via HLL inclusion-exclusion
     (|A ∩ B| ≈ |A| + |B| - |A ∪ B|, union = bucket-wise register max):
@@ -2041,6 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap_hll": _q_vocab_overlap_hll,
         "cohort_retention": _q_cohort_retention,
         "active_users": _q_active_users,
+        "embed_jl_project": _q_embed_jl_project,
+        "jl_recall": _q_jl_recall,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_fertility": _q_bpe_fertility,
@@ -4783,6 +4814,75 @@ def _oracle_sql_literal() -> dict[str, str]:
         # cohort/retention: day index = whole days from the fixed NTZ
         # epoch (Spark timestampdiff(DAY) == DuckDB datediff('day')
         # when the epoch is midnight — the sessions-family discipline)
+        # JL projection: same content-addressed sign matrix, same
+        # lattice rounding as the kmeans family; projected vectors are
+        # exact bigint sums so both queries replay bit-for-bit
+        "embed_jl_project": """
+            WITH lat AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> round(x::DOUBLE * 1000)::BIGINT)
+                         AS qv
+              FROM embeddings WHERE vec_id < 40),
+            signs AS (
+              SELECT d.i, o.j,
+                     (CASE WHEN ('0x' || substr(
+                          md5('jl0:' || d.i || ':' || o.j), 1, 8))::BIGINT
+                          % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS s
+              FROM (SELECT unnest(range(64))::BIGINT AS i) d,
+                   (SELECT unnest(range(16))::BIGINT AS j) o),
+            expl AS (
+              SELECT vec_id, d.i, qv[d.i + 1] AS v
+              FROM lat, (SELECT unnest(range(64))::BIGINT AS i) d)
+            SELECT e.vec_id, s.j, SUM(e.v * s.s)::BIGINT AS y
+            FROM expl e JOIN signs s ON e.i = s.i
+            GROUP BY e.vec_id, s.j
+        """,
+        "jl_recall": """
+            WITH lat AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> round(x::DOUBLE * 1000)::BIGINT)
+                         AS qv
+              FROM embeddings),
+            signs AS (
+              SELECT d.i, o.j,
+                     (CASE WHEN ('0x' || substr(
+                          md5('jl0:' || d.i || ':' || o.j), 1, 8))::BIGINT
+                          % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS s
+              FROM (SELECT unnest(range(64))::BIGINT AS i) d,
+                   (SELECT unnest(range(16))::BIGINT AS j) o),
+            expl AS (
+              SELECT vec_id, d.i, qv[d.i + 1] AS v
+              FROM lat, (SELECT unnest(range(64))::BIGINT AS i) d),
+            proj AS (
+              SELECT e.vec_id, s.j, SUM(e.v * s.s)::BIGINT AS y
+              FROM expl e JOIN signs s ON e.i = s.i
+              GROUP BY e.vec_id, s.j),
+            qp AS (SELECT j, y AS qy FROM proj WHERE vec_id = 0),
+            appr AS (
+              SELECT p.vec_id,
+                     round(SUM(p.y * qp.qy)::DOUBLE
+                           / (sqrt(SUM(p.y * p.y)::DOUBLE)
+                              * sqrt(SUM(qp.qy * qp.qy)::DOUBLE)), 6) AS cs
+              FROM proj p JOIN qp USING (j)
+              WHERE p.vec_id <> 0
+              GROUP BY p.vec_id
+              ORDER BY cs DESC, vec_id ASC LIMIT 10),
+            q AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings
+                  WHERE vec_id = 0),
+            exact AS (
+              SELECT vec_id,
+                     round(list_cosine_similarity(embedding::DOUBLE[],
+                           q.q_vec), 6) AS cs
+              FROM embeddings, q WHERE vec_id <> 0
+              ORDER BY cs DESC, vec_id ASC LIMIT 10),
+            hits AS (SELECT COUNT(*)::BIGINT AS n_hits FROM exact
+                     WHERE vec_id IN (SELECT vec_id FROM appr))
+            SELECT 10::BIGINT AS k, n_hits,
+                   ((n_hits * 1000000) // 10)::BIGINT AS recall_micro
+            FROM hits
+        """,
         "cohort_retention": """
             WITH uw AS (
               SELECT DISTINCT user_id AS u,

@@ -702,3 +702,72 @@ def bucketed_topk(embs: DataFrame, query_id: int, k: int = 10, n_bits: int = 8,
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def jl_sign_matrix(spark, in_dim: int, out_dim: int, seed: int = 0):
+    """Deterministic Johnson-Lindenstrauss sign matrix as a (i, j, s)
+    DataFrame: s = ±1 from the parity of hash32(md5('jl<seed>:i:j')) —
+    content-addressed, so every run, cluster, and engine materializes
+    the identical matrix without storing it.  in_dim x out_dim rows:
+    broadcast-sized for any practical projection."""
+    from ..functions import hashing as H
+
+    ij = (spark.range(in_dim).select(F.col("id").alias("i"))
+          .crossJoin(spark.range(out_dim).select(F.col("id").alias("j"))))
+    h = H.hash32(F.concat(F.lit(f"jl{seed}:"),
+                          F.col("i").cast("string"), F.lit(":"),
+                          F.col("j").cast("string")))
+    return ij.withColumn(
+        "s", F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+        .cast("long"))
+
+
+def project_embeddings(embs: DataFrame, out_dim: int = 16, seed: int = 0,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       dim: int = 64) -> DataFrame:
+    """JL sign projection on the integer lattice: y_j = Σ_i x_i·s(i,j)
+    with x the KMEANS_SCALE-rounded lattice values — exact bigint sums,
+    so projected vectors are bit-identical across engines.  Returns
+    (id, j, y) in relational form (out_dim rows per vector).
+
+    Why: random sign projections preserve cosine geometry in
+    expectation (Achlioptas 2003's database-friendly JL variant) — the
+    cheap dimension cut ahead of ANN at 10^12 vectors: a 64→16
+    projection quarters every downstream distance computation and
+    shrinks the stored index the same factor.
+
+    Scale: one explode of the lattice values joined to the broadcast
+    sign matrix, one (id, j) partial-agg sum — a single keyed shuffle
+    whose width is out_dim longs per vector."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1; got {out_dim}")
+    lat = _lattice(embs, id_col, vec_col)
+    signs = jl_sign_matrix(embs.sparkSession, dim, out_dim, seed)
+    expl = lat.select(F.col(id_col), F.posexplode("qv").alias("i", "v"))
+    return (expl.join(F.broadcast(signs), "i")
+            .groupBy(id_col, "j")
+            .agg(F.sum(F.col("v") * F.col("s")).alias("y")))
+
+
+def jl_topk(embs: DataFrame, query_id: int, k: int, out_dim: int = 16,
+            seed: int = 0, id_col: str = "vec_id",
+            vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Cosine top-k in the PROJECTED space: exact integer dots/norms
+    over the projected vectors, one double division + sqrt at the very
+    end (correctly-rounded IEEE ops — engine-identical), ties by id.
+    Returns (vec_id, proj_cosine)."""
+    proj = project_embeddings(embs, out_dim, seed, id_col, vec_col, dim)
+    q = proj.filter(F.col(id_col) == query_id) \
+        .select(F.col("j"), F.col("y").alias("qy"))
+    joined = (proj.filter(F.col(id_col) != query_id)
+              .join(F.broadcast(q), "j")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("y") * F.col("qy")).alias("dot"),
+                   F.sum(F.col("y") * F.col("y")).alias("n2"),
+                   F.sum(F.col("qy") * F.col("qy")).alias("qn2")))
+    cos = F.round(F.col("dot") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2"))),
+                  6)
+    return (joined.select(F.col(id_col), cos.alias("proj_cosine"))
+            .orderBy(F.col("proj_cosine").desc(), F.col(id_col).asc())
+            .limit(k))
