@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "multimodal_decode_jpeg",
     "corpus_drift",
     "bpe_merges",
+    # r5 late additions: HLL pair merges, events analytics, JL recall
+    "vocab_overlap_hll",
+    "cohort_retention",
+    "jl_recall",
 ]
 
 
