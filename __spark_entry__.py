@@ -1604,6 +1604,29 @@ def _q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  window_days=7)
 
 
+def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit over the events table (plans/layout.py —
+    the Delta OPTIMIZE ZORDER analogue): interleave 8-bit codes of two
+    independent dimensions into a Morton key, bucket rows by the key's
+    top 6 bits (the 64 rectangles a range-partitioned layout writer
+    would emit as files), and report each bucket's per-dimension
+    min/max — the parquet-footer stats that make a predicate on EITHER
+    dimension skip ~7/8 of the files.  Bucketing is by fixed key
+    ranges, not partition ids, so the result is partition-invariant;
+    the oracle replays the bit-interleave arithmetic in SQL."""
+    from rca_pdf_extraction_pipeline_spark.plans import layout
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).cast("int").alias("x"),
+        (F.col("event_id") % 256).cast("int").alias("y"))
+    z = layout.zorder_key(["x", "y"], bits=8)
+    return (ev.withColumn("zbucket", F.shiftright(z, 10).cast("int"))
+            .groupBy("zbucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+                 F.min("y").alias("y_min"), F.max("y").alias("y_max"))
+            .orderBy("zbucket"))
+
+
 def _q_embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL sign projection (Achlioptas 2003 database-friendly variant)
     of the first 40 embeddings onto 16 dims: integer-lattice sums over
@@ -2070,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap_hll": _q_vocab_overlap_hll,
         "cohort_retention": _q_cohort_retention,
         "active_users": _q_active_users,
+        "zorder_stats": _q_zorder_stats,
         "embed_jl_project": _q_embed_jl_project,
         "jl_recall": _q_jl_recall,
         "bpe_merges": _q_bpe_merges,
@@ -2093,7 +2117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a0_pricing_summary": _q_a0_pricing_summary,
         "a12_rollup": _q_a12_rollup,
         "j1_broadcast_join": _q_j1_broadcast_join,
-        "j_semi_anti": _q_j_semi_anti,
         "o3_topk_orders": _q_o3_topk_orders,
         "j5_levenshtein_pairs": _q_j5_levenshtein_pairs,
         "asof_click_view": _q_asof_click_view,
@@ -2128,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (first 50 keys above) ----
         # stale but heavily golden/byte-parity-pinned — yielded their
         # slots to the rotation above (test_driver_window.py rule 3)
+        "j_semi_anti": _q_j_semi_anti,
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
         "c2_structural": _q_c2_structural,
@@ -2207,6 +2231,11 @@ def _oracle_sql_literal() -> dict[str, str]:
         MINHASH_MOD,
         MINHASH_SEEDS,
     )
+    # Morton interleave of two 8-bit codes, unrolled exactly like
+    # plans/layout.zorder_key (x bit j -> key bit 2j, y -> 2j+1)
+    zterms = " | ".join(
+        f"(((x >> {j}) & 1) << {2 * j}) | (((y >> {j}) & 1) << {2 * j + 1})"
+        for j in range(8))
     minhash_sigs = ", ".join(
         f"list_aggregate(list_transform(hv, h -> ({a} * h + {b}) % {MINHASH_MOD}), 'min')"
         f" AS sig_{s}"
@@ -4904,6 +4933,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(r.n_active::DOUBLE / s.cohort_size, 6) AS retention
             FROM ret r JOIN sizes s ON r.cohort_period = s.cw
             ORDER BY cohort_period, period_offset
+        """,
+        "zorder_stats": f"""
+            WITH codes AS (
+              SELECT (user_id % 256)::INT AS x, (event_id % 256)::INT AS y
+              FROM events),
+            z AS (SELECT x, y, ({zterms}) AS zkey FROM codes)
+            SELECT (zkey >> 10)::INT AS zbucket, COUNT(*)::BIGINT AS n,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max
+            FROM z GROUP BY zbucket ORDER BY zbucket
         """,
         "active_users": """
             WITH ud AS (

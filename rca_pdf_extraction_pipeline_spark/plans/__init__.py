@@ -7,3 +7,4 @@ snapshot append, per-partition row/byte metrics, lineage, and
 resume-without-reprocessing)."""
 
 from . import checkpoint  # noqa: F401
+from . import layout  # noqa: F401
