@@ -1888,6 +1888,35 @@ def _q_media_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        fake=False)
 
 
+def _q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL decoded pixels: textured 36x32 BMPs
+    (8x9 grid of md5-byte blocks — solid colors are dHash-degenerate)
+    are decoded by the numpy codec and average-pooled back to the
+    grid, whose horizontal comparisons form the 64-bit hash.  Pooling
+    is integer-exact (equal blocks), so the oracle rebuilds every grid
+    byte from the same md5 keys in SQL and folds the comparisons into
+    the identical (sig_hi, sig_lo) halves."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 500)
+    sigs = multimodal.media_dhash(multimodal.synth_grid_bmp_media(ids))
+    return sigs.filter("ok").select("media_ref", "sig_hi", "sig_lo") \
+        .orderBy("media_ref")
+
+
+def _q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image pairs: dHash signatures banded by the
+    SimHash pigeonhole machinery (4 disjoint 16-bit bands => no pair
+    within Hamming <= 2 can escape, never all-pairs).  The fixture
+    plants doc_id >= 250 as a one-cell edit of doc_id % 250 (Hamming
+    <= 1), so the planted (i, i+250) pairs must all surface; the
+    oracle verifies with an exact all-pairs bit_count at this scale."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 500)
+    media = multimodal.synth_grid_bmp_media(ids)
+    return multimodal.media_dhash_pairs(media, max_hamming=2) \
+        .orderBy("id_a", "id_b")
+
+
 def _q_media_cross_codec_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-FORMAT image near-dup: the same picture stored once as a
     BMP and once as a JPEG has different bytes (exact dedup is blind to
@@ -2094,6 +2123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "active_users": _q_active_users,
         "zorder_stats": _q_zorder_stats,
+        "media_dhash": _q_media_dhash,
+        "media_dhash_pairs": _q_media_dhash_pairs,
         "embed_jl_project": _q_embed_jl_project,
         "jl_recall": _q_jl_recall,
         "bpe_merges": _q_bpe_merges,
@@ -2107,7 +2138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # predates round 4 — re-witnessed this round, golden-pinned ones
         # yield first (they are separately pinned by pytest fixtures)
         "domain_caps": _q_domain_caps,
-        "domain_stats": _q_domain_stats,
         "extract_flagship": _q_extract_flagship,
         "f8_page_range": _q_f8_page_range,
         "a8_depth_summary": _q_a8_depth_summary,
@@ -2115,7 +2145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_search": _q_span_search,
         "span_kind_census": _q_span_kind_census,
         "a0_pricing_summary": _q_a0_pricing_summary,
-        "a12_rollup": _q_a12_rollup,
         "j1_broadcast_join": _q_j1_broadcast_join,
         "o3_topk_orders": _q_o3_topk_orders,
         "j5_levenshtein_pairs": _q_j5_levenshtein_pairs,
@@ -2152,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stale but heavily golden/byte-parity-pinned — yielded their
         # slots to the rotation above (test_driver_window.py rule 3)
         "j_semi_anti": _q_j_semi_anti,
+        "domain_stats": _q_domain_stats,
+        "a12_rollup": _q_a12_rollup,
         "multimodal_stats": _q_multimodal_stats,
         "multimodal_decode": _q_multimodal_decode,
         "c2_structural": _q_c2_structural,
@@ -4061,6 +4092,66 @@ def _oracle_sql_literal() -> dict[str, str]:
               WHERE d.source != 'src1')
             SELECT doc_id, n_tokens, dsir_logw, dsir_key
             FROM keyed ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "media_dhash": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            cells AS (
+              SELECT d.doc_id, r.r, c.c,
+                     ('0x' || substr(md5(printf('%d-%d-%d',
+                          d.doc_id % 250, r.r, c.c)), 1, 2))::INT AS v0
+              FROM d, range(8) AS r(r), range(9) AS c(c)),
+            adj AS (
+              SELECT doc_id, r, c,
+                     CASE WHEN r = 0 AND c = 0 AND doc_id >= 250
+                          THEN xor(v0, 128) ELSE v0 END AS v
+              FROM cells),
+            bits AS (
+              SELECT a.doc_id, (a.r * 8 + a.c) AS j,
+                     CASE WHEN a.v < b.v THEN 1::BIGINT
+                          ELSE 0::BIGINT END AS bit
+              FROM adj a JOIN adj b
+                ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+              WHERE a.c < 8)
+            SELECT printf('gbmp-%05d', doc_id) AS media_ref,
+                   SUM(CASE WHEN j >= 32 THEN bit << (j - 32)
+                            ELSE 0 END)::BIGINT AS sig_hi,
+                   SUM(CASE WHEN j < 32 THEN bit << j
+                            ELSE 0 END)::BIGINT AS sig_lo
+            FROM bits GROUP BY doc_id ORDER BY media_ref
+        """,
+        "media_dhash_pairs": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            cells AS (
+              SELECT d.doc_id, r.r, c.c,
+                     ('0x' || substr(md5(printf('%d-%d-%d',
+                          d.doc_id % 250, r.r, c.c)), 1, 2))::INT AS v0
+              FROM d, range(8) AS r(r), range(9) AS c(c)),
+            adj AS (
+              SELECT doc_id, r, c,
+                     CASE WHEN r = 0 AND c = 0 AND doc_id >= 250
+                          THEN xor(v0, 128) ELSE v0 END AS v
+              FROM cells),
+            bits AS (
+              SELECT a.doc_id, (a.r * 8 + a.c) AS j,
+                     CASE WHEN a.v < b.v THEN 1::BIGINT
+                          ELSE 0::BIGINT END AS bit
+              FROM adj a JOIN adj b
+                ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+              WHERE a.c < 8),
+            sigs AS (
+              SELECT printf('gbmp-%05d', doc_id) AS id,
+                     SUM(CASE WHEN j >= 32 THEN bit << (j - 32)
+                              ELSE 0 END)::BIGINT AS hi,
+                     SUM(CASE WHEN j < 32 THEN bit << j
+                              ELSE 0 END)::BIGINT AS lo
+              FROM bits GROUP BY doc_id)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   (bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)))::INTEGER AS hamming
+            FROM sigs a JOIN sigs b ON a.id < b.id
+            WHERE bit_count(xor(a.hi, b.hi))
+                  + bit_count(xor(a.lo, b.lo)) <= 2
+            ORDER BY id_a, id_b
         """,
         "media_near_pairs": """
             WITH m AS (

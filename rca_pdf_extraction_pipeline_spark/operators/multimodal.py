@@ -476,6 +476,133 @@ def synth_jpeg_media(ids: DataFrame) -> DataFrame:
     return ids.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_grid_bmp_media(ids: DataFrame, grid_mod: int = 250,
+                         cell: int = 4) -> DataFrame:
+    """Textured BMP fixture for PERCEPTUAL hashing (the solid-color
+    fixtures are dHash-degenerate): each doc becomes a grayscale
+    ``9*cell x 8*cell`` BMP built from an 8x9 grid of solid ``cell x
+    cell`` blocks, block (r, c) brightness = first md5 byte of
+    ``"{doc_id % grid_mod}-{r}-{c}"``.  Average-pooling the image back
+    to 9x8 recovers the grid EXACTLY (equal-size blocks), so the dHash
+    has a closed-form DuckDB twin.  Docs with ``doc_id >= grid_mod``
+    reuse the grid of ``doc_id % grid_mod`` with the top bit of cell
+    (0, 0) flipped — a near-duplicate at Hamming distance <= 1 (cell
+    (0, 0) feeds exactly one horizontal comparison), giving the pairs
+    query a known planted-pair structure.
+
+    Fixture GENERATOR (not a hot path), like :func:`synth_bmp_media`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for did in pdf["doc_id"].astype(int):
+                grid = np.empty((8, 9), dtype=np.uint8)
+                gid = did % grid_mod
+                for r in range(8):
+                    for c in range(9):
+                        key = f"{gid}-{r}-{c}".encode()
+                        grid[r, c] = int(
+                            hashlib.md5(key).hexdigest()[:2], 16)
+                if did >= grid_mod:
+                    grid[0, 0] ^= 0x80
+                g = np.repeat(np.repeat(grid, cell, axis=0), cell, axis=1)
+                rgb = np.repeat(g[:, :, None], 3, axis=2)
+                out.append((f"gbmp-{did:05d}", f"doc-{did}", "image",
+                            encode_bmp(rgb), None, None, None))
+            yield pd.DataFrame(out, columns=["media_ref", "doc_id", "kind",
+                                             "payload", "width", "height",
+                                             "duration_ms"])
+
+    return ids.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+DHASH_SCHEMA = ("media_ref string, doc_id string, ok boolean, "
+                "sig_hi long, sig_lo long")
+
+
+def dhash_grid(rgb: np.ndarray) -> tuple[int, int]:
+    """64-bit difference hash of a decoded image: average-pool the
+    channel-summed image to a 9x8 grid, set bit ``r*8 + c`` iff
+    ``grid[r, c] < grid[r, c+1]`` (strict, like the classic dHash).
+    Channel SUM (not mean) keeps the pooling integer-exact for images
+    whose dims divide 9x8; other sizes take uneven float64 block means
+    (comparisons, not values, are the output — stable either way).
+    Returns the signature split as (sig_hi, sig_lo) 32-bit halves, the
+    layout :func:`..operators.dedup.simhash_pairs_from_signatures`
+    bands on."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    gray = rgb.astype(np.int64).sum(axis=2)
+    rs = [(r * h) // 8 for r in range(9)]
+    cs = [(c * w) // 9 for c in range(10)]
+    grid = np.empty((8, 9), dtype=np.float64)
+    for r in range(8):
+        for c in range(9):
+            block = gray[rs[r]:rs[r + 1], cs[c]:cs[c + 1]]
+            grid[r, c] = block.sum() / block.size
+    bits = grid[:, :-1] < grid[:, 1:]
+    val = 0
+    for r in range(8):
+        for c in range(8):
+            if bits[r, c]:
+                val |= 1 << (r * 8 + c)
+    return val >> 32, val & 0xFFFFFFFF
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """Per-image perceptual dHash signatures over REAL decoded pixels
+    (any built-in codec: BMP/PNG/baseline JPEG) — the image analogue of
+    :func:`..operators.dedup.simhash_signatures`, producing the same
+    (id, sig_hi, sig_lo) shape so the pigeonhole Hamming banding is
+    shared verbatim.  One Arrow-batched stage; the per-IMAGE loop is
+    ragged-payload dispatch, the pixel math is numpy (input_hint
+    discipline).  Images smaller than the 9x8 grid come back ok=False
+    with a zero signature rather than an undersampled hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            hi = np.zeros(n, dtype=np.int64)
+            lo = np.zeros(n, dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                parsed = (decode_image(bytes(payload))
+                          if payload is not None else None)
+                if parsed is None:
+                    continue
+                w, h, rgb = parsed
+                if w < 9 or h < 8:
+                    continue
+                ok[i] = True
+                hi[i], lo[i] = dhash_grid(rgb)
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "doc_id": pdf["doc_id"],
+                "ok": ok, "sig_hi": hi, "sig_lo": lo,
+            })
+
+    return media.select("media_ref", "doc_id", "payload") \
+        .mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def media_dhash_pairs(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash signatures banded by
+    the SimHash pigeonhole machinery (Hamming <= max_hamming needs
+    agreement on >= 1 of 4 disjoint 16-bit bands — never all-pairs).
+    Catches re-encodes, brightness-preserving recompression, and
+    small local edits that the mean-RGB feature pairs
+    (:func:`media_near_pairs`) smear away."""
+    from . import dedup
+
+    sigs = media_dhash(media).filter("ok") \
+        .select("media_ref", "sig_hi", "sig_lo")
+    return dedup.simhash_pairs_from_signatures(
+        sigs, id_col="media_ref", max_hamming=max_hamming)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Corpus-level media profile: per kind — count, payload bytes,
     mean declared geometry. Pure built-ins (JVM-side)."""
