@@ -979,6 +979,49 @@ def _q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   iters=2, nprobe=2, m=4, k=4, dim=64)
 
 
+def _q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN JOIN: top-5 cosine neighbors for EVERY query in a
+    deterministic 5-vector batch (vec_id % 100 == 0) — the many-queries
+    retrieval shape (RAG dataset construction, SemDeDup assignment)
+    where one-query-per-plan search would launch a job per row.
+    IVF-blocked: corpus assigned once to the 4 trained cells, each
+    query probes its 2 nearest cells, cosine ranked inside (query,
+    cell) candidates only; the per-query top-k is a rank-limit window
+    Spark rewrites to WindowGroupLimit (per-partition top-k BEFORE the
+    exchange)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_join(embs.filter("vec_id % 100 = 0"), embs,
+                               k=5, n_centroids=4, iters=2, nprobe=2)
+
+
+def _q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN: top-10 by asymmetric L2 between the
+    full-precision lattice query and the midpoint-reconstructed int8
+    corpus codes (per-dim min-max, code = ((v-mn)*255)//(mx-mn)) — the
+    training-free 4-8x index shrink next to PQ's trained codebooks; the
+    scan reads only the code column."""
+    return similarity.sq8_topk(_t(spark, sf_dir, "embeddings"),
+                               query_id=0, k=10)
+
+
+def _q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the int8 scalar-quantized search against the exact
+    integer-lattice L2 brute force — the estimator-quality diagnostic
+    for the SQ family (composes ann_sq8_topk with lattice_l2_topk the
+    way ann_recall composes IVF with the cosine brute force)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    exact = similarity.lattice_l2_topk(embs, query_id=0, k=10) \
+        .select("vec_id")
+    appr = similarity.sq8_topk(embs, query_id=0, k=10).select("vec_id")
+    hits = (exact.join(appr, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    return hits.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr("cast((n_hits * 1000000) div 10 as bigint)")
+        .alias("recall_micro"))
+
+
 def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixture link graph over the documents table (the
     testdata carries no href column — same synthesis pattern as
@@ -2094,6 +2137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # (2) never driver-checked — new in r5 (window rule 2)
+        "knn_join_topk": _q_knn_join_topk,
+        "ann_sq8_topk": _q_ann_sq8_topk,
+        "sq8_recall": _q_sq8_recall,
         "ann_ivfadc_topk": _q_ann_ivfadc_topk,
         "link_pagerank_full": _q_link_pagerank_full,
         "link_pagerank_bucketed": _q_link_pagerank_bucketed,
@@ -3463,6 +3509,119 @@ def _oracle_sql_literal() -> dict[str, str]:
                    SUM(d2)::BIGINT AS inertia,
                    round(SUM(d2)::BIGINT / COUNT(*), 6) AS avg_d2
             FROM a3 GROUP BY cid ORDER BY cid
+        """,
+        # batch k-NN join: same trained-IVF replay, but probes and the
+        # final rank window run PER QUERY of the 5-vector batch
+        "knn_join_topk": f"""
+            WITH {kmeans_ctes},
+            p3 AS (SELECT e.vec_id, e.embedding, c.cid,
+                     list_aggregate(list_transform(generate_series(1, len(e.qv)),
+                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                       'sum') AS d2
+                   FROM e CROSS JOIN c2 c),
+            a3 AS (SELECT vec_id, embedding, cid FROM (
+                     SELECT p3.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p3)
+                   WHERE rn = 1),
+            probes AS (SELECT query_id, cid FROM (
+                     SELECT vec_id AS query_id, cid, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                     FROM p3 WHERE vec_id % 100 = 0)
+                   WHERE rn <= 2),
+            qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id % 100 = 0),
+            cand AS (SELECT p.query_id, a3.vec_id, a3.cid,
+                       round(list_cosine_similarity(a3.embedding::DOUBLE[],
+                             q.q_emb::DOUBLE[]), 6) AS cosine_sim
+                     FROM a3 JOIN probes p USING (cid)
+                          JOIN qs q ON p.query_id = q.query_id
+                     WHERE a3.vec_id <> p.query_id)
+            SELECT query_id, vec_id, cid, cosine_sim, rank FROM (
+              SELECT cand.*, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, vec_id ASC)::BIGINT AS rank
+              FROM cand)
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # int8 scalar quantization: per-dim min-max bounds, integer
+        # floor-div codes, midpoint reconstruction, asymmetric L2
+        "ann_sq8_topk": """
+            WITH e AS (SELECT vec_id,
+                    list_transform(embedding,
+                      x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+                  FROM embeddings),
+            b AS (SELECT i AS dim, MIN(qv[i])::BIGINT AS mn,
+                         MAX(qv[i])::BIGINT AS mx
+                  FROM e, unnest(generate_series(1, len(qv))) AS t(i)
+                  GROUP BY i),
+            bl AS (SELECT list(mn ORDER BY dim) AS mns,
+                          list(mx ORDER BY dim) AS mxs FROM b),
+            q AS (SELECT qv AS qqv FROM e WHERE vec_id = 0),
+            codes AS (SELECT e.vec_id,
+                    list_transform(generate_series(1, len(e.qv)),
+                      i -> CASE WHEN bl.mxs[i] = bl.mns[i] THEN 0
+                           ELSE least(255, greatest(0,
+                             ((e.qv[i] - bl.mns[i]) * 255)
+                             // (bl.mxs[i] - bl.mns[i]))) END) AS cs
+                  FROM e, bl),
+            recon AS (SELECT c.vec_id,
+                    list_transform(generate_series(1, len(c.cs)),
+                      i -> CASE WHEN bl.mxs[i] = bl.mns[i] THEN bl.mns[i]
+                           ELSE bl.mns[i] + ((2 * c.cs[i] + 1)
+                             * (bl.mxs[i] - bl.mns[i])) // 510 END) AS rv
+                  FROM codes c, bl)
+            SELECT r.vec_id,
+                   list_aggregate(list_transform(
+                     generate_series(1, len(r.rv)),
+                     i -> (q.qqv[i] - r.rv[i]) * (q.qqv[i] - r.rv[i])),
+                     'sum')::BIGINT AS sq_d2
+            FROM recon r, q WHERE r.vec_id <> 0
+            ORDER BY sq_d2 ASC, vec_id ASC LIMIT 10
+        """,
+        "sq8_recall": """
+            WITH e AS (SELECT vec_id,
+                    list_transform(embedding,
+                      x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+                  FROM embeddings),
+            b AS (SELECT i AS dim, MIN(qv[i])::BIGINT AS mn,
+                         MAX(qv[i])::BIGINT AS mx
+                  FROM e, unnest(generate_series(1, len(qv))) AS t(i)
+                  GROUP BY i),
+            bl AS (SELECT list(mn ORDER BY dim) AS mns,
+                          list(mx ORDER BY dim) AS mxs FROM b),
+            q AS (SELECT qv AS qqv FROM e WHERE vec_id = 0),
+            codes AS (SELECT e.vec_id,
+                    list_transform(generate_series(1, len(e.qv)),
+                      i -> CASE WHEN bl.mxs[i] = bl.mns[i] THEN 0
+                           ELSE least(255, greatest(0,
+                             ((e.qv[i] - bl.mns[i]) * 255)
+                             // (bl.mxs[i] - bl.mns[i]))) END) AS cs
+                  FROM e, bl),
+            recon AS (SELECT c.vec_id,
+                    list_transform(generate_series(1, len(c.cs)),
+                      i -> CASE WHEN bl.mxs[i] = bl.mns[i] THEN bl.mns[i]
+                           ELSE bl.mns[i] + ((2 * c.cs[i] + 1)
+                             * (bl.mxs[i] - bl.mns[i])) // 510 END) AS rv
+                  FROM codes c, bl),
+            appr AS (SELECT r.vec_id,
+                       list_aggregate(list_transform(
+                         generate_series(1, len(r.rv)),
+                         i -> (q.qqv[i] - r.rv[i]) * (q.qqv[i] - r.rv[i])),
+                         'sum')::BIGINT AS sq_d2
+                     FROM recon r, q WHERE r.vec_id <> 0
+                     ORDER BY sq_d2 ASC, vec_id ASC LIMIT 10),
+            exact AS (SELECT e.vec_id,
+                        list_aggregate(list_transform(
+                          generate_series(1, len(e.qv)),
+                          i -> (e.qv[i] - q.qqv[i]) * (e.qv[i] - q.qqv[i])),
+                          'sum')::BIGINT AS d2
+                      FROM e, q WHERE e.vec_id <> 0
+                      ORDER BY d2 ASC, vec_id ASC LIMIT 10),
+            hits AS (SELECT COUNT(*)::BIGINT AS n_hits FROM exact
+                     WHERE vec_id IN (SELECT vec_id FROM appr))
+            SELECT 10::BIGINT AS k, n_hits,
+                   ((n_hits * 1000000) // 10)::BIGINT AS recall_micro
+            FROM hits
         """,
         "ann_ivf_topk": f"""
             WITH {kmeans_ctes},

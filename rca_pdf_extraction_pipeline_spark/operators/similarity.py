@@ -771,3 +771,198 @@ def jl_topk(embs: DataFrame, query_id: int, k: int, out_dim: int = 16,
     return (joined.select(F.col(id_col), cos.alias("proj_cosine"))
             .orderBy(F.col("proj_cosine").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             n_centroids: int = 4, iters: int = 2, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cents: DataFrame | None = None) -> DataFrame:
+    """Batch k-NN JOIN: for EVERY query vector, its top-``k`` cosine
+    neighbors in the corpus — the many-queries shape of retrieval-
+    augmented dataset construction and SemDeDup assignment, where
+    :func:`ivf_topk`'s one-query-per-plan form would launch a job per
+    row.  IVF-blocked: both sides are assigned to the trained coarse
+    cells, each query probes its ``nprobe`` nearest cells, and cosine
+    is ranked only inside (query, probed-cell) candidate pairs — never
+    the |Q| x |N| cross product.
+
+    Returns (query_id, vec_id, cid, cosine_sim, rank): ``rank`` 1..k by
+    (cosine desc, id asc) per query, self-matches excluded, ordered by
+    (query_id, rank).
+
+    Scale (10^12 corpus, 10^6+ queries): the corpus is assigned ONCE
+    (same single pass :func:`ivf_topk` uses — store it partitioned by
+    ``cid`` and the probe join prunes files); the probe side is
+    |Q| x nprobe rows and is broadcast here (drop the broadcast hint
+    for huge Q and the cid join becomes sort-merge, still never
+    all-pairs).  The per-query top-k filter is a rank-limit window:
+    Spark's WindowGroupLimit rewrite pushes a per-partition top-k
+    BEFORE the (query_id) exchange, so no single task ever holds a
+    query's full candidate set.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError(f"nprobe must be in [1, {n_centroids}]; got {nprobe}")
+    from pyspark.sql import Window
+
+    if cents is None:
+        cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    assigned = assign_centroids(corpus, cents=cents, id_col=id_col,
+                                vec_col=vec_col)
+    qlat = _lattice(queries, id_col, vec_col)
+    qdist = (qlat.crossJoin(F.broadcast(cents))
+             .select(F.col(id_col).alias("query_id"), F.col("cid"),
+                     _l2sq(F.col("qv"), F.col("cv")).alias("d2")))
+    wprobe = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
+                                                    F.col("cid").asc())
+    probes = (qdist.withColumn("_pn", F.row_number().over(wprobe))
+              .filter(F.col("_pn") <= nprobe).select("query_id", "cid"))
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           V.as_double(F.col(vec_col)).alias("q_vec"))
+    probe_side = probes.join(qvecs, "query_id")
+    sim = F.round(V.cosine(V.as_double(F.col(vec_col)), F.col("q_vec")), 6)
+    cand = (assigned.join(F.broadcast(probe_side), "cid")
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select(F.col("query_id"), F.col(id_col), F.col("cid"),
+                    sim.alias("cosine_sim")))
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
+                                                F.col(id_col).asc())
+    return (cand.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .withColumn("rank", F.col("rank").cast("long"))
+            .orderBy("query_id", "rank"))
+
+
+SQ8_LEVELS = 255  # int8 code range [0, 255]
+
+
+def sq8_bounds(embs: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (dim, mn, mx) lattice bounds over the corpus — the
+    trained parameters of scalar quantization (the stored artifact; one
+    row per dimension, broadcast-sized for any practical dim).
+
+    Scale: one posexplode + (dim) partial-agg min/max — shuffle
+    cardinality is ``dim`` rows regardless of N."""
+    lat = _lattice(embs, id_col, vec_col)
+    return (lat.select(F.posexplode("qv").alias("dim", "v"))
+            .groupBy("dim")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx")))
+
+
+def _sq8_bounds_row(bounds: DataFrame) -> DataFrame:
+    """Fold the (dim, mn, mx) table into ONE row of aligned arrays
+    (mns, mxs) so the per-vector quantize/reconstruct is a narrow
+    zip over broadcast arrays instead of a per-dim join."""
+    return (bounds.groupBy()
+            .agg(F.array_sort(F.collect_list(
+                F.struct("dim", "mn", "mx"))).alias("p"))
+            .select(F.transform("p", lambda s: s["mn"]).alias("mns"),
+                    F.transform("p", lambda s: s["mx"]).alias("mxs")))
+
+
+def sq8_codes(embs: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              bounds: DataFrame | None = None) -> DataFrame:
+    """Scalar int8 quantization: every lattice value mapped to a code in
+    [0, 255] by per-dimension min-max — (id, codes array<long>), an 8x
+    (fp64-lattice) / 4x (fp32) shrink of the stored index with none of
+    PQ's codebook training.  code = ((v - mn) * 255) // (mx - mn),
+    clamped (constant dimensions code to 0) — exact integer arithmetic,
+    bit-identical across engines.
+
+    Pass ``bounds`` (the :func:`sq8_bounds` artifact read back from
+    parquet) to encode NEW vectors against stored training bounds —
+    out-of-range values clamp to the edge codes, same contract as any
+    SQ index.  Default fits bounds in-plan (toy sizes / oracles).
+
+    Scale: bounds fold to one broadcast row of arrays; encoding is a
+    single narrow zip_with per vector — no shuffle of the data."""
+    if bounds is None:
+        bounds = sq8_bounds(embs, id_col, vec_col)
+    brow = _sq8_bounds_row(bounds)
+    lat = _lattice(embs, id_col, vec_col)
+    bz = F.zip_with(F.col("mns"), F.col("mxs"),
+                    lambda mn, mx: F.struct(mn.alias("mn"), mx.alias("mx")))
+    code = F.zip_with(
+        F.col("qv"), bz,
+        lambda v, b: F.when(b["mx"] == b["mn"], F.lit(0).cast("long"))
+        .otherwise(F.least(
+            F.lit(SQ8_LEVELS).cast("long"),
+            F.greatest(F.lit(0).cast("long"),
+                       F.floor(((v - b["mn"]) * SQ8_LEVELS).cast("double")
+                               / (b["mx"] - b["mn"]).cast("double"))))))
+    return (lat.crossJoin(F.broadcast(brow))
+            .select(F.col(id_col), code.alias("codes")))
+
+
+def sq8_topk(embs: DataFrame, query_id: int, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             codes: DataFrame | None = None,
+             bounds: DataFrame | None = None) -> DataFrame:
+    """Asymmetric scalar-quantized top-k: the full-precision lattice
+    query vs midpoint-reconstructed int8 corpus codes — the SQ
+    counterpart of :func:`pq_topk`'s ADC.  recon = mn +
+    ((2*code + 1) * (mx - mn)) // 510 (cell midpoint, halving the
+    worst-case quantization error of edge reconstruction); distance is
+    the exact integer L2 between the query lattice vector and the
+    reconstruction.  Returns (vec_id, sq_d2): top ``k`` ascending,
+    ties by id, query excluded.
+
+    Stored-index mode: pass ``codes`` AND ``bounds`` together (codes
+    reconstructed against bounds they were not encoded with silently
+    corrupt every distance — same contract as :func:`pq_topk`).
+
+    Scale: the scan reads ONLY the code column (the raw vectors stay on
+    disk), the bounds row and query vector broadcast, and
+    TakeOrderedAndProject keeps top-k memory O(k) per task — no
+    shuffle at all."""
+    if (codes is None) != (bounds is None):
+        raise ValueError(
+            "pass codes and bounds together (both from the stored index) "
+            "or neither — codes reconstructed against foreign bounds "
+            "silently corrupt every distance")
+    if codes is None:
+        bounds = sq8_bounds(embs, id_col, vec_col)
+        codes = sq8_codes(embs, id_col, vec_col, bounds=bounds)
+    brow = _sq8_bounds_row(bounds)
+    q = (_lattice(embs, id_col, vec_col)
+         .filter(F.col(id_col) == query_id)
+         .select(F.col("qv").alias("qqv")))
+    z = F.arrays_zip(F.col("codes"), F.col("mns"), F.col("mxs"),
+                     F.col("qqv"))
+
+    def _recon(s):
+        return F.when(s["mxs"] == s["mns"], s["mns"]).otherwise(
+            s["mns"] + F.floor(
+                ((2 * s["codes"] + 1) * (s["mxs"] - s["mns"]))
+                .cast("double") / F.lit(2.0 * SQ8_LEVELS)))
+
+    d2 = F.aggregate(z, F.lit(0).cast("long"),
+                     lambda acc, s: acc + (s["qqv"] - _recon(s))
+                     * (s["qqv"] - _recon(s)))
+    return (codes.filter(F.col(id_col) != query_id)
+            .crossJoin(F.broadcast(brow))
+            .crossJoin(F.broadcast(q))
+            .select(F.col(id_col), d2.alias("sq_d2"))
+            .orderBy(F.col("sq_d2").asc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def lattice_l2_topk(embs: DataFrame, query_id: int, k: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Exact integer-lattice L2 top-k — the brute-force baseline the
+    quantized searches (:func:`sq8_topk`, :func:`pq_topk`) are measured
+    against.  Returns (vec_id, d2), ascending, ties by id, query
+    excluded.  Narrow scan + TakeOrderedAndProject, no shuffle."""
+    lat = _lattice(embs, id_col, vec_col)
+    q = (lat.filter(F.col(id_col) == query_id)
+         .select(F.col("qv").alias("qqv")))
+    return (lat.filter(F.col(id_col) != query_id)
+            .crossJoin(F.broadcast(q))
+            .select(F.col(id_col),
+                    _l2sq(F.col("qv"), F.col("qqv")).alias("d2"))
+            .orderBy(F.col("d2").asc(), F.col(id_col).asc())
+            .limit(k))

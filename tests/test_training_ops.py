@@ -1570,3 +1570,104 @@ def test_jl_projection_preserves_cosine_approximately(spark):
     a = sorted(map(tuple, S.project_embeddings(embs).collect()))
     b = sorted(map(tuple, S.project_embeddings(embs).collect()))
     assert a == b
+
+
+# ---- batch k-NN join + int8 scalar quantization (round 5) -----------------
+
+def test_knn_join_matches_single_query_ivf(clustered_vecs):
+    """Per query, the batch join's neighbor list must equal the
+    one-query-per-plan ivf_topk with identical parameters — the batch
+    path changes the orchestration, never the ranking."""
+    qs = clustered_vecs.filter("vec_id IN (0, 1)")
+    got = similarity.knn_join(qs, clustered_vecs, k=3, n_centroids=2,
+                              iters=2, nprobe=1).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 1, 2, 3]
+    for qid in (0, 1):
+        single = similarity.ivf_topk(clustered_vecs, query_id=qid, k=3,
+                                     n_centroids=2, iters=2,
+                                     nprobe=1).collect()
+        batch = [(r["vec_id"], r["cid"], r["cosine_sim"])
+                 for r in got if r["query_id"] == qid]
+        assert batch == [(r["vec_id"], r["cid"], r["cosine_sim"])
+                         for r in single]
+
+
+def test_knn_join_guards_and_self_exclusion(clustered_vecs):
+    qs = clustered_vecs.filter("vec_id = 0")
+    got = similarity.knn_join(qs, clustered_vecs, k=8, n_centroids=2,
+                              iters=2, nprobe=2).collect()
+    assert all(r["vec_id"] != 0 for r in got)       # self excluded
+    assert len(got) == 7                            # everyone else ranked
+    with pytest.raises(ValueError):
+        similarity.knn_join(qs, clustered_vecs, k=0)
+    with pytest.raises(ValueError):
+        similarity.knn_join(qs, clustered_vecs, nprobe=5, n_centroids=2)
+
+
+def test_knn_join_plan_has_window_group_limit(clustered_vecs):
+    """The per-query top-k must be the rank-limit window shape Spark
+    rewrites to WindowGroupLimit (per-partition top-k BEFORE the
+    query_id exchange) — the property that keeps one query's candidate
+    set from ever landing in a single task at corpus scale."""
+    qs = clustered_vecs.filter("vec_id IN (0, 1)")
+    df = similarity.knn_join(qs, clustered_vecs, k=3, n_centroids=2,
+                             iters=2, nprobe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_sq8_codes_range_and_determinism(clustered_vecs):
+    rows = similarity.sq8_codes(clustered_vecs).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c <= 255 for c in r["codes"])
+    # per-dim extremes map to the edge codes on non-constant dims
+    by_dim = list(zip(*[r["codes"] for r in rows]))
+    assert min(by_dim[0]) == 0 and max(by_dim[0]) == 255
+    again = similarity.sq8_codes(clustered_vecs.repartition(5)).collect()
+    assert sorted(map(tuple, (r["codes"] for r in again))) == \
+        sorted(map(tuple, (r["codes"] for r in rows)))
+
+
+def test_sq8_topk_tracks_exact_on_separated_clusters(clustered_vecs):
+    """With well-separated clusters the int8 reconstruction error is
+    tiny relative to inter-point distances: the quantized top-3 must
+    equal the exact lattice-L2 top-3 as a set, and the exact baseline
+    must rank the query's own cluster first."""
+    exact = similarity.lattice_l2_topk(clustered_vecs, query_id=0,
+                                       k=3).collect()
+    assert {r["vec_id"] for r in exact} == {2, 4, 6}   # cluster A peers
+    appr = similarity.sq8_topk(clustered_vecs, query_id=0, k=3).collect()
+    assert {r["vec_id"] for r in appr} == {r["vec_id"] for r in exact}
+    d2s = [r["sq_d2"] for r in appr]
+    assert d2s == sorted(d2s)
+
+
+def test_sq8_stored_bounds_parity_and_guard(clustered_vecs, tmp_path):
+    """Encoding against bounds read back from parquet must equal the
+    in-plan fit bit-for-bit (the stored-artifact serving path), and
+    passing codes without their bounds must fail loudly."""
+    spark = clustered_vecs.sparkSession
+    out = str(tmp_path / "sq8_bounds")
+    similarity.sq8_bounds(clustered_vecs).write.parquet(out)
+    stored = spark.read.parquet(out)
+    a = sorted(map(tuple, similarity.sq8_codes(
+        clustered_vecs, bounds=stored).collect()))
+    b = sorted(map(tuple, similarity.sq8_codes(clustered_vecs).collect()))
+    assert a == b
+    codes = similarity.sq8_codes(clustered_vecs, bounds=stored)
+    with pytest.raises(ValueError):
+        similarity.sq8_topk(clustered_vecs, query_id=0, codes=codes)
+    # out-of-range NEW vectors clamp to the edge codes
+    import pyspark.sql.functions as SF
+    new = clustered_vecs.limit(1).select(
+        SF.lit(99).cast("long").alias("vec_id"),
+        SF.transform("embedding", lambda x: x + SF.lit(50.0))
+        .alias("embedding"))
+    clamped = similarity.sq8_codes(new, bounds=stored).collect()[0]
+    spans = {r["dim"]: r["mx"] > r["mn"] for r in stored.collect()}
+    for dim, c in enumerate(clamped["codes"]):
+        # non-constant dims clamp to the top edge code; constant dims
+        # (fixture dims 2-7 are all-zero) always code to 0
+        assert c == (255 if spans[dim] else 0)
