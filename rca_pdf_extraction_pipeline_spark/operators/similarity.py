@@ -883,9 +883,17 @@ def sq8_codes(embs: DataFrame, id_col: str = "vec_id",
         bounds = sq8_bounds(embs, id_col, vec_col)
     brow = _sq8_bounds_row(bounds)
     lat = _lattice(embs, id_col, vec_col)
+    return (lat.crossJoin(F.broadcast(brow))
+            .select(F.col(id_col), _sq8_code_expr().alias("codes")))
+
+
+def _sq8_code_expr() -> F.Column:
+    """The quantize expression over a row carrying (qv, mns, mxs):
+    shared by :func:`sq8_codes` and :func:`sq8_topk`'s in-plan path so
+    the bounds fold has exactly ONE consumer per plan."""
     bz = F.zip_with(F.col("mns"), F.col("mxs"),
                     lambda mn, mx: F.struct(mn.alias("mn"), mx.alias("mx")))
-    code = F.zip_with(
+    return F.zip_with(
         F.col("qv"), bz,
         lambda v, b: F.when(b["mx"] == b["mn"], F.lit(0).cast("long"))
         .otherwise(F.least(
@@ -893,8 +901,6 @@ def sq8_codes(embs: DataFrame, id_col: str = "vec_id",
             F.greatest(F.lit(0).cast("long"),
                        F.floor(((v - b["mn"]) * SQ8_LEVELS).cast("double")
                                / (b["mx"] - b["mn"]).cast("double"))))))
-    return (lat.crossJoin(F.broadcast(brow))
-            .select(F.col(id_col), code.alias("codes")))
 
 
 def sq8_topk(embs: DataFrame, query_id: int, k: int = 10,
@@ -917,16 +923,23 @@ def sq8_topk(embs: DataFrame, query_id: int, k: int = 10,
     Scale: the scan reads ONLY the code column (the raw vectors stay on
     disk), the bounds row and query vector broadcast, and
     TakeOrderedAndProject keeps top-k memory O(k) per task — no
-    shuffle at all."""
+    shuffle at all.  The in-plan path derives codes and carries the
+    bounds arrays in ONE shared column layer, so the per-dim bounds
+    aggregate has exactly one consumer (the multi-consumer re-derive
+    discipline — Catalyst does not reuse the fold across branches)."""
     if (codes is None) != (bounds is None):
         raise ValueError(
             "pass codes and bounds together (both from the stored index) "
             "or neither — codes reconstructed against foreign bounds "
             "silently corrupt every distance")
     if codes is None:
-        bounds = sq8_bounds(embs, id_col, vec_col)
-        codes = sq8_codes(embs, id_col, vec_col, bounds=bounds)
-    brow = _sq8_bounds_row(bounds)
+        brow = _sq8_bounds_row(sq8_bounds(embs, id_col, vec_col))
+        coded = (_lattice(embs, id_col, vec_col)
+                 .crossJoin(F.broadcast(brow))
+                 .select(F.col(id_col), _sq8_code_expr().alias("codes"),
+                         F.col("mns"), F.col("mxs")))
+    else:
+        coded = codes.crossJoin(F.broadcast(_sq8_bounds_row(bounds)))
     q = (_lattice(embs, id_col, vec_col)
          .filter(F.col(id_col) == query_id)
          .select(F.col("qv").alias("qqv")))
@@ -942,8 +955,7 @@ def sq8_topk(embs: DataFrame, query_id: int, k: int = 10,
     d2 = F.aggregate(z, F.lit(0).cast("long"),
                      lambda acc, s: acc + (s["qqv"] - _recon(s))
                      * (s["qqv"] - _recon(s)))
-    return (codes.filter(F.col(id_col) != query_id)
-            .crossJoin(F.broadcast(brow))
+    return (coded.filter(F.col(id_col) != query_id)
             .crossJoin(F.broadcast(q))
             .select(F.col(id_col), d2.alias("sq_d2"))
             .orderBy(F.col("sq_d2").asc(), F.col(id_col).asc())

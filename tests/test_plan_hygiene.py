@@ -687,3 +687,42 @@ def test_drift_and_bpe_no_python_eval_topk_shape(spark, documents):
                             [("e", "s"), ("es", "t")])
     plan = _plan(applied)
     assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_sq8_topk_is_shuffle_free_take_ordered(spark):
+    """SQ8 asymmetric search is a narrow scan: codes + broadcast bounds
+    row + broadcast query, ranked by TakeOrderedAndProject — zero data
+    shuffle (the only exchanges feed the tiny broadcast sides) and no
+    Python eval anywhere in the distance arithmetic."""
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(similarity.sq8_topk(embs, query_id=0, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    # exactly ONE per-dim bounds fold, riding the broadcast build side:
+    # a second hashpartitioning(dim) means the fold grew a second
+    # consumer and the corpus explode is being re-derived per branch
+    hash_exchanges = [ln for ln in plan.splitlines()
+                      if "Exchange hashpartitioning" in ln]
+    assert len(hash_exchanges) == 1, hash_exchanges
+
+
+def test_knn_join_prunes_by_probed_cells_and_group_limits(spark):
+    """The batch k-NN join must (a) never build the |Q| x |N| cross
+    product — candidates come from a broadcast hash join on the probed
+    cid — and (b) rank per query through the WindowGroupLimit rewrite
+    (per-partition top-k BEFORE the query_id exchange)."""
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = similarity.knn_join(embs.filter("vec_id % 100 = 0"), embs,
+                             k=5, n_centroids=4, iters=2, nprobe=2)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+    # the candidate join is keyed on cid: a CartesianProduct or a
+    # BroadcastNestedLoopJoin with a non-trivial big side means the
+    # blocking regressed to all-pairs (the only nested-loop joins
+    # allowed are the k-row centroid / one-row query broadcasts)
+    assert "CartesianProduct" not in plan
