@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "vocab_overlap_hll",
     "cohort_retention",
     "jl_recall",
+    # r5 final additions: batch k-NN join, int8 SQ search
+    "knn_join_topk",
+    "ann_sq8_topk",
 ]
 
 

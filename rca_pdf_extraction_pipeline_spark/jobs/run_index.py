@@ -28,6 +28,13 @@ byte-identical rows):
   encoded against the STORED ``pq_codebooks`` artifact read back from
   parquet — never refit in-plan — so the two artifacts cannot drift
   and index build pays exactly one training pass.
+* ``<out>/sq8_bounds``   — (dim, mn, mx) per-dimension lattice bounds,
+  the trained parameters of int8 scalar quantization.
+* ``<out>/sq8_codes``    — (vec_id, codes) int8 code arrays, encoded
+  against the STORED ``sq8_bounds`` (read back, ``bounds=``) and
+  **written partitioned by the vector's IVF cell ``cid``** — the
+  training-free quantized form, cell-pruned the same way as
+  ``pq_codes``.
 * ``<out>/stats.json``   — corpus size, per-cell histogram, params —
   the index card a serving layer reads before choosing nprobe.
 
@@ -99,6 +106,18 @@ def main(argv: list[str] | None = None) -> int:
     (codes.join(cells_stored, "vec_id")
      .write.mode("overwrite").partitionBy("cid")
      .parquet(str(out / "pq_codes")))
+
+    # int8 scalar-quantization artifacts: bounds persisted first, codes
+    # encoded against the READ-BACK bounds (never refit in-plan — same
+    # single-training-pass discipline as pq_codes/books above), laid
+    # out cell-partitioned like pq_codes
+    similarity.sq8_bounds(embs).write.mode("overwrite") \
+        .parquet(str(out / "sq8_bounds"))
+    bounds_stored = spark.read.parquet(str(out / "sq8_bounds"))
+    sq8 = similarity.sq8_codes(embs, bounds=bounds_stored)
+    (sq8.join(cells_stored, "vec_id")
+     .write.mode("overwrite").partitionBy("cid")
+     .parquet(str(out / "sq8_codes")))
 
     cells = {int(r["cid"]): int(r["n"])
              for r in spark.read.parquet(str(out / "assignments"))

@@ -952,9 +952,14 @@ def sq8_topk(embs: DataFrame, query_id: int, k: int = 10,
                 ((2 * s["codes"] + 1) * (s["mxs"] - s["mns"]))
                 .cast("double") / F.lit(2.0 * SQ8_LEVELS)))
 
-    d2 = F.aggregate(z, F.lit(0).cast("long"),
-                     lambda acc, s: acc + (s["qqv"] - _recon(s))
-                     * (s["qqv"] - _recon(s)))
+    # hoist the branchy reconstruction into ONE transform pass — HOF
+    # lambdas are interpreted (never codegen'd), so referencing
+    # _recon(s) twice inside the aggregate would evaluate the whole
+    # branch chain twice per element (the cross-alias no-CSE rule at
+    # expression scale)
+    diffs = F.transform(z, lambda s: s["qqv"] - _recon(s))
+    d2 = F.aggregate(diffs, F.lit(0).cast("long"),
+                     lambda acc, v: acc + v * v)
     return (coded.filter(F.col(id_col) != query_id)
             .crossJoin(F.broadcast(q))
             .select(F.col(id_col), d2.alias("sq_d2"))

@@ -27,7 +27,8 @@ def test_run_index_artifacts_and_stats(spark, tmp_path):
     ])
     assert rc == 0
     idx = tmp_path / "idx"
-    for art in ("centroids", "assignments", "pq_codebooks", "pq_codes"):
+    for art in ("centroids", "assignments", "pq_codebooks", "pq_codes",
+                "sq8_bounds", "sq8_codes"):
         assert (idx / art).exists(), art
 
     stats = json.loads((idx / "stats.json").read_text())
@@ -48,6 +49,24 @@ def test_run_index_artifacts_and_stats(spark, tmp_path):
     code_dirs = [p.name for p in (idx / "pq_codes").iterdir()
                  if p.is_dir() and p.name.startswith("cid=")]
     assert sorted(code_dirs) == [f"cid={c}" for c in sorted(stats["cells"])]
+
+    # SQ8: one code array per vector, cell-partitioned like pq_codes,
+    # and searching the STORED artifacts equals the in-plan fit
+    sq8 = spark.read.parquet(str(idx / "sq8_codes"))
+    assert sq8.count() == 16
+    assert all(len(r["codes"]) == 8 and all(0 <= c <= 255 for c in r["codes"])
+               for r in sq8.collect())
+    sq8_dirs = [p.name for p in (idx / "sq8_codes").iterdir()
+                if p.is_dir() and p.name.startswith("cid=")]
+    assert sorted(sq8_dirs) == [f"cid={c}" for c in sorted(stats["cells"])]
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+    embs = spark.read.parquet(str(tmp_path / "in"))
+    bounds = spark.read.parquet(str(idx / "sq8_bounds"))
+    stored = similarity.sq8_topk(embs, query_id=0, k=5,
+                                 codes=sq8.select("vec_id", "codes"),
+                                 bounds=bounds).collect()
+    inplan = similarity.sq8_topk(embs, query_id=0, k=5).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in inplan]
 
 
 def test_run_index_fits_codebooks_exactly_once(spark, tmp_path, monkeypatch):
