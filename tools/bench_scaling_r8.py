@@ -23,6 +23,13 @@ corpus marker refuses a mismatched reuse.
 
 Usage: python tools/bench_scaling_r8.py [--runs-per-level 2]
        [--vectors 1000000] [--reuse-input] [--levels 1,4]
+       [--families knn_join,sq8]
+
+``--families`` runs a subset so each family can be sized where COMPUTE
+dominates (the r4 lesson: undersized inputs read as negative scaling):
+knn_join is Lloyd-fit-bound already at 1e5 vectors, the narrow sq8 scan
+needs ~2e6.  Subset runs print JSON only — merge into the MD by hand,
+like the BASELINE.md pooling protocol.
 """
 
 from __future__ import annotations
@@ -158,7 +165,10 @@ def main() -> None:
     ap.add_argument("--levels", default="1,4")
     ap.add_argument("--input-dir", default=DEFAULT_INPUT)
     ap.add_argument("--reuse-input", action="store_true")
+    ap.add_argument("--families", default=",".join(FAMILIES))
     args = ap.parse_args()
+    families = tuple(args.families.split(","))
+    assert all(f in FAMILIES for f in families), families
 
     lo, hi = (int(x) for x in args.levels.split(","))
     if not args.reuse_input or corpus_config(args.input_dir) != args.vectors:
@@ -169,11 +179,11 @@ def main() -> None:
     for cpus in (lo, hi):
         levels[cpus] = {fam: run_one(cpus, fam, args.input_dir,
                                      args.runs_per_level)
-                        for fam in FAMILIES}
+                        for fam in families}
 
     rows_md = []
     result = {"levels": levels, "wall_s": round(time.time() - t0, 1)}
-    for fam in FAMILIES:
+    for fam in families:
         a, b = levels[lo][fam], levels[hi][fam]
         speed = a["best_sec"] / b["best_sec"]
         eff = speed / (hi / lo)
@@ -184,10 +194,11 @@ def main() -> None:
             f"| {fam} | {a['best_sec']} | {b['best_sec']} | "
             f"{speed:.2f}x | {eff:.3f} | {'yes' if same else 'NO'} |")
 
-    md = HEADLINE_MD.format(
-        lo=lo, hi=hi, runs=args.runs_per_level, vectors=args.vectors,
-        ideal=hi // lo, rows="\n".join(rows_md))
-    (REPO / "BENCH" / "FAMILY_SCALING_R8.md").write_text(md)
+    if families == FAMILIES:
+        md = HEADLINE_MD.format(
+            lo=lo, hi=hi, runs=args.runs_per_level, vectors=args.vectors,
+            ideal=hi // lo, rows="\n".join(rows_md))
+        (REPO / "BENCH" / "FAMILY_SCALING_R8.md").write_text(md)
     print(json.dumps(result))
 
 
