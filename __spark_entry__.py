@@ -1022,6 +1022,19 @@ def _q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_micro"))
 
 
+def _q_ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ top-10 for query vector 0: probe the nprobe=2 coarse
+    cells nearest the query, rank the midpoint-reconstructed int8 SQ
+    codes of the probed cells only — the coarse-quantizer composition
+    for the training-free scalar index, exactly as ann_ivfadc_topk
+    composes IVF with PQ (the code scan is pruned by the probed-cid
+    join; stored mode reads jobs/run_index.py's cid-partitioned
+    sq8_codes and prunes whole files)."""
+    return similarity.ivfsq_topk(_t(spark, sf_dir, "embeddings"),
+                                 query_id=0, k=10, n_centroids=4,
+                                 iters=2, nprobe=2)
+
+
 def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixture link graph over the documents table (the
     testdata carries no href column — same synthesis pattern as
@@ -2137,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # (2) never driver-checked — new in r5 (window rule 2)
+        "ann_ivfsq_topk": _q_ann_ivfsq_topk,
         "knn_join_topk": _q_knn_join_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "sq8_recall": _q_sq8_recall,
@@ -3745,6 +3759,53 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE codes.vec_id <> 0
             GROUP BY codes.vec_id, a3.cid
             ORDER BY adc_d2 ASC, codes.vec_id ASC LIMIT 10
+        """,
+        # IVF-SQ: the coarse probe (kmeans CTEs, shared with ivfadc)
+        # composed with the SQ8 quantize/reconstruct chain (shared with
+        # ann_sq8_topk), ranking restricted to the probed cells
+        "ann_ivfsq_topk": f"""
+            WITH {kmeans_ctes},
+            p3 AS (SELECT e.vec_id, c.cid,
+                     list_aggregate(list_transform(generate_series(1, len(e.qv)),
+                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),
+                       'sum') AS d2
+                   FROM e CROSS JOIN c2 c),
+            a3 AS (SELECT vec_id, cid FROM (
+                     SELECT p3.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p3)
+                   WHERE rn = 1),
+            probes AS (SELECT cid FROM p3 WHERE vec_id = 0
+                       ORDER BY d2, cid LIMIT 2),
+            b AS (SELECT i AS dim, MIN(qv[i])::BIGINT AS mn,
+                         MAX(qv[i])::BIGINT AS mx
+                  FROM e, unnest(generate_series(1, len(qv))) AS t(i)
+                  GROUP BY i),
+            bl AS (SELECT list(mn ORDER BY dim) AS mns,
+                          list(mx ORDER BY dim) AS mxs FROM b),
+            q AS (SELECT qv AS qqv FROM e WHERE vec_id = 0),
+            scodes AS (SELECT e.vec_id,
+                    list_transform(generate_series(1, len(e.qv)),
+                      i -> CASE WHEN bl.mxs[i] = bl.mns[i] THEN 0
+                           ELSE least(255, greatest(0,
+                             ((e.qv[i] - bl.mns[i]) * 255)
+                             // (bl.mxs[i] - bl.mns[i]))) END) AS cs
+                  FROM e, bl),
+            recon AS (SELECT c.vec_id,
+                    list_transform(generate_series(1, len(c.cs)),
+                      i -> CASE WHEN bl.mxs[i] = bl.mns[i] THEN bl.mns[i]
+                           ELSE bl.mns[i] + ((2 * c.cs[i] + 1)
+                             * (bl.mxs[i] - bl.mns[i])) // 510 END) AS rv
+                  FROM scodes c, bl)
+            SELECT r.vec_id, a3.cid,
+                   list_aggregate(list_transform(
+                     generate_series(1, len(r.rv)),
+                     i -> (q.qqv[i] - r.rv[i]) * (q.qqv[i] - r.rv[i])),
+                     'sum')::BIGINT AS sq_d2
+            FROM recon r
+            JOIN a3 ON r.vec_id = a3.vec_id
+            JOIN probes USING (cid), q
+            WHERE r.vec_id <> 0
+            ORDER BY sq_d2 ASC, r.vec_id ASC LIMIT 10
         """,
         "link_degree_census": f"""
             WITH {link_edges_cte},

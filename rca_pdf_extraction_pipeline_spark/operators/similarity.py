@@ -967,6 +967,93 @@ def sq8_topk(embs: DataFrame, query_id: int, k: int = 10,
             .limit(k))
 
 
+def ivfsq_topk(embs: DataFrame, query_id: int, k: int = 10,
+               n_centroids: int = 4, iters: int = 2, nprobe: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cents: DataFrame | None = None,
+               bounds: DataFrame | None = None,
+               codes: DataFrame | None = None) -> DataFrame:
+    """IVF-SQ search — the coarse-quantizer composition for the SCALAR
+    int8 index, exactly as :func:`ivfadc_topk` composes IVF with PQ:
+    probe the ``nprobe`` coarse cells nearest the query, then rank the
+    midpoint-reconstructed SQ8 codes of the vectors INSIDE the probed
+    cells only — never the whole code table.  Together with IVFADC this
+    covers both stored-index families a 10^12-vector serving layer
+    chooses between (trained sub-codebooks vs training-free per-dim
+    bounds; Jégou et al. TPAMI'11 §IV for the probe shape).
+
+    Returns (vec_id, cid, sq_d2): top ``k`` by ascending asymmetric
+    integer L2, ties by ascending id, the query excluded; ``cid`` is
+    the surviving vector's coarse cell (provenance of the pruning).
+
+    Stored-index mode: pass ``cents`` (the ``centroids`` artifact),
+    ``bounds`` (``sq8_bounds``) and ``codes`` — the ``sq8_codes``
+    artifact, which ``jobs/run_index.py`` writes PARTITIONED BY ``cid``
+    with the cell id as a column, so the probed-cid join prunes whole
+    files at scan time.  All three together or none (codes
+    reconstructed against bounds they were not encoded with, or pruned
+    by cells they were not assigned under, silently corrupt every
+    distance).  By default everything is fit/encoded in-plan (toy
+    sizes / oracles), carrying (codes, mns, mxs) in ONE shared column
+    layer so the per-dim bounds fold has exactly one consumer.
+
+    Scale: the probed scan reads only the code column of nprobe/
+    n_centroids of the corpus; bounds row, probe list and query vector
+    all broadcast; TakeOrderedAndProject keeps top-k memory O(k) per
+    task — no shuffle at all in stored mode."""
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError(f"nprobe must be in [1, {n_centroids}]; got {nprobe}")
+    stored = (cents is not None, bounds is not None, codes is not None)
+    if any(stored) and not all(stored):
+        raise ValueError(
+            "pass cents, bounds and codes together (all from the stored "
+            "index) or none — mixing stored and in-plan artifacts can "
+            "pair codes with bounds/cells they were not encoded under")
+    if cents is None:
+        cents = kmeans_centroids(embs, n_centroids, iters, id_col, vec_col)
+        brow = _sq8_bounds_row(sq8_bounds(embs, id_col, vec_col))
+        coded = (_lattice(embs, id_col, vec_col)
+                 .crossJoin(F.broadcast(brow))
+                 .select(F.col(id_col), _sq8_code_expr().alias("codes"),
+                         F.col("mns"), F.col("mxs"))
+                 .join(assign_centroids(embs, cents=cents, id_col=id_col,
+                                        vec_col=vec_col)
+                       .select(F.col(id_col), F.col("cid")), id_col))
+    else:
+        coded = codes.crossJoin(F.broadcast(_sq8_bounds_row(bounds)))
+    lat = _lattice(embs, id_col, vec_col)
+    probes = (lat.filter(F.col(id_col) == query_id)
+              .crossJoin(F.broadcast(cents))
+              .select(F.col("cid"),
+                      _l2sq(F.col("qv"), F.col("cv")).alias("d2"))
+              .orderBy("d2", "cid").limit(nprobe).select("cid"))
+    # the probed-cid join comes FIRST: the code table is pruned to the
+    # nprobe cells before any reconstruction work (file-level when the
+    # stored codes are partitioned by cid)
+    pruned = coded.join(F.broadcast(probes), "cid")
+    q = (lat.filter(F.col(id_col) == query_id)
+         .select(F.col("qv").alias("qqv")))
+    z = F.arrays_zip(F.col("codes"), F.col("mns"), F.col("mxs"),
+                     F.col("qqv"))
+
+    def _recon(s):
+        return F.when(s["mxs"] == s["mns"], s["mns"]).otherwise(
+            s["mns"] + F.floor(
+                ((2 * s["codes"] + 1) * (s["mxs"] - s["mns"]))
+                .cast("double") / F.lit(2.0 * SQ8_LEVELS)))
+
+    # single-pass reconstruction (see sq8_topk: HOF lambdas are
+    # interpreted, referencing _recon twice doubles the branch work)
+    diffs = F.transform(z, lambda s: s["qqv"] - _recon(s))
+    d2 = F.aggregate(diffs, F.lit(0).cast("long"),
+                     lambda acc, v: acc + v * v)
+    return (pruned.filter(F.col(id_col) != query_id)
+            .crossJoin(F.broadcast(q))
+            .select(F.col(id_col), F.col("cid"), d2.alias("sq_d2"))
+            .orderBy(F.col("sq_d2").asc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def lattice_l2_topk(embs: DataFrame, query_id: int, k: int = 10,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

@@ -205,6 +205,46 @@ def test_ivfadc_stored_equals_inplan_and_prunes_partitions(spark, tmp_path):
                                cents=cents)
 
 
+def test_ivfsq_stored_equals_inplan_and_prunes_partitions(spark, tmp_path):
+    """IVF-SQ over the job's artifacts == the in-plan formulation, and
+    the stored sq8_codes scan is pruned by the probed cells at the FILE
+    level (sq8_codes is partitioned by cid, same layout as pq_codes)."""
+    from rca_pdf_extraction_pipeline_spark.jobs import run_index
+    from rca_pdf_extraction_pipeline_spark.operators import similarity
+
+    _embeddings(spark, n=24).write.parquet(str(tmp_path / "in"))
+    run_index.main([
+        "--input", str(tmp_path / "in"),
+        "--output", str(tmp_path / "idx"),
+        "--n-centroids", "3", "--pq-m", "2", "--pq-k", "2", "--dim", "8",
+        "--sample-rate", "1.0",
+    ])
+    embs = spark.read.parquet(str(tmp_path / "in"))
+    cents = spark.read.parquet(str(tmp_path / "idx" / "centroids"))
+    bounds = spark.read.parquet(str(tmp_path / "idx" / "sq8_bounds"))
+    codes = spark.read.parquet(str(tmp_path / "idx" / "sq8_codes"))
+
+    stored = similarity.ivfsq_topk(
+        embs, query_id=0, k=5, n_centroids=3, nprobe=2,
+        cents=cents, bounds=bounds, codes=codes)
+    inplan = similarity.ivfsq_topk(
+        embs, query_id=0, k=5, n_centroids=3, nprobe=2)
+    assert [tuple(r) for r in stored.collect()] \
+        == [tuple(r) for r in inplan.collect()]
+
+    # plan pin: the stored-code scan carries a partition filter on cid
+    # (dynamic pruning from the broadcast probe side) — the code table
+    # is never scanned whole
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "sq8_codes" in ln or "PartitionFilters" in ln]
+    assert any("dynamicpruning" in ln or "cid" in ln
+               for ln in scan_lines), plan
+
+    with pytest.raises(ValueError, match="together"):
+        similarity.ivfsq_topk(embs, query_id=0, cents=cents, bounds=bounds)
+
+
 def test_run_index_rejects_bad_output(tmp_path):
     from rca_pdf_extraction_pipeline_spark.jobs import run_index
 

@@ -1671,3 +1671,38 @@ def test_sq8_stored_bounds_parity_and_guard(clustered_vecs, tmp_path):
         # non-constant dims clamp to the top edge code; constant dims
         # (fixture dims 2-7 are all-zero) always code to 0
         assert c == (255 if spans[dim] else 0)
+
+
+def test_ivfsq_prunes_to_query_cluster(clustered_vecs):
+    """nprobe=1 over two separated clusters must keep only the query's
+    own cluster in the candidate set (the pruning IS the operator), and
+    the surviving ranks must equal the unpruned sq8_topk order
+    restricted to that cluster."""
+    got = similarity.ivfsq_topk(clustered_vecs, query_id=0, k=7,
+                                n_centroids=2, iters=2, nprobe=1).collect()
+    assert {r["vec_id"] for r in got} == {2, 4, 6}   # cluster A peers only
+    assert len({r["cid"] for r in got}) == 1         # one probed cell
+    full = similarity.sq8_topk(clustered_vecs, query_id=0, k=7).collect()
+    want = [(r["vec_id"], r["sq_d2"]) for r in full
+            if r["vec_id"] in {2, 4, 6}]
+    assert [(r["vec_id"], r["sq_d2"]) for r in got] == want
+
+
+def test_ivfsq_full_probe_equals_sq8_topk(clustered_vecs):
+    """nprobe == n_centroids disables pruning: the composition must
+    degrade to exactly sq8_topk (same ids, same distances, same order)
+    — the semantic pin that the probe only FILTERS, never rescores."""
+    got = similarity.ivfsq_topk(clustered_vecs, query_id=0, k=5,
+                                n_centroids=2, iters=2, nprobe=2).collect()
+    want = similarity.sq8_topk(clustered_vecs, query_id=0, k=5).collect()
+    assert [(r["vec_id"], r["sq_d2"]) for r in got] \
+        == [(r["vec_id"], r["sq_d2"]) for r in want]
+
+
+def test_ivfsq_guards(clustered_vecs):
+    cents = similarity.kmeans_centroids(clustered_vecs, k=2, iters=2)
+    with pytest.raises(ValueError, match="together"):
+        similarity.ivfsq_topk(clustered_vecs, query_id=0, cents=cents)
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivfsq_topk(clustered_vecs, query_id=0, nprobe=9,
+                              n_centroids=2)
