@@ -1959,6 +1959,21 @@ def _q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_ref")
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of the textured 36x32 grid BMPs to a
+    non-dividing 13x11 (uneven source strides catch orientation and
+    stride bugs an even downscale hides), BMP re-encoded, decoded BACK
+    by the same codec, and summarized as a position-weighted pixel
+    checksum — resize, encode and decode all pinned end-to-end.  The
+    oracle rebuilds every output pixel from the fixture's md5 grid
+    formula with the identical floor-index arithmetic in SQL."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 500)
+    resized = multimodal.media_resize(
+        multimodal.synth_grid_bmp_media(ids), out_w=13, out_h=11)
+    return multimodal.media_pixel_checksum(resized).orderBy("media_ref")
+
+
 def _q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup image pairs: dHash signatures banded by the
     SimHash pigeonhole machinery (4 disjoint 16-bit bands => no pair
@@ -2151,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (2) never driver-checked — new in r5 (window rule 2)
         "ann_ivfsq_topk": _q_ann_ivfsq_topk,
+        "media_resize": _q_media_resize,
         "knn_join_topk": _q_knn_join_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "sq8_recall": _q_sq8_recall,
@@ -4338,6 +4354,32 @@ def _oracle_sql_literal() -> dict[str, str]:
                    SUM(CASE WHEN j < 32 THEN bit << j
                             ELSE 0 END)::BIGINT AS sig_lo
             FROM bits GROUP BY doc_id ORDER BY media_ref
+        """,
+        # resize: every 13x11 output pixel maps to source pixel
+        # (y*32//11, x*36//13), i.e. grid cell (src_y//4, src_x//4) of
+        # the md5 grid — same fixture formula as media_dhash, plus the
+        # planted top-bit flip at cell (0,0) for doc_id >= 250; the
+        # checksum weights each pixel by its position (y*13 + x + 1)
+        "media_resize": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            px AS (
+              SELECT d.doc_id, y.y, x.x,
+                     ((y.y * 32) // 11) // 4 AS gr,
+                     ((x.x * 36) // 13) // 4 AS gc,
+                     ('0x' || substr(md5(printf('%d-%d-%d',
+                          d.doc_id % 250,
+                          ((y.y * 32) // 11) // 4,
+                          ((x.x * 36) // 13) // 4)), 1, 2))::BIGINT AS v0
+              FROM d, range(11) AS y(y), range(13) AS x(x)),
+            adj AS (
+              SELECT doc_id, y, x,
+                     CASE WHEN gr = 0 AND gc = 0 AND doc_id >= 250
+                          THEN xor(v0, 128) ELSE v0 END AS v
+              FROM px)
+            SELECT printf('gbmp-%05d', doc_id) AS media_ref,
+                   TRUE AS ok, 13::INT AS width, 11::INT AS height,
+                   SUM((y * 13 + x + 1) * v)::BIGINT AS checksum
+            FROM adj GROUP BY doc_id ORDER BY media_ref
         """,
         "media_dhash_pairs": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),

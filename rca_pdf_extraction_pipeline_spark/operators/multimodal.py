@@ -603,6 +603,99 @@ def media_dhash_pairs(media: DataFrame, max_hamming: int = 2) -> DataFrame:
         sigs, id_col="media_ref", max_hamming=max_hamming)
 
 
+RESIZED_SCHEMA = ("media_ref string, doc_id string, ok boolean, "
+                  "payload binary")
+
+
+def media_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of every decodable image to ``out_w x
+    out_h``, re-encoded as BMP — the resize stage of the multimodal
+    brief (thumbnailing / normalizing geometry before feature
+    extraction).  Source pixel of output (y, x) is ``(y*h // out_h,
+    x*w // out_w)`` — the floor-index convention, exact integer
+    arithmetic, deterministic across engines.  Undecodable payloads
+    come back ok=False with a NULL payload (the per-row anomaly
+    convention of :func:`decode_media`).
+
+    One Arrow-batched ``mapInPandas`` stage, no shuffle; the per-image
+    loop is ragged-payload dispatch, the pixel gather is a numpy
+    fancy-index (input_hint discipline).  Scale: cost is linear in
+    input pixels, output payloads shrink to ``out_w*out_h*3`` bytes —
+    run it BEFORE any per-pixel feature stage so downstream scans move
+    thumbnails, not originals."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"target geometry must be >= 1x1; got "
+                         f"{out_w}x{out_h}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(out_w, dtype=np.int64)
+        ys = np.arange(out_h, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = np.zeros(len(pdf), dtype=bool)
+            payloads: list[bytes | None] = []
+            for i, payload in enumerate(pdf["payload"]):
+                parsed = (decode_image(bytes(payload))
+                          if payload is not None else None)
+                if parsed is None:
+                    payloads.append(None)
+                    continue
+                w, h, rgb = parsed
+                res = rgb[(ys * h) // out_h][:, (xs * w) // out_w]
+                ok[i] = True
+                payloads.append(encode_bmp(res))
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "doc_id": pdf["doc_id"],
+                "ok": ok, "payload": payloads,
+            })
+
+    return media.select("media_ref", "doc_id", "payload") \
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+CHECKSUM_SCHEMA = ("media_ref string, ok boolean, width int, height int, "
+                   "checksum long")
+
+
+def media_pixel_checksum(media: DataFrame) -> DataFrame:
+    """Position-weighted pixel checksum of every decodable image:
+    ``sum over (y, x) of (y*width + x + 1) * channel0(y, x)`` — a
+    cheap content fingerprint that (unlike a plain pixel sum) changes
+    under flips, transposes and row-order bugs, so it pins codec and
+    resize geometry end-to-end.  Undecodable payloads come back
+    ok=False with zero geometry/checksum.  One Arrow-batched narrow
+    stage, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            ws = np.zeros(n, dtype=np.int32)
+            hs = np.zeros(n, dtype=np.int32)
+            cks = np.zeros(n, dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                parsed = (decode_image(bytes(payload))
+                          if payload is not None else None)
+                if parsed is None:
+                    continue
+                w, h, rgb = parsed
+                weights = np.arange(1, w * h + 1, dtype=np.int64)
+                ok[i], ws[i], hs[i] = True, w, h
+                cks[i] = int((rgb[:, :, 0].astype(np.int64).ravel()
+                              * weights).sum())
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "ok": ok, "width": ws, "height": hs, "checksum": cks,
+            })
+
+    return media.select("media_ref", "payload") \
+        .mapInPandas(run, schema=CHECKSUM_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Corpus-level media profile: per kind — count, payload bytes,
     mean declared geometry. Pure built-ins (JVM-side)."""

@@ -161,3 +161,74 @@ def test_media_near_pairs_recall_on_perturbed_images(spark):
                           ("img-b", "img-c")}
     assert pairs[("img-a", "img-c")] == 1.0      # identical features
     assert pairs[("img-a", "img-b")] >= 0.999    # perturbation survives
+
+
+def test_media_resize_pixel_exact_and_dhash_invariant(spark):
+    """Downscaling the 36x32 grid fixture to 18x16 must reproduce the
+    md5 grid repeated 2x2 EXACTLY (nearest neighbor on dividing dims is
+    a pure block subsample), and the perceptual dHash must be invariant
+    under that resize (the 9x8 average-pool of the 18x16 thumbnail
+    recovers the identical grid) — resize, BMP re-encode and decode all
+    pinned end-to-end."""
+    import hashlib
+
+    import numpy as np
+
+    ids = spark.createDataFrame([(7,), (42,)], "doc_id long")
+    media = multimodal.synth_grid_bmp_media(ids)
+    resized = multimodal.media_resize(media, out_w=18, out_h=16)
+    rows = {r["media_ref"]: r for r in resized.collect()}
+    assert set(rows) == {"gbmp-00007", "gbmp-00042"}
+    for did in (7, 42):
+        r = rows[f"gbmp-{did:05d}"]
+        assert r["ok"]
+        w, h, rgb = multimodal.decode_image(bytes(r["payload"]))
+        assert (w, h) == (18, 16)
+        grid = np.empty((8, 9), dtype=np.uint8)
+        for gr in range(8):
+            for gc in range(9):
+                key = f"{did}-{gr}-{gc}".encode()
+                grid[gr, gc] = int(hashlib.md5(key).hexdigest()[:2], 16)
+        want = np.repeat(np.repeat(grid, 2, axis=0), 2, axis=1)
+        assert np.array_equal(rgb[:, :, 0], want)
+
+    orig_sigs = {r["media_ref"]: (r["sig_hi"], r["sig_lo"])
+                 for r in multimodal.media_dhash(media).collect()}
+    thumb_sigs = {r["media_ref"]: (r["sig_hi"], r["sig_lo"])
+                  for r in multimodal.media_dhash(
+                      resized).collect()}
+    assert orig_sigs == thumb_sigs
+
+
+def test_media_resize_garbage_and_guard(spark, media_df):
+    """Undecodable payloads come back ok=False with NULL payloads (the
+    decode_media anomaly convention), and a degenerate target geometry
+    is rejected loudly."""
+    out = multimodal.media_resize(media_df, out_w=4, out_h=4).collect()
+    assert len(out) == media_df.count()
+    bad = [r for r in out if not r["ok"]]
+    assert all(r["payload"] is None for r in bad)
+    with pytest.raises(ValueError, match="geometry"):
+        multimodal.media_resize(media_df, out_w=0, out_h=4)
+
+
+def test_media_pixel_checksum_orientation_sensitivity(spark):
+    """The position-weighted checksum must distinguish an image from
+    its transpose (a plain pixel sum cannot) — the property that makes
+    it a geometry pin for the codec/resize chain."""
+    import numpy as np
+
+    a = np.zeros((2, 3, 3), dtype=np.uint8)
+    a[0, 1, 0] = 10                      # one bright pixel off-center
+    rows = [("img-a", "d1", "image", multimodal.encode_bmp(a),
+             None, None, None),
+            ("img-t", "d2", "image",
+             multimodal.encode_bmp(a.transpose(1, 0, 2)),
+             None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_ref"]: r for r in
+           multimodal.media_pixel_checksum(media).collect()}
+    assert got["img-a"]["ok"] and got["img-t"]["ok"]
+    assert got["img-a"]["checksum"] != got["img-t"]["checksum"]
+    # closed form: pixel (y=0, x=1) weight = 0*3 + 1 + 1 = 2
+    assert got["img-a"]["checksum"] == 20
