@@ -1974,6 +1974,19 @@ def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_pixel_checksum(resized).orderBy("media_ref")
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature extraction: deterministic PCM16 mono
+    WAV clips (sample n = ((doc_id*7 + n*13) % 256 - 128) * 100) are
+    parsed by the pure-numpy RIFF walker and summarized as exact integer
+    features (energy, strict-sign zero crossings, peak, duration).  Ids
+    % 10 == 0 carry garbage payloads and must come back ok=False — the
+    same anomaly convention as the image codecs."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 500)
+    return multimodal.audio_features(
+        multimodal.synth_wav_media(ids)).orderBy("media_ref")
+
+
 def _q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup image pairs: dHash signatures banded by the
     SimHash pigeonhole machinery (4 disjoint 16-bit bands => no pair
@@ -2167,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2) never driver-checked — new in r5 (window rule 2)
         "ann_ivfsq_topk": _q_ann_ivfsq_topk,
         "media_resize": _q_media_resize,
+        "audio_features": _q_audio_features,
         "knn_join_topk": _q_knn_join_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "sq8_recall": _q_sq8_recall,
@@ -4380,6 +4394,38 @@ def _oracle_sql_literal() -> dict[str, str]:
                    TRUE AS ok, 13::INT AS width, 11::INT AS height,
                    SUM((y * 13 + x + 1) * v)::BIGINT AS checksum
             FROM adj GROUP BY doc_id ORDER BY media_ref
+        """,
+        # audio: the fixture waveform is pure id arithmetic, so every
+        # integer feature (energy, strict-sign zero crossings via the
+        # n+1 self-join, peak) replays exactly; garbage ids (% 10 == 0)
+        # produce the zeroed ok=False row
+        "audio_features": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            s AS (SELECT d.doc_id, n.n,
+                    (((d.doc_id * 7 + n.n * 13) % 256) - 128) * 100 AS v
+                  FROM d, range(64) AS n(n)
+                  WHERE d.doc_id % 10 != 0),
+            f AS (SELECT a.doc_id,
+                    SUM(a.v * a.v)::BIGINT AS energy,
+                    MAX(ABS(a.v))::BIGINT AS peak,
+                    SUM(CASE WHEN b.v IS NOT NULL AND a.v * b.v < 0
+                             THEN 1 ELSE 0 END)::BIGINT AS zc
+                  FROM s a LEFT JOIN s b
+                    ON a.doc_id = b.doc_id AND b.n = a.n + 1
+                  GROUP BY a.doc_id)
+            SELECT printf('wav-%05d', d.doc_id) AS media_ref,
+                   (d.doc_id % 10 != 0) AS ok,
+                   (CASE WHEN d.doc_id % 10 = 0 THEN 0 ELSE 8000 END)::INT
+                       AS sample_rate,
+                   (CASE WHEN d.doc_id % 10 = 0 THEN 0 ELSE 64 END)::BIGINT
+                       AS n_samples,
+                   (CASE WHEN d.doc_id % 10 = 0 THEN 0 ELSE 8 END)::BIGINT
+                       AS duration_ms,
+                   COALESCE(f.energy, 0)::BIGINT AS energy,
+                   COALESCE(f.zc, 0)::BIGINT AS zero_crossings,
+                   COALESCE(f.peak, 0)::BIGINT AS peak
+            FROM d LEFT JOIN f ON d.doc_id = f.doc_id
+            ORDER BY media_ref
         """,
         "media_dhash_pairs": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),

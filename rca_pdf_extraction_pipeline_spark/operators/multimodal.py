@@ -603,6 +603,138 @@ def media_dhash_pairs(media: DataFrame, max_hamming: int = 2) -> DataFrame:
         sigs, id_col="media_ref", max_hamming=max_hamming)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE encoder: PCM16 mono, little-endian — the audio
+    twin of :func:`encode_bmp` (fixture/round-trip side of the codec;
+    pure struct packing, no libraries)."""
+    import struct
+
+    data = np.asarray(samples).astype("<i2").tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+    body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Pure-numpy RIFF/WAVE PCM16 mono decoder: walks the chunk list
+    (unknown chunks are skipped, so files with LIST/fact metadata still
+    parse), returns (sample_rate, int16 sample array) or None for
+    anything that is not uncompressed 16-bit mono PCM — the per-row
+    anomaly convention of every codec here, never an exception."""
+    import struct
+
+    if len(payload) < 12 or payload[0:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and size >= 16:
+            afmt, nch, srate, _brate, _align, bits = \
+                struct.unpack_from("<HHIIHH", body, 0)
+            if afmt != 1 or nch != 1 or bits != 16:
+                return None                 # compressed / stereo / not 16-bit
+            rate = srate
+        elif cid == b"data":
+            if size % 2:
+                return None
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)        # RIFF chunks are word-aligned
+    if rate is None or samples is None or rate <= 0:
+        return None
+    return rate, samples
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_ref string, ok boolean, sample_rate int, n_samples long, "
+    "duration_ms long, energy long, zero_crossings long, peak long")
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio features over REAL decoded PCM (the audio twin of
+    :func:`decode_media`'s image path): energy = sum of squared samples,
+    zero_crossings = count of strict sign changes between adjacent
+    samples, peak = max absolute sample, duration from the header rate —
+    all exact integer arithmetic, bit-identical across engines.
+    Undecodable or non-PCM16-mono payloads come back ok=False with
+    zeroed features.  One Arrow-batched narrow stage, no shuffle; the
+    per-clip loop is ragged-payload dispatch, the sample math is numpy
+    (input_hint discipline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            rates = np.zeros(n, dtype=np.int32)
+            counts = np.zeros(n, dtype=np.int64)
+            durs = np.zeros(n, dtype=np.int64)
+            energies = np.zeros(n, dtype=np.int64)
+            zcs = np.zeros(n, dtype=np.int64)
+            peaks = np.zeros(n, dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                parsed = (decode_wav(bytes(payload))
+                          if payload is not None else None)
+                if parsed is None:
+                    continue
+                rate, s = parsed
+                s64 = s.astype(np.int64)
+                ok[i], rates[i], counts[i] = True, rate, len(s)
+                durs[i] = len(s) * 1000 // rate
+                if len(s):
+                    energies[i] = int((s64 * s64).sum())
+                    peaks[i] = int(np.abs(s64).max())
+                if len(s) > 1:
+                    zcs[i] = int((s64[:-1] * s64[1:] < 0).sum())
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"], "ok": ok,
+                "sample_rate": rates, "n_samples": counts,
+                "duration_ms": durs, "energy": energies,
+                "zero_crossings": zcs, "peak": peaks,
+            })
+
+    return media.select("media_ref", "payload") \
+        .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def synth_wav_media(ids: DataFrame, n_samples: int = 64,
+                    sample_rate: int = 8000) -> DataFrame:
+    """Deterministic WAV fixture table from a (doc_id:long) frame: each
+    doc becomes a PCM16 mono clip whose sample ``n`` is ``((doc_id*7 +
+    n*13) % 256 - 128) * 100`` — pure id arithmetic, so every feature
+    has a closed-form SQL twin; ids divisible by 10 get a deliberately-
+    undecodable payload to pin the ok=False path (the
+    :func:`synth_bmp_media` convention).
+
+    Fixture GENERATOR (not a hot path), like :func:`synth_bmp_media`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ns = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for did in pdf["doc_id"].astype(int):
+                if did % 10 == 0:
+                    payload = b"not a wav payload"
+                else:
+                    s = ((did * 7 + ns * 13) % 256 - 128) * 100
+                    payload = encode_wav(s.astype(np.int16), sample_rate)
+                out.append((f"wav-{did:05d}", f"doc-{did}", "audio",
+                            payload, None, None, None))
+            yield pd.DataFrame(out, columns=["media_ref", "doc_id", "kind",
+                                             "payload", "width", "height",
+                                             "duration_ms"])
+
+    return ids.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 RESIZED_SCHEMA = ("media_ref string, doc_id string, ok boolean, "
                   "payload binary")
 

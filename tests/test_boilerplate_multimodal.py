@@ -232,3 +232,60 @@ def test_media_pixel_checksum_orientation_sensitivity(spark):
     assert got["img-a"]["checksum"] != got["img-t"]["checksum"]
     # closed form: pixel (y=0, x=1) weight = 0*3 + 1 + 1 = 2
     assert got["img-a"]["checksum"] == 20
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """Encode->decode is sample-exact; the RIFF walker skips unknown
+    chunks (including odd-sized ones, which RIFF pads to word
+    boundaries) and refuses stereo / non-PCM / non-16-bit forms with
+    None rather than an exception."""
+    import struct
+
+    import numpy as np
+
+    s = np.array([0, 100, -200, 32767, -32768, 3], dtype=np.int16)
+    payload = multimodal.encode_wav(s, sample_rate=16000)
+    rate, back = multimodal.decode_wav(payload)
+    assert rate == 16000 and np.array_equal(back, s)
+
+    # inject an odd-sized LIST chunk between fmt and data: parsers that
+    # forget word alignment lose the data chunk
+    fmt_end = payload.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    with_junk = payload[:fmt_end] + junk + payload[fmt_end:]
+    rate2, back2 = multimodal.decode_wav(with_junk)
+    assert rate2 == 16000 and np.array_equal(back2, s)
+
+    # stereo and 8-bit variants: flip the fmt fields
+    stereo = bytearray(payload)
+    struct.pack_into("<H", stereo, payload.index(b"fmt ") + 10, 2)
+    assert multimodal.decode_wav(bytes(stereo)) is None
+    eight = bytearray(payload)
+    struct.pack_into("<H", eight, payload.index(b"fmt ") + 22, 8)
+    assert multimodal.decode_wav(bytes(eight)) is None
+    assert multimodal.decode_wav(b"RIFFxxxxNOPE") is None
+    assert multimodal.decode_wav(b"short") is None
+
+
+def test_audio_features_closed_form(spark):
+    """Features over a hand-built 4-sample clip: energy, strict-sign
+    zero crossings (a zero sample breaks both adjacent crossings), peak
+    and floor-divided duration all have one right answer."""
+    import numpy as np
+
+    s = np.array([100, -200, 0, 300], dtype=np.int16)
+    rows = [("clip-a", "d1", "audio",
+             multimodal.encode_wav(s, sample_rate=1000),
+             None, None, None),
+            ("clip-bad", "d2", "audio", b"junk", None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_ref"]: r for r in
+           multimodal.audio_features(media).collect()}
+    a = got["clip-a"]
+    assert a["ok"] and a["sample_rate"] == 1000 and a["n_samples"] == 4
+    assert a["duration_ms"] == 4    # 4 * 1000 // 1000
+    assert a["energy"] == 100**2 + 200**2 + 0 + 300**2
+    assert a["zero_crossings"] == 1  # only 100->-200; zeros cross nothing
+    assert a["peak"] == 300
+    bad = got["clip-bad"]
+    assert not bad["ok"] and bad["energy"] == 0 and bad["n_samples"] == 0
