@@ -1987,6 +1987,36 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.synth_wav_media(ids)).orderBy("media_ref")
 
 
+def _q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit audio envelope hash: 256-sample deterministic clips are
+    pooled into 65 energy windows (sample n -> window n*65//256) whose
+    strict ascending comparisons form the hash — the audio analogue of
+    media_dhash, sharing the (sig_hi, sig_lo) signature shape.  Ids >=
+    250 are planted near-dups (base waveform of id % 250, +3000 spike
+    on the last four samples); garbage ids (% 10 == 0) and ok=False."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 500)
+    media = multimodal.synth_wav_media(ids, n_samples=256, dup_mod=250,
+                                       md5_texture=True)
+    return multimodal.audio_fingerprint(media) \
+        .select("media_ref", "ok", "sig_hi", "sig_lo").orderBy("media_ref")
+
+
+def _q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs: envelope fingerprints banded by the
+    SimHash pigeonhole machinery (Hamming <= 2 always shares one of the
+    4 disjoint 16-bit bands — never all-pairs).  The planted spike
+    touches windows 63/64 only, flipping at most the two adjacent
+    comparisons, so every planted (i, i+250) pair must surface; the
+    oracle verifies with an exact all-pairs bit_count at this scale."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 500)
+    media = multimodal.synth_wav_media(ids, n_samples=256, dup_mod=250,
+                                       md5_texture=True)
+    return multimodal.audio_dup_pairs(media, max_hamming=2) \
+        .orderBy("id_a", "id_b")
+
+
 def _q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup image pairs: dHash signatures banded by the
     SimHash pigeonhole machinery (4 disjoint 16-bit bands => no pair
@@ -2181,6 +2211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfsq_topk": _q_ann_ivfsq_topk,
         "media_resize": _q_media_resize,
         "audio_features": _q_audio_features,
+        "audio_fingerprint": _q_audio_fingerprint,
+        "audio_dup_pairs": _q_audio_dup_pairs,
         "knn_join_topk": _q_knn_join_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "sq8_recall": _q_sq8_recall,
@@ -4426,6 +4458,73 @@ def _oracle_sql_literal() -> dict[str, str]:
                    COALESCE(f.peak, 0)::BIGINT AS peak
             FROM d LEFT JOIN f ON d.doc_id = f.doc_id
             ORDER BY media_ref
+        """,
+        # audio envelope hash: windows replay via the same monotone
+        # floor partition (n*65 // 256), energies and comparisons exact
+        # integers; the planted spike rides the CASE on the last four
+        # samples; sig fold identical to the dhash oracles
+        "audio_fingerprint": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            s AS (SELECT d.doc_id, n.n,
+                    (('0x' || substr(md5(printf('%d-%d',
+                          d.doc_id % 250, n.n)), 1, 2))::BIGINT - 128) * 100
+                    + CASE WHEN d.doc_id >= 250 AND n.n >= 252
+                           THEN 3000 ELSE 0 END AS v
+                  FROM d, range(256) AS n(n)
+                  WHERE d.doc_id % 10 != 0),
+            e AS (SELECT doc_id, (n * 65) // 256 AS w,
+                         SUM(v * v)::BIGINT AS en
+                  FROM s GROUP BY doc_id, w),
+            bits AS (SELECT a.doc_id, a.w AS j,
+                       CASE WHEN a.en < b.en THEN 1::BIGINT
+                            ELSE 0::BIGINT END AS bit
+                     FROM e a JOIN e b
+                       ON a.doc_id = b.doc_id AND b.w = a.w + 1
+                     WHERE a.w < 64),
+            sigs AS (SELECT doc_id,
+                       SUM(CASE WHEN j >= 32 THEN bit << (j - 32)
+                                ELSE 0 END)::BIGINT AS hi,
+                       SUM(CASE WHEN j < 32 THEN bit << j
+                                ELSE 0 END)::BIGINT AS lo
+                     FROM bits GROUP BY doc_id)
+            SELECT printf('wav-%05d', d.doc_id) AS media_ref,
+                   (d.doc_id % 10 != 0) AS ok,
+                   COALESCE(g.hi, 0)::BIGINT AS sig_hi,
+                   COALESCE(g.lo, 0)::BIGINT AS sig_lo
+            FROM d LEFT JOIN sigs g ON d.doc_id = g.doc_id
+            ORDER BY media_ref
+        """,
+        "audio_dup_pairs": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            s AS (SELECT d.doc_id, n.n,
+                    (('0x' || substr(md5(printf('%d-%d',
+                          d.doc_id % 250, n.n)), 1, 2))::BIGINT - 128) * 100
+                    + CASE WHEN d.doc_id >= 250 AND n.n >= 252
+                           THEN 3000 ELSE 0 END AS v
+                  FROM d, range(256) AS n(n)
+                  WHERE d.doc_id % 10 != 0),
+            e AS (SELECT doc_id, (n * 65) // 256 AS w,
+                         SUM(v * v)::BIGINT AS en
+                  FROM s GROUP BY doc_id, w),
+            bits AS (SELECT a.doc_id, a.w AS j,
+                       CASE WHEN a.en < b.en THEN 1::BIGINT
+                            ELSE 0::BIGINT END AS bit
+                     FROM e a JOIN e b
+                       ON a.doc_id = b.doc_id AND b.w = a.w + 1
+                     WHERE a.w < 64),
+            sigs AS (SELECT printf('wav-%05d', doc_id) AS id,
+                       SUM(CASE WHEN j >= 32 THEN bit << (j - 32)
+                                ELSE 0 END)::BIGINT AS hi,
+                       SUM(CASE WHEN j < 32 THEN bit << j
+                                ELSE 0 END)::BIGINT AS lo
+                     FROM bits GROUP BY doc_id)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   (bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)))::INTEGER AS hamming
+            FROM sigs a JOIN sigs b ON a.id < b.id
+            WHERE bit_count(xor(a.hi, b.hi))
+                  + bit_count(xor(a.lo, b.lo)) <= 2
+            ORDER BY id_a, id_b
         """,
         "media_dhash_pairs": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),

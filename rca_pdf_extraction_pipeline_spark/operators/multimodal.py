@@ -703,14 +703,91 @@ def audio_features(media: DataFrame) -> DataFrame:
         .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_FP_WINDOWS = 65      # 64 envelope comparisons -> one 64-bit hash
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """64-bit audio envelope hash over REAL decoded PCM — the audio
+    analogue of :func:`media_dhash`: pool each clip's squared samples
+    into 65 windows (sample ``n`` -> window ``n*65 // n_samples``, a
+    monotone partition both engines replay exactly), set bit ``j`` iff
+    ``energy[j] < energy[j+1]`` (strict, like dHash's horizontal
+    comparisons).  Robust to uniform gain-style edits that move every
+    window together; a local edit flips only the adjacent comparisons,
+    so near-duplicate clips land within small Hamming distance and the
+    SimHash pigeonhole banding is shared verbatim.  Clips shorter than
+    65 samples (or undecodable) come back ok=False with a zero
+    signature rather than an undersampled hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            hi = np.zeros(n, dtype=np.int64)
+            lo = np.zeros(n, dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                parsed = (decode_wav(bytes(payload))
+                          if payload is not None else None)
+                if parsed is None or len(parsed[1]) < AUDIO_FP_WINDOWS:
+                    continue
+                s64 = parsed[1].astype(np.int64)
+                w = (np.arange(len(s64)) * AUDIO_FP_WINDOWS) // len(s64)
+                e = np.zeros(AUDIO_FP_WINDOWS, dtype=np.int64)
+                np.add.at(e, w, s64 * s64)
+                val = 0
+                for j in range(AUDIO_FP_WINDOWS - 1):
+                    if e[j] < e[j + 1]:
+                        val |= 1 << j
+                ok[i] = True
+                hi[i], lo[i] = val >> 32, val & 0xFFFFFFFF
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "doc_id": pdf["doc_id"],
+                "ok": ok, "sig_hi": hi, "sig_lo": lo,
+            })
+
+    return media.select("media_ref", "doc_id", "payload") \
+        .mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def audio_dup_pairs(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate audio pairs: envelope fingerprints banded by the
+    SimHash pigeonhole machinery (same guarantee as
+    :func:`media_dhash_pairs` — Hamming <= max_hamming always shares a
+    16-bit band, never all-pairs).  Completes the cross-modal dedup
+    family: MinHash/SimHash for text, dHash for images, the envelope
+    hash for audio — one banding implementation serving all three."""
+    from . import dedup
+
+    sigs = audio_fingerprint(media).filter("ok") \
+        .select("media_ref", "sig_hi", "sig_lo")
+    return dedup.simhash_pairs_from_signatures(
+        sigs, id_col="media_ref", max_hamming=max_hamming)
+
+
 def synth_wav_media(ids: DataFrame, n_samples: int = 64,
-                    sample_rate: int = 8000) -> DataFrame:
+                    sample_rate: int = 8000,
+                    dup_mod: int | None = None,
+                    md5_texture: bool = False) -> DataFrame:
     """Deterministic WAV fixture table from a (doc_id:long) frame: each
     doc becomes a PCM16 mono clip whose sample ``n`` is ``((doc_id*7 +
     n*13) % 256 - 128) * 100`` — pure id arithmetic, so every feature
     has a closed-form SQL twin; ids divisible by 10 get a deliberately-
     undecodable payload to pin the ok=False path (the
     :func:`synth_bmp_media` convention).
+
+    With ``dup_mod`` set, ids >= dup_mod reuse the waveform of
+    ``doc_id % dup_mod`` with a +3000 spike on the last four samples —
+    a planted near-duplicate whose envelope hash differs in at most the
+    two comparisons adjacent to the touched windows (the
+    :func:`synth_grid_bmp_media` planted-pair convention).
+    ``md5_texture`` draws sample bytes from ``md5(f"{base}-{n}")``
+    instead of the id arithmetic — pseudorandom envelopes, so DISTINCT
+    base clips land nowhere near each other in Hamming space and the
+    planted pairs are the only ones (the arithmetic waveform's shifted
+    structure correlates envelopes across ids).
 
     Fixture GENERATOR (not a hot path), like :func:`synth_bmp_media`."""
 
@@ -724,7 +801,17 @@ def synth_wav_media(ids: DataFrame, n_samples: int = 64,
                 if did % 10 == 0:
                     payload = b"not a wav payload"
                 else:
-                    s = ((did * 7 + ns * 13) % 256 - 128) * 100
+                    base = did if dup_mod is None else did % dup_mod
+                    if md5_texture:
+                        s = np.array(
+                            [int(hashlib.md5(f"{base}-{n}".encode())
+                                 .hexdigest()[:2], 16)
+                             for n in range(n_samples)], dtype=np.int64)
+                        s = (s - 128) * 100
+                    else:
+                        s = ((base * 7 + ns * 13) % 256 - 128) * 100
+                    if dup_mod is not None and did >= dup_mod:
+                        s[-4:] += 3000
                     payload = encode_wav(s.astype(np.int16), sample_rate)
                 out.append((f"wav-{did:05d}", f"doc-{did}", "audio",
                             payload, None, None, None))

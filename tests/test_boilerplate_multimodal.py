@@ -289,3 +289,27 @@ def test_audio_features_closed_form(spark):
     assert a["peak"] == 300
     bad = got["clip-bad"]
     assert not bad["ok"] and bad["energy"] == 0 and bad["n_samples"] == 0
+
+
+def test_audio_fingerprint_planted_pairs_and_short_guard(spark):
+    """The planted near-dups (base waveform + a 4-sample spike touching
+    windows 63/64) must sit within Hamming 2 of their base and surface
+    through the banding; distinct md5-textured bases must pair with
+    nothing; clips shorter than the 65 windows come back ok=False."""
+    ids = spark.createDataFrame([(1,), (2,), (251,), (252,)], "doc_id long")
+    media = multimodal.synth_wav_media(ids, n_samples=256, dup_mod=250,
+                                       md5_texture=True)
+    sigs = {r["media_ref"]: (r["sig_hi"], r["sig_lo"], r["ok"])
+            for r in multimodal.audio_fingerprint(media).collect()}
+    assert all(v[2] for v in sigs.values())
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in multimodal.audio_dup_pairs(media,
+                                                 max_hamming=2).collect()}
+    assert set(pairs) == {("wav-00001", "wav-00251"),
+                          ("wav-00002", "wav-00252")}
+    assert all(h <= 2 for h in pairs.values())
+
+    short = multimodal.synth_wav_media(
+        spark.createDataFrame([(3,)], "doc_id long"), n_samples=32)
+    got = multimodal.audio_fingerprint(short).collect()[0]
+    assert not got["ok"] and got["sig_hi"] == 0 and got["sig_lo"] == 0
