@@ -68,7 +68,19 @@ def _range_rank(df: DataFrame, group_cols: list[str],
 
     ``order_cols`` must be a total order within each group (include a
     unique id as the last column) or ranks at range boundaries would
-    depend on the split."""
+    depend on the split.
+
+    Correctness leans on one physical invariant: the ``within`` window
+    branch and the ``counts`` aggregate branch below both consume
+    ``ranged``, and both must observe the SAME partition-id assignment
+    from ONE shared range exchange — RangePartitioner samples its
+    boundaries with an RDD-id-derived seed, so two independently
+    materialized exchanges could draw different boundaries and corrupt
+    the rank shift at range borders.  Spark's ReuseExchangeAndSubquery
+    rule (and AQE's runtime stage cache) collapses the canonically
+    identical exchanges into one shuffle; the plan pin
+    ``test_plan_hygiene.test_range_rank_single_shared_range_exchange``
+    fails loudly if that reuse ever stops firing."""
     spark = df.sparkSession
     if num_ranges is None:
         num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))

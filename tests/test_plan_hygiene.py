@@ -321,6 +321,39 @@ def test_epoch_shards_partitioned_window_no_python(spark):
         assert "ASC" not in first_arg and "DESC" not in first_arg, ln.strip()
 
 
+def test_range_rank_single_shared_range_exchange(spark):
+    """_range_rank correctness contract: the `within` window branch and
+    the `counts` aggregate branch must observe the SAME partition-id
+    assignment from ONE shared range exchange.  RangePartitioner samples
+    its boundaries with an RDD-id-derived seed (`sketch`: seed =
+    byteswap32(idx ^ (rdd.id << 16))), so two independently-planned
+    range exchanges over the same data may draw DIFFERENT boundaries —
+    a row near a boundary would then be counted in range i by one
+    branch but ranked in range i+1 by the other, yielding duplicate or
+    gapped global ranks.  Today Spark's ReuseExchangeAndSubquery rule
+    (and AQE's runtime stage cache) collapses the canonically-identical
+    exchanges into one physical shuffle; this pin fails loudly if that
+    reuse ever stops firing (canonicalization drift, plan change) so
+    the hazard surfaces as a test failure, not silent rank corruption."""
+    from rca_pdf_extraction_pipeline_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # static planning path: reuse must come from the explicit
+        # ReuseExchangeAndSubquery preparation rule, visible in the plan
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = _plan(sampling.epoch_shards(docs, n_shards=8, epoch=1))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    mentions = plan.count("Exchange rangepartitioning")
+    reused = plan.count("ReusedExchange")
+    # a ReusedExchange node's own line repeats the exchange description,
+    # so real shuffles = mentions - reused; exactly one may materialize
+    assert mentions - reused == 1, plan
+    assert reused >= 1, plan
+
+
 def test_pagerank_no_python_no_cartesian(spark):
     """Integer-lattice PageRank: pure relational plan — no Python eval,
     no CartesianProduct (the rank-carry and inflow joins are all keyed),
