@@ -2017,6 +2017,53 @@ def _q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id_a", "id_b")
 
 
+def _q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video features over REAL decoded YUV4MPEG2 streams: 6-frame
+    36x32 clips built from the md5 grid texture (one grid per frame),
+    alternating C420jpeg / Cmono colorspaces by id parity (both real
+    decode paths, identical luma).  luma_sum and motion are exact
+    integer folds over the decoded planes, so the oracle replays them
+    from the same md5 bytes (x16 per 4x4 cell); garbage ids (% 10 == 0)
+    pin the ok=False zero row."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 500)
+    media = multimodal.synth_y4m_media(ids, n_frames=6, dup_mod=250)
+    return multimodal.video_features(media) \
+        .select("media_ref", "ok", "width", "height", "n_frames",
+                "luma_sum", "motion").orderBy("media_ref")
+
+
+def _q_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled video frames flowing UNCHANGED into the image pipeline:
+    video_frames re-encodes each decoded luma plane as a grayscale BMP
+    row, and media_dhash hashes it exactly like any other image.  The
+    pooled 9x8 grid of a 36x32 frame recovers the md5 cell grid, so
+    per-frame signatures have the same closed-form SQL twin as the
+    image dHash oracle, extended by the frame axis."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 500)
+    media = multimodal.synth_y4m_media(ids, n_frames=6, dup_mod=250)
+    frames = multimodal.video_frames(media, every_n=2)
+    return multimodal.media_dhash(frames).filter("ok") \
+        .select("media_ref", "sig_hi", "sig_lo").orderBy("media_ref")
+
+
+def _q_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs via temporally-aligned frame dHashes:
+    planted dups (ids >= 250 reuse base frames with one cell of frame 0
+    bit-flipped) must match on >= 4 of 6 frames — frame 0 still lands
+    at Hamming <= 1 and frames 1-5 are bit-identical, so every planted
+    pair surfaces with n_matched = 6; md5-textured distinct clips share
+    nothing.  The banding is the shared SimHash pigeonhole machinery
+    (never all-pairs); the oracle verifies with exact same-frame
+    all-pairs bit_count at this scale."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 500)
+    media = multimodal.synth_y4m_media(ids, n_frames=6, dup_mod=250)
+    return multimodal.video_dup_pairs(media, every_n=1, max_hamming=2,
+                                      min_frames=4).orderBy("id_a", "id_b")
+
+
 def _q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup image pairs: dHash signatures banded by the
     SimHash pigeonhole machinery (4 disjoint 16-bit bands => no pair
@@ -2213,6 +2260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "audio_fingerprint": _q_audio_fingerprint,
         "audio_dup_pairs": _q_audio_dup_pairs,
+        "video_features": _q_video_features,
+        "video_frame_dhash": _q_video_frame_dhash,
+        "video_dup_pairs": _q_video_dup_pairs,
         "knn_join_topk": _q_knn_join_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "sq8_recall": _q_sq8_recall,
@@ -4524,6 +4574,114 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM sigs a JOIN sigs b ON a.id < b.id
             WHERE bit_count(xor(a.hi, b.hi))
                   + bit_count(xor(a.lo, b.lo)) <= 2
+            ORDER BY id_a, id_b
+        """,
+        # video: each frame is one md5 grid (the image-grid formula
+        # plus a frame axis); the planted flip rides frame 0 cell (0,0)
+        # for doc_id >= 250; luma/motion are exact x16 cell sums, and
+        # per-frame dHash folds bits exactly like the image oracle
+        "video_features": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            cells AS (
+              SELECT d.doc_id, f.f, r.r, c.c,
+                     ('0x' || substr(md5(printf('%d-%d-%d-%d',
+                          d.doc_id % 250, f.f, r.r, c.c)), 1, 2))::BIGINT
+                     AS v0
+              FROM d, range(6) AS f(f), range(8) AS r(r), range(9) AS c(c)
+              WHERE d.doc_id % 10 != 0),
+            adj AS (
+              SELECT doc_id, f, r, c,
+                     CASE WHEN f = 0 AND r = 0 AND c = 0 AND doc_id >= 250
+                          THEN xor(v0, 128) ELSE v0 END AS v
+              FROM cells),
+            luma AS (SELECT doc_id, (16 * SUM(v))::BIGINT AS luma_sum
+                     FROM adj GROUP BY doc_id),
+            mot AS (SELECT a.doc_id,
+                           (16 * SUM(abs(b.v - a.v)))::BIGINT AS motion
+                    FROM adj a JOIN adj b
+                      ON a.doc_id = b.doc_id AND a.r = b.r AND a.c = b.c
+                     AND b.f = a.f + 1
+                    GROUP BY a.doc_id)
+            SELECT printf('y4m-%05d', d.doc_id) AS media_ref,
+                   (d.doc_id % 10 != 0) AS ok,
+                   CASE WHEN d.doc_id % 10 != 0 THEN 36 ELSE 0 END::INT
+                     AS width,
+                   CASE WHEN d.doc_id % 10 != 0 THEN 32 ELSE 0 END::INT
+                     AS height,
+                   CASE WHEN d.doc_id % 10 != 0 THEN 6 ELSE 0 END::INT
+                     AS n_frames,
+                   COALESCE(l.luma_sum, 0)::BIGINT AS luma_sum,
+                   COALESCE(m.motion, 0)::BIGINT AS motion
+            FROM d LEFT JOIN luma l ON d.doc_id = l.doc_id
+                   LEFT JOIN mot m ON d.doc_id = m.doc_id
+            ORDER BY media_ref
+        """,
+        "video_frame_dhash": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            cells AS (
+              SELECT d.doc_id, f.f, r.r, c.c,
+                     ('0x' || substr(md5(printf('%d-%d-%d-%d',
+                          d.doc_id % 250, f.f, r.r, c.c)), 1, 2))::BIGINT
+                     AS v0
+              FROM d, range(6) AS f(f), range(8) AS r(r), range(9) AS c(c)
+              WHERE d.doc_id % 10 != 0 AND f.f % 2 = 0),
+            adj AS (
+              SELECT doc_id, f, r, c,
+                     CASE WHEN f = 0 AND r = 0 AND c = 0 AND doc_id >= 250
+                          THEN xor(v0, 128) ELSE v0 END AS v
+              FROM cells),
+            bits AS (
+              SELECT a.doc_id, a.f, (a.r * 8 + a.c) AS j,
+                     CASE WHEN a.v < b.v THEN 1::BIGINT
+                          ELSE 0::BIGINT END AS bit
+              FROM adj a JOIN adj b
+                ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r
+               AND b.c = a.c + 1
+              WHERE a.c < 8)
+            SELECT printf('y4m-%05d#f%04d', doc_id, f) AS media_ref,
+                   SUM(CASE WHEN j >= 32 THEN bit << (j - 32)
+                            ELSE 0 END)::BIGINT AS sig_hi,
+                   SUM(CASE WHEN j < 32 THEN bit << j
+                            ELSE 0 END)::BIGINT AS sig_lo
+            FROM bits GROUP BY doc_id, f ORDER BY media_ref
+        """,
+        "video_dup_pairs": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            cells AS (
+              SELECT d.doc_id, f.f, r.r, c.c,
+                     ('0x' || substr(md5(printf('%d-%d-%d-%d',
+                          d.doc_id % 250, f.f, r.r, c.c)), 1, 2))::BIGINT
+                     AS v0
+              FROM d, range(6) AS f(f), range(8) AS r(r), range(9) AS c(c)
+              WHERE d.doc_id % 10 != 0),
+            adj AS (
+              SELECT doc_id, f, r, c,
+                     CASE WHEN f = 0 AND r = 0 AND c = 0 AND doc_id >= 250
+                          THEN xor(v0, 128) ELSE v0 END AS v
+              FROM cells),
+            bits AS (
+              SELECT a.doc_id, a.f, (a.r * 8 + a.c) AS j,
+                     CASE WHEN a.v < b.v THEN 1::BIGINT
+                          ELSE 0::BIGINT END AS bit
+              FROM adj a JOIN adj b
+                ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r
+               AND b.c = a.c + 1
+              WHERE a.c < 8),
+            sigs AS (SELECT doc_id, f,
+                       SUM(CASE WHEN j >= 32 THEN bit << (j - 32)
+                                ELSE 0 END)::BIGINT AS hi,
+                       SUM(CASE WHEN j < 32 THEN bit << j
+                                ELSE 0 END)::BIGINT AS lo
+                     FROM bits GROUP BY doc_id, f)
+            SELECT printf('y4m-%05d', a.doc_id) AS id_a,
+                   printf('y4m-%05d', b.doc_id) AS id_b,
+                   COUNT(*)::INTEGER AS n_matched
+            FROM sigs a JOIN sigs b
+              ON a.f = b.f AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi))
+                  + bit_count(xor(a.lo, b.lo)) <= 2
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 4
             ORDER BY id_a, id_b
         """,
         "media_dhash_pairs": """

@@ -77,9 +77,13 @@ BENCH_QUERIES = [
     "vocab_overlap_hll",
     "cohort_retention",
     "jl_recall",
-    # r5 final additions: batch k-NN join, int8 SQ search
+    # r5 final additions: batch k-NN join, int8 SQ search, and the
+    # cross-modal dedup closers (audio envelope banding; video decode ->
+    # frame dHash -> temporally-aligned pair gate)
     "knn_join_topk",
     "ann_sq8_topk",
+    "audio_dup_pairs",
+    "video_dup_pairs",
 ]
 
 

@@ -14,8 +14,12 @@ numpy unfiltering of all five scanline filters; no codec library
 needed), and baseline JPEGs (:mod:`..kernels.jpeg` — pure-numpy
 marker walk, canonical Huffman, batched-matmul IDCT, 4:2:0 chroma
 upsample), each round-trip-tested against its encoder; remaining
-formats (progressive JPEG, video codecs) come back ok=False — that
-plug point is :func:`_real_decode_batch`.
+formats (progressive JPEG, compressed video codecs) come back
+ok=False — that plug point is :func:`_real_decode_batch`.  Video has
+its own REAL path: uncompressed YUV4MPEG2 streams (:func:`decode_y4m`
+— the mjpegtools/FFmpeg raw-video interchange format) decode to luma
+planes for :func:`video_features`, :func:`video_frames` (real frame
+sampling that feeds the image pipeline) and :func:`video_dup_pairs`.
 
 Data model (mirrors the reference's image handling, which exports
 binary payloads to files and keeps only ``media_ref`` strings in the
@@ -966,3 +970,315 @@ def media_near_pairs(media: DataFrame, threshold: float = 0.999,
     return pairs.select(F.col("id_a").alias("media_a"),
                         F.col("id_b").alias("media_b"),
                         F.col("cosine_sim"))
+
+
+# --------------------------------------------------------------------------
+# Video: real YUV4MPEG2 (Y4M) codec + frame sampling into the image pipeline
+# --------------------------------------------------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+#: colorspace -> (chroma plane count, chroma dims as (w_shift, h_shift));
+#: every entry is a real mjpegtools/FFmpeg Y4M colorspace tag
+_Y4M_CHROMA = {
+    "C420jpeg": (2, 1, 1), "C420mpeg2": (2, 1, 1), "C420paldv": (2, 1, 1),
+    "C420": (2, 1, 1), "C422": (2, 1, 0), "C444": (2, 0, 0),
+    "Cmono": (0, 0, 0),
+}
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1),
+               colorspace: str = "C420jpeg") -> bytes:
+    """Encode ``(n_frames, h, w)`` uint8 luma planes as a YUV4MPEG2
+    stream (the uncompressed video interchange format of mjpegtools /
+    FFmpeg: a text stream header ``YUV4MPEG2 W.. H.. F..:.. C..``, then
+    per-frame ``FRAME\\n`` + raw planar data).  Chroma planes (for the
+    non-mono colorspaces) are written neutral (128), so luma round-trips
+    exactly and a C420jpeg and a Cmono encode of the same planes decode
+    to identical luma.  Encoder exists to round-trip-test the decoder
+    and to build fixtures, same as :func:`encode_bmp` / fixture
+    GENERATOR conventions."""
+    if colorspace not in _Y4M_CHROMA:
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    n_chroma, ws, hs = _Y4M_CHROMA[colorspace]
+    n, h, w = frames.shape
+    if n_chroma and ((w & ((1 << ws) - 1)) or (h & ((1 << hs) - 1))):
+        raise ValueError(f"{colorspace} needs dims divisible by chroma "
+                         f"subsampling; got {w}x{h}")
+    head = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+            f"{colorspace}\n").encode()
+    chroma = np.full((h >> hs) * (w >> ws), 128, dtype=np.uint8).tobytes()
+    out = [head]
+    for f in frames.astype(np.uint8):
+        out.append(b"FRAME\n")
+        out.append(f.tobytes())
+        out.extend([chroma] * n_chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> dict | None:
+    """Parse a YUV4MPEG2 stream: validate the magic, read the
+    space-separated stream parameters (W/H/F required-or-defaulted,
+    I and A accepted, unknown X extensions skipped per spec), then walk
+    ``FRAME`` headers (optional frame parameters tolerated up to the
+    newline) reading planar data for the declared colorspace.  Returns
+    ``{"width", "height", "fps_num", "fps_den", "colorspace",
+    "frames"}`` with ``frames`` the ``(n, h, w)`` uint8 LUMA planes
+    (chroma is read past but not returned — every downstream feature /
+    hash here is luma-based, like dHash).  Malformed payloads — wrong
+    magic, missing/invalid dims, odd dims under 4:2:0, an unknown
+    colorspace, a truncated frame — return None (the
+    :func:`decode_wav` honesty convention: never a best-effort
+    partial decode)."""
+    if payload is None or not payload.startswith(Y4M_MAGIC):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    try:
+        params = payload[len(Y4M_MAGIC):nl].decode("ascii").split()
+    except UnicodeDecodeError:
+        return None
+    w = h = 0
+    fn, fd = 30, 1
+    colorspace = "C420jpeg"   # the spec's default when C is absent
+    for p in params:
+        try:
+            if p[0] == "W":
+                w = int(p[1:])
+            elif p[0] == "H":
+                h = int(p[1:])
+            elif p[0] == "F":
+                fn, fd = (int(x) for x in p[1:].split(":"))
+            elif p[0] == "C":
+                colorspace = p
+            elif p[0] in ("I", "A", "X"):
+                continue    # interlacing / aspect / extensions: skipped
+            else:
+                return None
+        except (ValueError, IndexError):
+            return None
+    if w <= 0 or h <= 0 or fn <= 0 or fd <= 0:
+        return None
+    if colorspace not in _Y4M_CHROMA:
+        return None
+    n_chroma, ws, hs = _Y4M_CHROMA[colorspace]
+    if n_chroma and ((w & ((1 << ws) - 1)) or (h & ((1 << hs) - 1))):
+        return None
+    luma_sz = w * h
+    frame_sz = luma_sz + n_chroma * ((w >> ws) * (h >> hs))
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            return None
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_sz > len(payload):
+            return None     # truncated frame: refuse, don't guess
+        start = fnl + 1
+        frames.append(np.frombuffer(
+            payload[start:start + luma_sz],
+            dtype=np.uint8).reshape(h, w))
+        pos = start + frame_sz
+    if not frames:
+        return None
+    return {"width": w, "height": h, "fps_num": fn, "fps_den": fd,
+            "colorspace": colorspace,
+            "frames": np.stack(frames)}
+
+
+VIDEO_FEATURES_SCHEMA = (
+    "media_ref string, doc_id string, ok boolean, width int, height int, "
+    "n_frames int, fps_num int, fps_den int, luma_sum long, motion long"
+)
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """Per-video features over REAL decoded Y4M frames, one
+    Arrow-batched stage (the :func:`audio_features` convention):
+    geometry + frame count + fps from the stream header, ``luma_sum``
+    (exact integer sum of every luma sample — the brightness mass) and
+    ``motion`` (sum of absolute luma differences between consecutive
+    frames — the classic raw-domain motion activity measure; 0 for a
+    static or single-frame clip).  Both are exact int64 folds, so a
+    DuckDB oracle replays them bit-for-bit.  Undecodable payloads come
+    back ok=False with zero features rather than being dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            cols = {
+                "ok": np.zeros(n, dtype=bool),
+                "width": np.zeros(n, dtype=np.int32),
+                "height": np.zeros(n, dtype=np.int32),
+                "n_frames": np.zeros(n, dtype=np.int32),
+                "fps_num": np.zeros(n, dtype=np.int32),
+                "fps_den": np.zeros(n, dtype=np.int32),
+                "luma_sum": np.zeros(n, dtype=np.int64),
+                "motion": np.zeros(n, dtype=np.int64),
+            }
+            for i, payload in enumerate(pdf["payload"]):
+                v = decode_y4m(bytes(payload)) if payload is not None \
+                    else None
+                if v is None:
+                    continue
+                fr = v["frames"].astype(np.int64)
+                cols["ok"][i] = True
+                cols["width"][i] = v["width"]
+                cols["height"][i] = v["height"]
+                cols["n_frames"][i] = len(fr)
+                cols["fps_num"][i] = v["fps_num"]
+                cols["fps_den"][i] = v["fps_den"]
+                cols["luma_sum"][i] = int(fr.sum())
+                if len(fr) > 1:
+                    cols["motion"][i] = int(
+                        np.abs(fr[1:] - fr[:-1]).sum())
+            yield pd.DataFrame({"media_ref": pdf["media_ref"],
+                                "doc_id": pdf["doc_id"], **cols})
+
+    return media.select("media_ref", "doc_id", "payload") \
+        .mapInPandas(run, schema=VIDEO_FEATURES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = MEDIA_SCHEMA + ", video_ref string, frame_idx int"
+
+
+def video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling — the multimodal brief's frame-sample stage
+    over actual decoded video (supersedes the metadata-grid plan of
+    :func:`frame_sample`): decode each Y4M payload, keep every
+    ``every_n``-th frame, and emit each kept frame as a grayscale BMP
+    image row in the :data:`MEDIA_SCHEMA` shape (+ ``video_ref`` /
+    ``frame_idx`` provenance), so sampled frames flow UNCHANGED into
+    the existing image pipeline — :func:`media_dhash`,
+    :func:`media_resize`, :func:`decode_media` all take this table
+    verbatim.  ``duration_ms`` on the frame row carries the frame's
+    timestamp (idx * 1000 * fps_den / fps_num).
+
+    Scale: one Arrow stage, rows out = frames kept; undecodable videos
+    yield no rows (they are surfaced by :func:`video_features`'s
+    ok=False channel, not silently here).  Partitioning: a video's
+    frames stay in its input partition — downstream per-frame work
+    re-balances on the exploded row count for free."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1; got {every_n}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for ref, did, payload in zip(pdf["media_ref"], pdf["doc_id"],
+                                         pdf["payload"]):
+                v = decode_y4m(bytes(payload)) if payload is not None \
+                    else None
+                if v is None:
+                    continue
+                for idx in range(0, len(v["frames"]), every_n):
+                    g = v["frames"][idx]
+                    rgb = np.repeat(g[:, :, None], 3, axis=2)
+                    ts = idx * 1000 * v["fps_den"] // v["fps_num"]
+                    out.append((f"{ref}#f{idx:04d}", did, "image",
+                                encode_bmp(rgb), v["width"], v["height"],
+                                ts, ref, idx))
+            if out:
+                yield pd.DataFrame(out, columns=[
+                    "media_ref", "doc_id", "kind", "payload", "width",
+                    "height", "duration_ms", "video_ref", "frame_idx"])
+
+    return media.select("media_ref", "doc_id", "payload") \
+        .mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def video_dup_pairs(media: DataFrame, every_n: int = 1,
+                    max_hamming: int = 2,
+                    min_frames: int = 2) -> DataFrame:
+    """Near-duplicate VIDEO pairs via temporally-aligned frame hashes:
+    sample frames (:func:`video_frames`), dHash each through the image
+    pipeline (:func:`media_dhash` — frames ARE images here), band the
+    frame signatures with the shared SimHash pigeonhole machinery, and
+    keep video pairs where >= ``min_frames`` SAME-POSITION frames land
+    within ``max_hamming`` — a re-encode or a single-frame edit still
+    matches on the other frames, while coincidental single-frame
+    collisions are rejected by the count gate.  Completes the
+    cross-modal dedup family: one banding implementation now serves
+    text (SimHash), images (dHash), audio (envelope hash) and video
+    (frame dHash sets).
+
+    Returns (id_a, id_b, n_matched) ordered refs; never all-pairs —
+    candidates come from the 16-bit band join, and the video-level
+    aggregation is a partial-agg count on (id_a, id_b)."""
+    from pyspark.sql import functions as F
+
+    from . import dedup
+
+    frames = video_frames(media, every_n=every_n)
+    sigs = media_dhash(frames).filter("ok") \
+        .select("media_ref", "sig_hi", "sig_lo")
+    pairs = dedup.simhash_pairs_from_signatures(
+        sigs, id_col="media_ref", max_hamming=max_hamming)
+    split = F.split(F.col("id_a"), "#f")
+    split_b = F.split(F.col("id_b"), "#f")
+    aligned = (pairs
+               .withColumn("vid_a", split.getItem(0))
+               .withColumn("idx_a", split.getItem(1))
+               .withColumn("vid_b", split_b.getItem(0))
+               .withColumn("idx_b", split_b.getItem(1))
+               .filter(F.col("idx_a") == F.col("idx_b")))
+    return (aligned.groupBy(F.col("vid_a").alias("id_a"),
+                            F.col("vid_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).cast("int").alias("n_matched"))
+            .filter(F.col("n_matched") >= min_frames))
+
+
+def synth_y4m_media(ids: DataFrame, n_frames: int = 6,
+                    dup_mod: int | None = None,
+                    cell: int = 4) -> DataFrame:
+    """Deterministic Y4M fixture table from a (doc_id:long) frame: each
+    doc becomes an ``n_frames``-frame ``9*cell x 8*cell`` clip whose
+    frame ``f`` is an 8x9 grid of solid ``cell x cell`` luma blocks,
+    block (r, c) = first md5 byte of ``"{base}-{f}-{r}-{c}"`` (the
+    :func:`synth_grid_bmp_media` texture, extended by a frame axis, so
+    per-frame dHash AND the exact luma/motion sums have closed-form
+    DuckDB twins).  Colorspace alternates C420jpeg / Cmono by id parity
+    — both real decode paths are exercised and produce identical luma.
+    With ``dup_mod`` set, ids >= dup_mod reuse the frames of ``doc_id %
+    dup_mod`` with the top bit of frame 0's cell (0, 0) flipped — a
+    planted near-duplicate that differs in at most 1 dHash bit of one
+    frame and is bit-identical elsewhere.  Ids divisible by 10 get an
+    undecodable payload (the fixture-family convention).
+
+    Fixture GENERATOR (not a hot path), like :func:`synth_bmp_media`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for did in pdf["doc_id"].astype(int):
+                if did % 10 == 0:
+                    payload = b"not a y4m payload"
+                else:
+                    base = did if dup_mod is None else did % dup_mod
+                    frames = np.empty((n_frames, 8, 9), dtype=np.uint8)
+                    for f in range(n_frames):
+                        for r in range(8):
+                            for c in range(9):
+                                key = f"{base}-{f}-{r}-{c}".encode()
+                                frames[f, r, c] = int(
+                                    hashlib.md5(key).hexdigest()[:2], 16)
+                    if dup_mod is not None and did >= dup_mod:
+                        frames[0, 0, 0] ^= 0x80
+                    big = np.repeat(np.repeat(frames, cell, axis=1),
+                                    cell, axis=2)
+                    cs = "C420jpeg" if did % 2 == 0 else "Cmono"
+                    payload = encode_y4m(big, fps=(30, 1), colorspace=cs)
+                out.append((f"y4m-{did:05d}", f"doc-{did}", "video",
+                            payload, None, None, None))
+            yield pd.DataFrame(out, columns=["media_ref", "doc_id", "kind",
+                                             "payload", "width", "height",
+                                             "duration_ms"])
+
+    return ids.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
