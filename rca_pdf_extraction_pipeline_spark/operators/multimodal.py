@@ -369,15 +369,50 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def frame_sample(media: DataFrame, every_ms: int = 1000,
                  fake: bool = True) -> DataFrame:
-    """Video frame sampling plan: one output row per sampled frame
-    (media_ref, frame_idx, ts_ms). The decode of each frame is the same
-    stub; the *plan* — explode by timestamp grid, batch by media_ref —
-    is the real Spark-side deliverable."""
-    if not fake:
-        raise NotImplementedError("see decode_media")
+    """Video frame sampling index: one output row per sampled frame
+    (media_ref, doc_id, frame_idx, ts_ms).
+
+    ``fake=True`` samples the declared ``duration_ms`` metadata on a
+    millisecond grid without touching payloads — a pure-relational
+    posexplode, usable when payloads live in object storage and only
+    the metadata table is at hand.  ``fake=False`` REALLY decodes Y4M
+    payloads and keeps the first frame of each ``every_ms`` bucket of
+    the actual fps timeline (frame ts = idx * 1000 * fps_den //
+    fps_num) — undecodable payloads yield no rows.  For sampled frames
+    WITH pixel data (re-encoded into the image pipeline) use
+    :func:`video_frames`; this returns the lightweight index only."""
     from pyspark.sql import functions as F
 
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1; got {every_ms}")
     vids = media.filter(F.col("kind") == "video")
+    if not fake:
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = []
+                for ref, did, payload in zip(pdf["media_ref"],
+                                             pdf["doc_id"],
+                                             pdf["payload"]):
+                    v = decode_y4m(bytes(payload)) \
+                        if payload is not None else None
+                    if v is None:
+                        continue
+                    last_bucket = -1
+                    for idx in range(len(v["frames"])):
+                        ts = idx * 1000 * v["fps_den"] // v["fps_num"]
+                        if ts // every_ms > last_bucket:
+                            last_bucket = ts // every_ms
+                            out.append((ref, did, idx, ts))
+                if out:
+                    yield pd.DataFrame(out, columns=[
+                        "media_ref", "doc_id", "frame_idx", "ts_ms"])
+
+        return vids.select("media_ref", "doc_id", "payload").mapInPandas(
+            run, schema="media_ref string, doc_id string, "
+                        "frame_idx int, ts_ms long")
+
     ts = F.sequence(
         F.lit(0),
         F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),

@@ -115,6 +115,25 @@ def test_video_frames_feed_image_pipeline(spark):
         M.video_frames(media, every_n=0)
 
 
+def test_frame_sample_real_decode_bucket_grid(spark):
+    """frame_sample(fake=False) decodes the real fps timeline and keeps
+    the first frame of each every_ms bucket: a 6-frame 30 fps clip has
+    ts 0,33,66,100,133,166 — every_ms=100 keeps idx 0 and 3 (buckets 0
+    and 1); every_ms=50 keeps idx 0,2,3,5; garbage yields no rows."""
+    ids = spark.createDataFrame([(1,), (10,)], "doc_id long")
+    media = M.synth_y4m_media(ids, n_frames=6)
+    got = {r["frame_idx"]: r["ts_ms"]
+           for r in M.frame_sample(media, every_ms=100,
+                                   fake=False).collect()}
+    assert got == {0: 0, 3: 100}
+    idxs = sorted(r["frame_idx"]
+                  for r in M.frame_sample(media, every_ms=50,
+                                          fake=False).collect())
+    assert idxs == [0, 2, 3, 5]
+    with pytest.raises(ValueError):
+        M.frame_sample(media, every_ms=0)
+
+
 def test_video_dup_pairs_planted_recall(spark):
     """Planted near-dups (frame 0 cell (0,0) bit-flipped, frames 1-5
     bit-identical) surface with all 6 frames matched; md5-textured
