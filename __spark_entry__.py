@@ -1463,6 +1463,21 @@ def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    budget_tokens=512)
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pretraining sequence packing: the whole corpus as one
+    id-ordered token stream cut into 128-token rows (documents split at
+    boundaries, unlike pack_bins).  seq_text replaces the raw array in
+    the oracle-compared projection (string_agg twin)."""
+    from pyspark.sql import functions as F
+    from rca_pdf_extraction_pipeline_spark.functions import text as T
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
+    return (chunking.pack_sequences(toks, seq_len=128)
+            .select("seq_id", "n_tokens", "n_docs", "complete",
+                    F.array_join("tokens", " ").alias("seq_text"))
+            .orderBy("seq_id"))
+
+
 def _q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.source_report(_t(spark, sf_dir, "documents"))
 
@@ -2255,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # (2) never driver-checked — new in r5 (window rule 2)
+        "pack_sequences": _q_pack_sequences,
         "ann_ivfsq_topk": _q_ann_ivfsq_topk,
         "media_resize": _q_media_resize,
         "audio_features": _q_audio_features,
@@ -5283,6 +5299,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                    len(list_filter(string_split(chunk_text, ' '),
                                    x -> x != ''))::INT AS n_chunk_tokens
             FROM c
+        """,
+        "pack_sequences": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS toks
+              FROM documents),
+            nz AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+            off AS (
+              SELECT doc_id, toks, n,
+                     (SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW))::BIGINT - n AS o
+              FROM nz),
+            tok AS (SELECT doc_id, o, unnest(range(0, n)) AS i,
+                           unnest(toks) AS tok FROM off)
+            SELECT ((o + i) // 128)::BIGINT AS seq_id,
+                   count(*)::INT AS n_tokens,
+                   count(DISTINCT doc_id)::INT AS n_docs,
+                   count(*) = 128 AS complete,
+                   string_agg(tok, ' ' ORDER BY o + i) AS seq_text
+            FROM tok GROUP BY 1 ORDER BY 1
         """,
         "pack_bins": """
             WITH d AS (

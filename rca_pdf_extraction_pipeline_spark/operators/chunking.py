@@ -108,11 +108,142 @@ def pack_documents(docs: DataFrame, budget_tokens: int = 512,
     # triangular self-join (num_ranges^2 comparisons on <=1k rows)
     earlier = totals.select(F.col("rng").alias("erng"),
                             F.col("rng_tokens").alias("etok"))
-    offsets = (totals.join(earlier, F.col("erng") < F.col("rng"), "left")
+    # `<=` + subtract-own keeps every branch's range exchange canonically
+    # identical so ReuseExchange collapses them into ONE executed shuffle
+    # — under the previous `<` left-join the left side pruned to
+    # DISTINCT rng and its exchange re-executed with independently
+    # sampled boundaries (divergent rng assignment = corrupted offsets;
+    # see pack_sequences and the _range_rank pin)
+    offsets = (totals.join(earlier, F.col("erng") <= F.col("rng"))
                .groupBy("rng")
-               .agg(F.coalesce(F.sum("etok"), F.lit(0)).alias("offset")))
+               .agg((F.sum("etok") - F.min("rng_tokens")).alias("offset")))
     joined = within.join(F.broadcast(offsets), "rng")
     return joined.select(
         F.col(id_col), F.col("n_tokens"),
         F.floor((F.col("offset") + F.col("cum_in_range") - F.col("n_tokens"))
                 / F.lit(budget_tokens)).cast("long").alias("bin_id"))
+
+
+def pack_sequences(toks: DataFrame, seq_len: int = 2048,
+                   tokens_col: str = "tokens", id_col: str = "doc_id",
+                   eod: str | None = None,
+                   num_ranges: int | None = None) -> DataFrame:
+    """GPT-style fixed-length sequence packing: concatenate every
+    document's token array in ascending id order into ONE logical token
+    stream (optionally terminating each document with an ``eod``
+    sentinel token) and cut the stream into rows of exactly ``seq_len``
+    tokens — documents SPLIT across sequence boundaries, unlike
+    :func:`pack_documents` which keeps documents whole.  Output:
+    ``(seq_id:long, tokens:array<string>, n_tokens:int, n_docs:int,
+    complete:boolean)`` — only the final sequence of the stream may be
+    incomplete (``n_tokens < seq_len``).
+
+    Scale shape (the only one that survives 10^12 documents):
+
+      * the global stream offset of each document is the exclusive
+        cumulative token sum in id order, computed with the SAME
+        range-partitioned decomposition as :func:`pack_documents` —
+        but over a SLIM ``(id, n)`` projection only.  Slim on purpose:
+        the decomposition's window branch and totals branch each plan
+        their own range exchange, and ReuseExchange collapses them
+        only when they are canonically IDENTICAL — carrying the token
+        arrays through would let column pruning strip them from the
+        totals branch, the exchanges would diverge, and the corpus
+        would range-shuffle three times with independently sampled
+        boundaries (the _range_rank divergent-assignment hazard, now
+        with fat rows).  The slim table keeps the exchanges equal (one
+        executed + ReusedExchange, pinned) and costs almost nothing to
+        shuffle;
+      * the offsets join back to the fat token table by id — ONE hash
+        exchange of the corpus (broadcast when tiny), fully
+        deterministic, no physical-layout invariant on fat data;
+      * a document starting at stream offset ``off`` with ``n`` tokens
+        touches sequences ``off//L .. (off+n-1)//L``; each (doc, seq)
+        contributes ONE row carrying an ``F.slice`` of the token array
+        — exploded rows are O(docs + total_tokens/L), never one row
+        per token;
+      * one hash exchange on ``seq_id`` reassembles each sequence,
+        slice order restored from the carried offset (collect_list
+        order after a shuffle is NOT the explode order).
+
+    The slice structs are built INSIDE one transform over the touched-
+    sequence range (the Generate-no-CSE lesson: the explode input is a
+    single array expression, so the token array is sliced once per
+    touched sequence, not once per referenced output column).
+
+    DuckDB twin (whitespace-token entry form): global ``SUM() OVER
+    (ORDER BY doc_id)`` offset, parallel ``unnest(range(0,n)) /
+    unnest(toks)`` token positions, ``GROUP BY (off+i)//L`` with
+    ``string_agg(tok, ' ' ORDER BY off+i)``.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1; got {seq_len}")
+    spark = toks.sparkSession
+    if num_ranges is None:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    arr = F.col(tokens_col)
+    if eod is not None:
+        arr = F.concat(arr, F.array(F.lit(eod)))
+    base = (toks.select(F.col(id_col), arr.alias("_toks"))
+            .withColumn("_n", F.size("_toks").cast("long"))
+            .filter(F.col("_n") > 0))
+    # slim (id, n) stream-offset decomposition — see docstring for why
+    # the token arrays must NOT ride through this exchange
+    slim = base.select(F.col(id_col), F.col("_n"))
+    ranged = slim.repartitionByRange(num_ranges, F.col(id_col)) \
+                 .withColumn("rng", F.spark_partition_id())
+    w = Window.partitionBy("rng").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    within = ranged.select(
+        F.col(id_col), F.col("_n"), F.col("rng"),
+        F.sum("_n").over(w).alias("_cum"))
+    totals = ranged.groupBy("rng").agg(F.sum("_n").alias("_rt"))
+    earlier = totals.select(F.col("rng").alias("_erng"),
+                            F.col("_rt").alias("_ert"))
+    # triangular self-join with `<=` + subtract-own rather than `<` +
+    # left-join: under `<` the left side needs only DISTINCT rng, so
+    # column pruning degenerates its exchange child to a zero-column
+    # Project — canonically different from the other branches' exchange,
+    # ReuseExchange stops firing, and the range shuffle executes once
+    # per branch with INDEPENDENTLY sampled boundaries (the divergent-
+    # assignment hazard _range_rank's pin guards against).  `<=` keeps
+    # _rt referenced on both sides, all exchanges canonically equal.
+    offsets = (totals.join(earlier, F.col("_erng") <= F.col("rng"))
+               .groupBy("rng")
+               .agg((F.sum("_ert") - F.min("_rt")).alias("_roff")))
+    L = F.lit(seq_len).cast("long")
+    off = (F.col("_roff") + F.col("_cum") - F.col("_n")).cast("long")
+    offs = (within.join(F.broadcast(offsets), "rng")
+            .select(F.col(id_col), off.alias("_off")))
+    docs_off = base.select(F.col(id_col), F.col("_toks"), F.col("_n")) \
+                   .join(offs, id_col)
+    # one struct per touched sequence, sliced inside the transform —
+    # the explode consumes a single array expression (no re-evaluation
+    # per downstream column reference)
+    first_seq = F.floor(F.col("_off") / L)
+    last_seq = F.floor((F.col("_off") + F.col("_n") - 1) / L)
+    parts = F.transform(
+        F.sequence(first_seq, last_seq),
+        lambda s: F.struct(
+            s.alias("seq_id"),
+            F.greatest(s * L, F.col("_off")).alias("part_off"),
+            F.slice(
+                F.col("_toks"),
+                (F.greatest(s * L, F.col("_off")) - F.col("_off") + 1)
+                .cast("int"),
+                (F.least((s + 1) * L, F.col("_off") + F.col("_n"))
+                 - F.greatest(s * L, F.col("_off"))).cast("int"),
+            ).alias("part")))
+    ex = docs_off.select(F.col(id_col), F.explode(parts).alias("_p")) \
+        .select(F.col(id_col), F.col("_p.seq_id").alias("seq_id"),
+                F.col("_p.part_off").alias("_poff"),
+                F.col("_p.part").alias("_part"))
+    out = (ex.groupBy("seq_id")
+           .agg(F.flatten(F.array_sort(
+                    F.collect_list(F.struct(F.col("_poff"), F.col("_part"))))
+                ["_part"]).alias("tokens"),
+                F.count(F.lit(1)).cast("int").alias("n_docs")))
+    return out.select(
+        F.col("seq_id"), F.col("tokens"),
+        F.size("tokens").alias("n_tokens"), F.col("n_docs"),
+        (F.size("tokens") == F.lit(seq_len)).alias("complete"))

@@ -443,6 +443,39 @@ def test_pack_documents_every_window_has_partition_spec(documents):
         # one starts directly with the sort order
         first_arg = spec.split(",", 1)[0]
         assert "ASC" not in first_arg and "DESC" not in first_arg, ln.strip()
+
+
+def test_pack_sequences_plan_shape(spark, documents):
+    """pack_sequences inherits pack_documents' scale constraints: every
+    window carries a partition spec (no corpus-wide cumsum task), no
+    Python eval anywhere, and — like _range_rank (ADVICE r4) — the
+    within-range window branch and the per-range totals/offsets
+    branches must observe ONE executed range exchange (boundaries are
+    sampled per execution; divergent assignments would corrupt the
+    stream offsets at range borders).  AQE finalizes reuse only at
+    execution, so the reuse pin inspects the post-collect plan."""
+    from rca_pdf_extraction_pipeline_spark.functions import text as T
+    from rca_pdf_extraction_pipeline_spark.operators import chunking
+
+    toks = documents.select(
+        "doc_id", T.tokens(F.col("text")).alias("tokens"))
+    df = chunking.pack_sequences(toks, seq_len=128)
+    plan = _plan(df)
+    assert "EvalPython" not in plan, plan[:2000]
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" not in ln:
+            continue
+        first_arg = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, ln.strip()
+    df.collect()
+    final = _plan(df).split("Initial Plan")[0]
+    executed = [ln for ln in final.splitlines()
+                if "Exchange rangepartitioning" in ln
+                and "ReusedExchange" not in ln]
+    reused = [ln for ln in final.splitlines()
+              if "ReusedExchange" in ln and "rangepartitioning" in ln]
+    assert len(executed) == 1, final
+    assert len(reused) >= 1, final
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, \
         plan[:2000]
 

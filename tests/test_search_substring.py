@@ -321,6 +321,65 @@ def test_pack_documents_budget_bins(spark):
     assert out2 == out
 
 
+def test_pack_sequences_stream_cut(spark):
+    """GPT-style packing: id-ordered token stream cut into seq_len rows,
+    documents SPLIT at boundaries (unlike pack_documents), only the
+    final sequence incomplete; eod sentinel terminates each document
+    inside the stream."""
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.functions import text as T
+    from rca_pdf_extraction_pipeline_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    d = _docs(spark, [("01", "a b c"), ("02", "d e"), ("03", "f g h i")])
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
+    rows = {r["seq_id"]: r for r in pack_sequences(toks, seq_len=4).collect()}
+    # stream: a b c d | e f g h | i  — doc 02 splits across seqs 0/1
+    assert [list(rows[i]["tokens"]) for i in range(3)] == [
+        ["a", "b", "c", "d"], ["e", "f", "g", "h"], ["i"]]
+    assert [rows[i]["n_docs"] for i in range(3)] == [2, 2, 1]
+    assert [rows[i]["complete"] for i in range(3)] == [True, True, False]
+    # eod: a b c <eod> | d e <eod> f | g h i <eod>
+    rows2 = {r["seq_id"]: list(r["tokens"]) for r in
+             pack_sequences(toks, seq_len=4, eod="<eod>").collect()}
+    assert rows2 == {0: ["a", "b", "c", "<eod>"],
+                     1: ["d", "e", "<eod>", "f"],
+                     2: ["g", "h", "i", "<eod>"]}
+    with pytest.raises(ValueError):
+        pack_sequences(toks, seq_len=0)
+
+
+def test_pack_sequences_stream_equality_and_invariance(spark):
+    """Flattening the packed sequences in seq_id order reproduces the
+    concatenation of every document's tokens in id order EXACTLY (no
+    token lost/duplicated/reordered at any range or sequence boundary);
+    empty documents contribute nothing; the cut is invariant to input
+    partitioning and to the range decomposition width."""
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.functions import text as T
+    from rca_pdf_extraction_pipeline_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = [(f"{i:03d}", " ".join(f"t{i}_{j}" for j in range(i % 7)))
+            for i in range(40)]  # lengths 0..6, several empty docs
+    d = _docs(spark, docs)
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
+    out = pack_sequences(toks, seq_len=5).orderBy("seq_id").collect()
+    got_stream = [t for r in out for t in r["tokens"]]
+    want_stream = [f"t{i}_{j}" for i in range(40) for j in range(i % 7)]
+    assert got_stream == want_stream
+    assert all(r["complete"] == (len(r["tokens"]) == 5) for r in out)
+    assert [r["seq_id"] for r in out] == list(range(len(out)))
+    out2 = pack_sequences(toks.repartition(7), seq_len=5,
+                          num_ranges=3).orderBy("seq_id").collect()
+    assert [list(r["tokens"]) for r in out2] == [list(r["tokens"])
+                                                 for r in out]
+
+
 def test_normalize_for_dedup_collapses_variants(spark):
     from pyspark.sql import functions as F
 
