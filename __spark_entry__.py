@@ -847,6 +847,29 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), prefix_len=32)
 
 
+def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global keep-first paragraph dedup (MassiveText/RefinedWeb
+    exact line dedup): each doc becomes three paragraphs — first-half
+    words, a shared NEWSLETTER line for doc_id%3==0, second-half words
+    — so the shared line survives only in the minimal such doc and
+    exact-dup documents keep only the first copy of their halves."""
+    from rca_pdf_extraction_pipeline_spark.functions import text as T
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", T.tokens(F.col("text")).alias("w"))
+    half = (F.size("w") / 2).cast("int")
+    wrapped = w.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.array_join(F.slice(F.col("w"), F.lit(1), half), " "),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("SUBSCRIBE TO OUR NEWSLETTER")),
+            F.array_join(F.slice(F.col("w"), half + 1,
+                                 F.size("w") - half), " "),
+        ).alias("text"))
+    return dedup.dedup_paragraphs(wrapped).orderBy("doc_id")
+
+
 def _q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-exact dedup: exact-duplicate groups over the normalized
     text (casefold + punctuation strip + whitespace collapse) — catches
@@ -2270,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # (2) never driver-checked — new in r5 (window rule 2)
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "pack_sequences": _q_pack_sequences,
         "ann_ivfsq_topk": _q_ann_ivfsq_topk,
         "media_resize": _q_media_resize,
@@ -3083,6 +3107,37 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT md5(substr(text, 1, 32)) AS content_hash,
                    count(*) AS dup_count, min(doc_id) AS canonical_id
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_paragraphs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS w
+              FROM documents),
+            wrapped AS (
+              SELECT doc_id,
+                     array_to_string(w[1:len(w)//2], ' ') || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10)
+                          ELSE '' END ||
+                     array_to_string(w[len(w)//2+1:len(w)], ' ') AS text
+              FROM t),
+            base AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                     FROM wrapped),
+            paras AS (
+              SELECT doc_id, unnest(ls) AS para,
+                     unnest(generate_series(1, len(ls))) AS pos
+              FROM base),
+            flagged AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY md5(para)
+                                        ORDER BY doc_id, pos) = 1 AS keep
+              FROM paras WHERE para != '')
+            SELECT doc_id,
+                   coalesce(string_agg(para, chr(10) ORDER BY pos)
+                            FILTER (WHERE keep), '') AS clean_text,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+            FROM flagged GROUP BY doc_id ORDER BY doc_id
         """,
         "dedup_minhash_pairs": f"""
             WITH {_SQL_SHINGLE_BASE},

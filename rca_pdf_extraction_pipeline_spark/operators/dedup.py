@@ -96,6 +96,54 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Corpus-global EXACT paragraph dedup, keep-first (the
+    MassiveText / RefinedWeb exact line-dedup stage, public
+    methodology): every distinct paragraph survives only at its FIRST
+    occurrence in (id, pos) order — later occurrences, whether in
+    other documents or later in the same one, are dropped — and each
+    document reassembles from its surviving paragraphs in original
+    order.  Differs from ``boilerplate.remove_frequent_lines`` (the
+    C4/CCNet heuristic): that drops a frequent line from EVERY
+    document; this keeps exactly one copy corpus-wide.
+
+    Returns (id, clean_text, n_kept, n_dropped), one row per document
+    that has at least one non-empty paragraph (``clean_text = ''``
+    when every paragraph was seen earlier).
+
+    Scale shape: winners = ``groupBy(md5(para)).min(struct(id, pos))``
+    — map-side partial agg, so a paragraph duplicated 10^9 times never
+    funnels its occurrences into one task (the row_number-over-hash
+    formulation would, which is why the SQL twin's window form stays
+    oracle-only); the winner table is one SLIM row per distinct
+    paragraph and joins back on the same hash exchange; one
+    groupBy(id) reassembles, order carried by the exploded pos, never
+    partition order.
+
+    DuckDB twin: ``row_number() OVER (PARTITION BY md5(para) ORDER BY
+    id, pos) = 1`` as the keep flag, ``string_agg(para ORDER BY pos)
+    FILTER (WHERE keep)`` to reassemble.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.col("para") != "").withColumn("h", F.md5("para"))
+    winners = paras.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("_w"))
+    flagged = paras.join(winners, "h").withColumn(
+        "_keep", (F.col(id_col) == F.col(f"_w.{id_col}"))
+        & (F.col("pos") == F.col("_w.pos")))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.when(F.col("_keep"),
+                                           F.struct("pos", "para")))),
+        lambda s: s["para"])
+    return flagged.groupBy(id_col).agg(
+        F.array_join(ordered, sep).alias("clean_text"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_hashes: int = DEFAULT_MINHASH_SEEDS,

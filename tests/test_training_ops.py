@@ -307,6 +307,33 @@ def test_deduplicate_corpus_keep_first(corpus):
     assert kept == [1, 4, 5]
 
 
+def test_dedup_paragraphs_keep_first_global(spark):
+    """Corpus-global exact paragraph dedup: a shared paragraph survives
+    only at its first (id, pos) occurrence — cross-doc AND within-doc —
+    and documents reassemble in original order."""
+    rows = [
+        (1, "alpha one\nSHARED AD\nalpha two"),
+        (2, "SHARED AD\nbeta one\nSHARED AD"),      # both copies seen before
+        (3, "gamma one\ngamma one\ngamma two"),     # within-doc repeat
+        (4, "SHARED AD"),                           # fully deduped away
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.dedup_paragraphs(df).collect()}
+    assert out[1]["clean_text"] == "alpha one\nSHARED AD\nalpha two"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (3, 0)
+    assert out[2]["clean_text"] == "beta one"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 2)
+    assert out[3]["clean_text"] == "gamma one\ngamma two"
+    assert out[4]["clean_text"] == ""
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (0, 1)
+
+    # partition-invariant: the winner is an aggregate of (id, pos),
+    # never partition order
+    again = {r["doc_id"]: r["clean_text"]
+             for r in dedup.dedup_paragraphs(df.repartition(7)).collect()}
+    assert again == {k: v["clean_text"] for k, v in out.items()}
+
+
 def test_p3_consolidation_operator(spark):
     """P3 (table_extractor.py:136-189): fuzzy-grouped tables merge into
     the largest group's canonical header order; odd tables drop."""
