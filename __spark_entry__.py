@@ -1450,6 +1450,14 @@ def _q_substr_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup.duplication_profile(_t(spark, sf_dir, "documents"))
 
 
+def _q_substr_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr removal step: every maximal cross-doc duplicated
+    8-gram range cut from every document, survivors reassembled in
+    token order (the rewrite substr_dup_ranges only reports)."""
+    return substring_dedup.trim_duplicated_ranges(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 #: bag-of-words query for the BM25 demo — mid-frequency corpus terms
 BM25_TERMS = ["table", "spark", "join", "query"]
 
@@ -2294,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (2) never driver-checked — new in r5 (window rule 2)
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "substr_trim": _q_substr_trim,
         "pack_sequences": _q_pack_sequences,
         "ann_ivfsq_topk": _q_ann_ivfsq_topk,
         "media_resize": _q_media_resize,
@@ -5143,6 +5152,50 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (MAX(pos) + 7 - MIN(pos) + 1)::INT AS n_dup_tokens
             FROM isl GROUP BY doc_id, grp
             ORDER BY doc_id, start_tok
+        """,
+        "substr_trim": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS tk
+              FROM documents),
+            grams AS (
+              SELECT doc_id, (i - 1)::INT AS pos,
+                     substr(md5(list_aggregate(tk[i:i+7], 'string_agg', ' ')),
+                            1, 16) AS gh
+              FROM d, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+              WHERE len(tk) >= 8),
+            dup AS (
+              SELECT gh FROM grams
+              GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+            pos AS (
+              SELECT doc_id, pos FROM grams
+              WHERE gh IN (SELECT gh FROM dup)),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM pos),
+            rng AS (
+              SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 7 AS end_tok
+              FROM isl GROUP BY doc_id, grp),
+            toks AS (
+              SELECT doc_id, unnest(tk) AS tok,
+                     unnest(generate_series(1, len(tk))) AS i
+              FROM d),
+            cov AS (
+              SELECT DISTINCT t.doc_id, t.i
+              FROM toks t JOIN rng r
+                ON t.doc_id = r.doc_id
+               AND t.i - 1 BETWEEN r.start_tok AND r.end_tok)
+            SELECT t.doc_id,
+                   coalesce(string_agg(t.tok, ' ' ORDER BY t.i)
+                            FILTER (WHERE c.i IS NULL), '') AS clean_text,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN c.i IS NULL THEN 0 ELSE 1 END)::BIGINT
+                     AS n_removed
+            FROM toks t LEFT JOIN cov c
+              ON t.doc_id = c.doc_id AND t.i = c.i
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         "decontaminate_report": """
             WITH d AS (

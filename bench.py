@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "ann_sq8_topk",
     "audio_dup_pairs",
     "video_dup_pairs",
+    # r5 closer: corpus-global keep-first paragraph dedup (winner agg +
+    # slim join-back + ordered reassembly — 2 hash exchanges of the
+    # paragraph table)
+    "dedup_paragraphs",
 ]
 
 

@@ -123,6 +123,47 @@ def duplicated_ranges(docs: DataFrame, text_col: str = "text",
     return ranges.orderBy(id_col, "start_tok")
 
 
+def trim_duplicated_ranges(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = DEFAULT_K,
+                           min_tokens: int | None = None,
+                           max_docs_per_gram: int | None = None) -> DataFrame:
+    """The removal step over :func:`duplicated_ranges` (Lee et al.'s
+    ExactSubstr dedup applies exactly this cut): rewrite every document
+    with its maximal duplicated token ranges REMOVED and the surviving
+    tokens reassembled in order.  Conservative: ALL occurrences are
+    cut; keep-one-copy semantics at coarser granularity live in
+    ``dedup.dedup_paragraphs`` (paragraph keep-first) and the curation
+    exact dedup (whole documents).
+
+    Returns (id, clean_text, n_tokens, n_removed) for every document
+    with at least one token (``clean_text = ''`` when everything was
+    inside a duplicated range).
+
+    Scale shape: the ranges aggregate to a handful of SLIM rows per
+    affected doc, so the rewrite is one left join of the tokenized
+    corpus to a per-doc ``collect_list`` of ranges followed by a
+    narrow index-aware filter — no token explosion and no second gram
+    pass; the gram stage inside :func:`duplicated_ranges` stays the
+    only corpus-wide shuffle.
+    """
+    ranges = duplicated_ranges(docs, text_col, id_col, k, min_tokens,
+                               max_docs_per_gram)
+    per_doc = ranges.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_rs"))
+    toks = docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("_tk"))
+    joined = toks.join(per_doc, id_col, "left")
+    rs = F.coalesce(
+        F.col("_rs"),
+        F.array().cast("array<struct<start_tok:int,end_tok:int>>"))
+    kept = F.filter(F.col("_tk"), lambda x, i: ~F.exists(
+        rs, lambda r: (r["start_tok"] <= i) & (i <= r["end_tok"])))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"))
+
+
 def contamination_report(docs: DataFrame, benchmarks: DataFrame,
                          k: int = DEFAULT_K, text_col: str = "text",
                          id_col: str = "doc_id",

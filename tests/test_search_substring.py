@@ -45,6 +45,34 @@ def test_duplicated_ranges_min_tokens_filter(dup_corpus):
     assert got == []
 
 
+def test_trim_duplicated_ranges_rewrites(dup_corpus):
+    """The removal step: the shared run is cut from BOTH docs, survivors
+    keep original order, untouched docs pass through verbatim."""
+    got = {r["doc_id"]: r
+           for r in substring_dedup.trim_duplicated_ranges(
+               dup_corpus, k=8).collect()}
+    assert got["a"]["clean_text"] == "alpha beta gamma delta"
+    assert (got["a"]["n_tokens"], got["a"]["n_removed"]) == (14, 10)
+    assert got["b"]["clean_text"] == "epsilon zeta eta theta iota"
+    assert (got["b"]["n_tokens"], got["b"]["n_removed"]) == (15, 10)
+    assert got["c"]["clean_text"] == \
+        "unrelated words only here nothing repeats at all in this doc"
+    assert got["c"]["n_removed"] == 0
+
+    # a doc that IS a duplicated range trims to empty
+    both = _docs(dup_corpus.sparkSession, [("x", SHARED), ("y", SHARED)])
+    trimmed = {r["doc_id"]: r for r in
+               substring_dedup.trim_duplicated_ranges(both, k=8).collect()}
+    assert trimmed["x"]["clean_text"] == trimmed["y"]["clean_text"] == ""
+    assert trimmed["x"]["n_removed"] == 10
+
+    # partition invariance: ranges are aggregates of (id, pos)
+    again = {r["doc_id"]: r["clean_text"]
+             for r in substring_dedup.trim_duplicated_ranges(
+                 dup_corpus.repartition(5), k=8).collect()}
+    assert again == {k: v["clean_text"] for k, v in got.items()}
+
+
 def test_within_doc_repeat_is_not_cross_doc_dup(spark):
     d = _docs(spark, [
         ("solo", f"{SHARED} filler {SHARED}"),  # repeats only inside one doc
