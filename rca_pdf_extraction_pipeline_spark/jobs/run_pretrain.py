@@ -20,6 +20,10 @@ Every stage is a DURABLE parquet barrier under ``<output>/``:
     clean/      curated minus any doc sharing a token 8-gram with the
                 benchmark corpus (GPT-3-style decontamination; only
                 written when --benchmarks is given)
+    para_dedup/ --paragraph-dedup: corpus-global keep-first exact
+                paragraph dedup, empty rewrites dropped
+    trimmed/    --trim-substr: cross-doc duplicated 8-gram ranges cut
+                from every doc (ExactSubstr removal)
     sequences/  the clean corpus as ONE id-ordered token stream cut into
                 seq_len rows (docs split at boundaries, EOD sentinel)
     data/       sequences + (shard, pos) from the epoch permutation,
@@ -88,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-dup5", type=float, default=0.35)
     ap.add_argument("--no-near-dedup", action="store_true")
     ap.add_argument("--no-mask", action="store_true")
+    ap.add_argument("--paragraph-dedup", action="store_true",
+                    help="corpus-global keep-first exact paragraph dedup "
+                         "(dedup.dedup_paragraphs) after decontamination")
+    ap.add_argument("--trim-substr", action="store_true",
+                    help="cut cross-doc duplicated 8-gram ranges "
+                         "(substring_dedup.trim_duplicated_ranges) before "
+                         "packing")
     ap.add_argument("--resume", action="store_true",
                     help="skip stages whose _SUCCESS marker exists")
     ap.add_argument("--allowed-roots", nargs="*", default=None)
@@ -100,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from ..functions import text as T
     from ..operators import chunking, sampling, substring_dedup
+    from ..operators import dedup as dedup_ops
     from ..operators.curation import CurationConfig, curate
     from ..session import get_spark
 
@@ -132,6 +144,26 @@ def main(argv: list[str] | None = None) -> int:
         # no benchmark corpus: the clean stage IS the curated artifact
         # (no second copy of the corpus on disk)
         clean, n_clean = curated, n_curated
+
+    # optional rewrite stages: keep-first paragraph dedup, then the
+    # ExactSubstr range cut — each drops documents left empty by the
+    # rewrite and stages its artifact like every other step
+    if args.paragraph_dedup:
+        clean = _stage(
+            spark, out / "para_dedup",
+            lambda: dedup_ops.dedup_paragraphs(clean)
+            .filter(F.col("clean_text") != "")
+            .select("doc_id", F.col("clean_text").alias("text")),
+            args.resume)
+    n_para = clean.count() if args.paragraph_dedup else n_clean
+    if args.trim_substr:
+        clean = _stage(
+            spark, out / "trimmed",
+            lambda: substring_dedup.trim_duplicated_ranges(clean)
+            .filter(F.col("clean_text") != "")
+            .select("doc_id", F.col("clean_text").alias("text")),
+            args.resume)
+    n_trim = clean.count() if args.trim_substr else n_para
 
     seqs = _stage(
         spark, out / "sequences",
@@ -175,6 +207,8 @@ def main(argv: list[str] | None = None) -> int:
         "curated_docs": int(n_curated),
         "decontaminated_docs": int(n_clean),
         "contaminated_dropped": int(n_curated - n_clean),
+        "paragraph_dedup_docs": int(n_para) if args.paragraph_dedup else None,
+        "trimmed_docs": int(n_trim) if args.trim_substr else None,
         "n_sequences": int(pack_stats["n_sequences"] or 0),
         "total_tokens": int(pack_stats["total_tokens"] or 0),
         "n_complete": int(pack_stats["n_complete"] or 0),
@@ -190,6 +224,8 @@ def main(argv: list[str] | None = None) -> int:
             "near_dedup": cfg.near_dedup,
             "mask_pii": cfg.mask_pii,
             "benchmarks": bool(args.benchmarks),
+            "paragraph_dedup": args.paragraph_dedup,
+            "trim_substr": args.trim_substr,
         },
     }
     (out / "stats.json").write_text(json.dumps(stats, indent=2) + "\n")

@@ -117,6 +117,53 @@ def test_run_pretrain_resume_skips_staged_work(spark, tmp_path):
     assert stats3["curated_docs"] <= 1
 
 
+def test_run_pretrain_rewrite_stages(spark, tmp_path):
+    """--paragraph-dedup and --trim-substr: the shared paragraph
+    survives once, the shared 8-gram run is cut everywhere, and the
+    packed stream is built from the rewritten texts."""
+    from rca_pdf_extraction_pipeline_spark.jobs import run_pretrain
+
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .orderBy("doc_id").limit(12).select("doc_id", "text"))
+    # every doc gets the same extra paragraph; two docs share an
+    # 8-gram run inside otherwise-unique text
+    run = "one two three four five six seven eight nine ten"
+    docs = base.selectExpr(
+        "doc_id",
+        f"CASE WHEN doc_id % 3 = 2 THEN text || ' {run}' ELSE text END"
+        " || chr(10) || 'JOIN OUR MAILING LIST TODAY' AS text")
+    docs.write.parquet(str(tmp_path / "corpus"))
+
+    argv = ["--input", str(tmp_path / "corpus"),
+            "--output", str(tmp_path / "run"),
+            "--seq-len", "16", "--n-shards", "2", "--no-mask",
+            "--no-near-dedup", "--paragraph-dedup", "--trim-substr"]
+    assert run_pretrain.main(argv) == 0
+    stats = json.loads((tmp_path / "run" / "stats.json").read_text())
+    assert stats["config"]["paragraph_dedup"] is True
+    assert stats["paragraph_dedup_docs"] == stats["decontaminated_docs"]
+
+    para = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(str(tmp_path / "run" / "para_dedup"))
+            .collect()}
+    # the shared paragraph survives only in the min doc
+    n_mail = sum("JOIN OUR MAILING LIST TODAY" in t for t in para.values())
+    assert n_mail == 1 and "JOIN OUR MAILING LIST TODAY" in para[min(para)]
+
+    trimmed = {r["doc_id"]: r["text"] for r in
+               spark.read.parquet(str(tmp_path / "run" / "trimmed"))
+               .collect()}
+    assert all(run not in t for t in trimmed.values())  # cut EVERYWHERE
+    assert stats["trimmed_docs"] <= stats["paragraph_dedup_docs"]
+
+    # token conservation against the FINAL rewrite stage (tokens split
+    # on single space, as functions.text.tokens does — a '\\n' joint is
+    # ONE token)
+    total = sum(len([w for w in t.split(" ") if w]) + 1
+                for t in trimmed.values())
+    assert stats["total_tokens"] == total
+
+
 def test_run_pretrain_output_path_guard(tmp_path):
     from rca_pdf_extraction_pipeline_spark.jobs import run_pretrain
 
