@@ -44,6 +44,7 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     dedup,
     embedding,
     extraction,
+    interleaved,
     metadata,
     multimodal,
     profiling,
@@ -1509,6 +1510,41 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("seq_id"))
 
 
+def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared input for the interleaved family: the deterministic
+    text+media lift of the documents corpus (input_hint spans shape,
+    computational DuckDB twin — no golden artifact in the loop)."""
+    return interleaved.synth_interleaved(_t(spark, sf_dir, "documents"))
+
+
+def _q_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded interleaved spans table: every (kind, text, media_ref,
+    offset) row of the synthetic lift — pins the derivation rule
+    itself (position arithmetic, chunk slicing, media naming) against
+    the pure-SQL replay."""
+    return _interleaved(spark, sf_dir).select(
+        "doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"))
+
+
+def _q_interleaved_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label captioning over the interleaved corpus: each media
+    span paired with its nearest preceding text span (zero-shuffle
+    aggregate fold; the oracle replays it as last_value IGNORE NULLS
+    over the exploded spans)."""
+    return interleaved.caption_pairs(_interleaved(spark, sf_dir))
+
+
+def _q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing: 64-token budget, media spans cost
+    16 vision tokens, spans never split, sequences never cross
+    documents — one exchange total (window + reused agg clustering)."""
+    return interleaved.pack_interleaved(
+        _interleaved(spark, sf_dir), budget_tokens=64, media_cost=16)
+
+
 def _q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.source_report(_t(spark, sf_dir, "documents"))
 
@@ -2300,7 +2336,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 2 whose semantics were touched this round).
     """
     return {
-        # (2) never driver-checked — new in r5 (window rule 2)
+        # (2) never driver-checked — new in r5 (window rule 2); the
+        # interleaved family is the newest code, so it leads (the three
+        # BPE keys it displaces past slot 50 are pytest-pinned and
+        # check_entry-green — allowed overflow per test_driver_window)
+        "interleaved_spans": _q_interleaved_spans,
+        "interleaved_captions": _q_interleaved_captions,
+        "pack_interleaved": _q_pack_interleaved,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "substr_trim": _q_substr_trim,
         "pack_sequences": _q_pack_sequences,
@@ -2806,6 +2848,39 @@ def _oracle_sql_literal() -> dict[str, str]:
                      FROM documents),"""
         + _prf_iter(1) + "," + _prf_iter(2)
     )
+
+    # interleaved text+media lift of documents (operators/interleaved.py
+    # synth_interleaved twin): block size 4 = 3 text spans then 1 image;
+    # position p is media iff (p+1) % 4 == 0; text chunk = 8 tokens
+    inter_spans_ctes = """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS toks
+              FROM documents),
+            sized AS (
+              SELECT doc_id, toks,
+                     CAST(ceil(len(toks) / 8.0) AS BIGINT) AS nc
+              FROM tk WHERE len(toks) > 0),
+            pos AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, nc + nc // 3)) AS p
+              FROM sized),
+            spans AS (
+              SELECT doc_id,
+                     p::INT AS "offset",
+                     CASE WHEN (p + 1) % 4 = 0 THEN 'image'
+                          ELSE 'text' END AS kind,
+                     CASE WHEN (p + 1) % 4 = 0 THEN NULL
+                          ELSE array_to_string(
+                                 toks[(((p - (p + 1) // 4) * 8 + 1))::INT
+                                      : (((p - (p + 1) // 4) * 8 + 8))::INT],
+                                 ' ')
+                     END AS text,
+                     CASE WHEN (p + 1) % 4 = 0
+                          THEN 'img_' || doc_id::VARCHAR || '_'
+                               || ((p + 1) // 4)::VARCHAR
+                          ELSE NULL END AS media_ref
+              FROM pos)"""
 
     return {
         # ---- extraction: golden-artifact oracles --------------------------
@@ -5407,6 +5482,45 @@ def _oracle_sql_literal() -> dict[str, str]:
                    len(list_filter(string_split(chunk_text, ' '),
                                    x -> x != ''))::INT AS n_chunk_tokens
             FROM c
+        """,
+        "interleaved_spans": inter_spans_ctes + """
+            SELECT doc_id, "offset", kind, text, media_ref FROM spans
+        """,
+        "interleaved_captions": inter_spans_ctes + """
+            SELECT doc_id, media_ref, "offset" AS media_offset,
+                   last_value(CASE WHEN kind = 'text' THEN text END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY doc_id ORDER BY "offset"
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS caption,
+                   last_value(CASE WHEN kind = 'text' THEN "offset" END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY doc_id ORDER BY "offset"
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS caption_offset
+            FROM spans QUALIFY kind = 'image'
+        """,
+        "pack_interleaved": inter_spans_ctes + """,
+            costed AS (
+              SELECT doc_id, "offset",
+                     kind = 'text' AS is_text,
+                     (CASE WHEN kind = 'text'
+                           THEN len(list_filter(string_split(text, ' '),
+                                                t -> t != ''))
+                           ELSE 16 END)::BIGINT AS cost
+              FROM spans),
+            binned AS (
+              SELECT doc_id, is_text, cost,
+                     ((SUM(cost) OVER (PARTITION BY doc_id ORDER BY "offset"
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - cost) // 64)::BIGINT AS seq_id
+              FROM costed)
+            SELECT doc_id, seq_id,
+                   count(*)::INT AS n_spans,
+                   SUM(is_text::INT)::INT AS n_text,
+                   SUM((NOT is_text)::INT)::INT AS n_media,
+                   SUM(cost)::BIGINT AS seq_tokens
+            FROM binned GROUP BY 1, 2
         """,
         "pack_sequences": """
             WITH tk AS (
