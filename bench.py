@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     # slim join-back + ordered reassembly — 2 hash exchanges of the
     # paragraph table)
     "dedup_paragraphs",
+    # r5 final: multimodal sequence packing over the interleaved lift
+    # (narrow span synthesis + ONE doc_id exchange shared by the cumsum
+    # window and the per-(doc, seq) aggregate)
+    "pack_interleaved",
 ]
 
 
