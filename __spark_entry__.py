@@ -1522,8 +1522,11 @@ def _q_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset) row of the synthetic lift — pins the derivation rule
     itself (position arithmetic, chunk slicing, media naming) against
     the pure-SQL replay."""
+    # explode_outer + generated-column filter: plain explode's pushed
+    # pre-Generate filter re-evaluates the synthesis transform 2x/row
     return _interleaved(spark, sf_dir).select(
-        "doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.explode_outer("spans").alias("s")) \
+        .filter(F.col("s").isNotNull()).select(
         "doc_id", F.col("s.offset").alias("offset"),
         F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"))

@@ -191,7 +191,13 @@ def caption_pairs(inter: DataFrame, id_col: str = "doc_id") -> DataFrame:
     folded = inter.select(
         F.col(id_col),
         F.aggregate(ordered, init, step)["pairs"].alias("_pairs"))
-    ex = folded.select(F.col(id_col), F.explode("_pairs").alias("_p"))
+    # explode_outer + post-filter on the GENERATED column, not explode:
+    # plain explode plans a pre-Generate Filter (size > 0 AND isnotnull)
+    # on the array, and filter pushdown substitutes the alias — the
+    # whole fold would re-evaluate twice more per row (the Generate-
+    # no-CSE lesson; same fix in pack_interleaved / entry queries)
+    ex = (folded.select(F.col(id_col), F.explode_outer("_pairs").alias("_p"))
+          .filter(F.col("_p").isNotNull()))
     return ex.select(
         F.col(id_col), F.col("_p.media_ref").alias("media_ref"),
         F.col("_p.media_offset").alias("media_offset"),
@@ -236,7 +242,8 @@ def pack_interleaved(inter: DataFrame, budget_tokens: int = 64,
         raise ValueError(f"budget_tokens must be >= 1; got {budget_tokens}")
     if media_cost < 1:
         raise ValueError(f"media_cost must be >= 1; got {media_cost}")
-    ex = inter.select(F.col(id_col), F.explode("spans").alias("s"))
+    ex = (inter.select(F.col(id_col), F.explode_outer("spans").alias("s"))
+          .filter(F.col("s").isNotNull()))
     is_text = F.col("s.kind") == F.lit("text")
     cost = F.when(is_text, F.size(T.tokens(F.col("s.text")))) \
             .otherwise(F.lit(media_cost)).cast("long")
