@@ -1548,6 +1548,16 @@ def _q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         _interleaved(spark, sf_dir), budget_tokens=64, media_cost=16)
 
 
+def _q_lm_score_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-form perplexity filter: unigram LM fit on the even-id
+    half of the corpus (the stored reference snapshot), ALL documents
+    scored against it — OOV tokens counted and floored at
+    ln(1/(total+1)) without widening the token join."""
+    docs = _t(spark, sf_dir, "documents")
+    freqs = textanalysis.unigram_freqs(docs.filter(F.col("doc_id") % 2 == 0))
+    return textanalysis.unigram_logprob_stored(docs, freqs)
+
+
 def _q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.source_report(_t(spark, sf_dir, "documents"))
 
@@ -2346,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_spans": _q_interleaved_spans,
         "interleaved_captions": _q_interleaved_captions,
         "pack_interleaved": _q_pack_interleaved,
+        "lm_score_stored": _q_lm_score_stored,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "substr_trim": _q_substr_trim,
         "pack_sequences": _q_pack_sequences,
@@ -5124,6 +5135,35 @@ def _oracle_sql_literal() -> dict[str, str]:
                          / greatest(COALESCE(p.n_tokens, 0), 1), 6)
                      AS mean_logprob
             FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
+        "lm_score_stored": """
+            WITH tk AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                x -> x != '')) AS tok
+              FROM documents),
+            ref AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM tk
+                    WHERE doc_id % 2 = 0 GROUP BY tok),
+            tot AS (SELECT COALESCE(SUM(cnt), 0)::BIGINT AS total FROM ref),
+            scaled AS (
+              SELECT tok,
+                     round(ln(cnt / total) * 1000000.0)::BIGINT AS lp
+              FROM ref, tot),
+            per_doc AS (
+              SELECT tk.doc_id, COUNT(*)::BIGINT AS n_tokens,
+                     SUM(COALESCE(lp, 0))::BIGINT AS lp_known,
+                     SUM(CASE WHEN lp IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS oov_tokens
+              FROM tk LEFT JOIN scaled USING (tok) GROUP BY tk.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   COALESCE(p.oov_tokens, 0)::BIGINT AS oov_tokens,
+                   floor((COALESCE(p.lp_known, 0)
+                          + COALESCE(p.oov_tokens, 0)
+                            * round(ln(1.0 / (total + 1))
+                                    * 1000000.0)::BIGINT)
+                         / greatest(COALESCE(p.n_tokens, 0), 1))::BIGINT
+                     AS mean_logprob_micro
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id, tot
         """,
         "text_token_bpe": """
             WITH t AS (

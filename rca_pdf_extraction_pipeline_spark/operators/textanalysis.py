@@ -207,6 +207,74 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
                     .alias("mean_logprob")))
 
 
+def unigram_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(tok, cnt)`` — the stored unigram-LM artifact: corpus token
+    frequencies, fit ONCE on a reference snapshot and persisted (the
+    same train-once/serve-forever shape as the drift counts, dedup
+    band-key index, and IVF/PQ codebooks).  One partial-agg shuffle;
+    output is vocabulary-sized.
+    """
+    toks = docs.select(F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def unigram_logprob_stored(docs: DataFrame, freqs: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Score documents under a STORED unigram LM — the serving form of
+    perplexity filtering: :func:`unigram_logprob` refits the corpus's
+    own distribution per run, this scores ANY corpus against a
+    reference ``freqs`` artifact without touching the reference corpus
+    again (CCNet fits on Wikipedia, scores Common Crawl).
+
+    Returns ``(id, n_tokens, oov_tokens, mean_logprob_micro)``.  Known
+    tokens score ``round(ln(cnt / total) * 1e6)`` as exact integers
+    (the :func:`unigram_logprob` determinism contract); out-of-
+    vocabulary tokens score the floor ``round(ln(1 / (total + 1)) *
+    1e6)`` — one fixed penalty, applied per-document as ``oov_tokens *
+    floor`` so the OOV branch never widens the token join.  The mean
+    stays an exact INTEGER in micro-log units (``floor(sum / n)``, the
+    curation dashboard's micro-unit-mean convention): a float mean
+    rounded to 6 decimals sits on engine-rounding boundaries (measured:
+    one sf0.01 document differed in the last decimal between Spark's
+    BigDecimal HALF_UP and DuckDB's round), while floor of a
+    sub-2^53 quotient is bit-exact everywhere.
+
+    Scale: one explode + one token join (frequency side is vocabulary-
+    sized — broadcasts under the threshold), one groupBy(id) roll-up;
+    the 1-row total crosses at the DOC level, not per token.
+    """
+    toks = docs.select(F.col(id_col),
+                       F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    total = freqs.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("total"))
+    scaled = (freqs.crossJoin(F.broadcast(total))
+              .select("tok",
+                      F.round(F.log(F.col("cnt") / F.col("total"))
+                              * F.lit(1_000_000.0), 0).cast("long")
+                      .alias("lp")))
+    per_doc = (toks.join(scaled, "tok", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.coalesce(F.col("lp"), F.lit(0))).alias("_lp_known"),
+                    F.sum(F.isnull("lp").cast("int")).cast("long")
+                     .alias("oov_tokens")))
+    lp_oov = F.round(F.log(F.lit(1.0) / (F.col("total") + 1))
+                     * F.lit(1_000_000.0), 0).cast("long")
+    base = docs.select(F.col(id_col))
+    return (base.join(per_doc, id_col, "left")
+            .crossJoin(F.broadcast(total))
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+                    F.coalesce(F.col("oov_tokens"), F.lit(0))
+                     .alias("oov_tokens"),
+                    F.floor((F.coalesce(F.col("_lp_known"), F.lit(0))
+                             + F.coalesce(F.col("oov_tokens"), F.lit(0))
+                             * lp_oov)
+                            / F.greatest(F.coalesce(F.col("n_tokens"),
+                                                    F.lit(0)), F.lit(1)))
+                    .cast("long").alias("mean_logprob_micro")))
+
+
 def bigram_logprob(docs: DataFrame, lam: float = 0.5,
                    text_col: str = "text",
                    id_col: str = "doc_id",

@@ -1733,3 +1733,51 @@ def test_ivfsq_guards(clustered_vecs):
     with pytest.raises(ValueError, match="nprobe"):
         similarity.ivfsq_topk(clustered_vecs, query_id=0, nprobe=9,
                               n_centroids=2)
+
+
+# ---- stored-LM scoring (serving-form perplexity filter) --------------------
+
+
+def test_stored_lm_matches_self_fit_on_same_corpus(spark):
+    # scoring a corpus against ITS OWN stored freqs == the in-corpus
+    # scorer (zero OOV by construction)
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a b c"), (2, "")], "doc_id long, text string")
+    freqs = textanalysis.unigram_freqs(docs)
+    stored = {r["doc_id"]: r for r in
+              textanalysis.unigram_logprob_stored(docs, freqs).collect()}
+    live = {r["doc_id"]: r for r in
+            textanalysis.unigram_logprob(docs).collect()}
+    for i in (0, 1, 2):
+        # live reports a rounded float mean, stored an exact micro int
+        assert abs(stored[i]["mean_logprob_micro"] / 1e6
+                   - live[i]["mean_logprob"]) <= 1e-6
+        assert stored[i]["n_tokens"] == live[i]["n_tokens"]
+        assert stored[i]["oov_tokens"] == 0
+
+
+def test_stored_lm_oov_floor_and_counts(spark):
+    import math
+    ref = spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    freqs = textanalysis.unigram_freqs(ref)   # total=4: a:3, b:1
+    target = spark.createDataFrame(
+        [(10, "a zzz"), (11, "zzz zzz")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           textanalysis.unigram_logprob_stored(target, freqs).collect()}
+    lp_a = round(math.log(3 / 4) * 1e6)
+    lp_oov = round(math.log(1 / 5) * 1e6)
+    assert got[10]["oov_tokens"] == 1
+    assert got[10]["mean_logprob_micro"] == math.floor((lp_a + lp_oov) / 2)
+    assert got[11]["oov_tokens"] == 2
+    assert got[11]["mean_logprob_micro"] == math.floor(2 * lp_oov / 2)
+    # typical doc scores higher than all-OOV doc
+    assert got[10]["mean_logprob_micro"] > got[11]["mean_logprob_micro"]
+
+
+def test_stored_lm_empty_reference_floors_everything(spark):
+    ref = spark.createDataFrame([], "doc_id long, text string")
+    freqs = textanalysis.unigram_freqs(ref)
+    target = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    row = textanalysis.unigram_logprob_stored(target, freqs).collect()[0]
+    # total=0 -> floor ln(1/1)=0: degenerate but defined, never NULL
+    assert row["oov_tokens"] == 2 and row["mean_logprob_micro"] == 0
