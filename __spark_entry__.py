@@ -48,6 +48,7 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     metadata,
     multimodal,
     profiling,
+    readingorder,
     sampling,
     search,
     sessions,
@@ -1548,6 +1549,43 @@ def _q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         _interleaved(spark, sf_dir), budget_tokens=64, media_cost=16)
 
 
+def _q_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale extraction regression diff — the north-rule
+    span-sequence-equality invariant as a distributed operator: two
+    deterministic variants of the interleaved lift (the 'new run'
+    drops ~5% of docs, gains ~4%, and appends two tokens to ~9% of
+    texts) compared per document.  ONE full-outer doc_id join; the
+    positional compare is fully narrow (array_sort + indexed F.get)."""
+    docs = _t(spark, sf_dir, "documents")
+    hv = H.hash32(F.concat(F.lit("sd:"), F.col("doc_id").cast("string")))
+    left = docs.filter(hv % 23 != 3)
+    right = (docs.filter(hv % 19 != 5)
+             .withColumn("text",
+                         F.when(hv % 11 == 1,
+                                F.concat(F.col("text"), F.lit(" zz qq")))
+                          .otherwise(F.col("text"))))
+    return interleaved.span_diff(interleaved.synth_interleaved(left),
+                                 interleaved.synth_interleaved(right))
+
+
+def _q_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column reading-order recovery audit: word boxes laid out
+    in 1-2 newspaper columns per doc (deterministic synth), recovered
+    by the x-projection column-cut sweep; one row per doc,
+    n_in_order == n_boxes ⇔ the original token order was fully
+    recovered.  One doc_id exchange (two windows + the report agg all
+    reuse its partitioning)."""
+    boxes = readingorder.synth_boxes(_t(spark, sf_dir, "documents"))
+    return readingorder.reading_order_report(boxes)
+
+
+def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component size histogram (singletons included) — the
+    FineWeb/Dolma dedup-tuning diagnostic, over the same CC label
+    loop as dedup_corpus_cc."""
+    return dedup.cc_cluster_sizes(_t(spark, sf_dir, "documents"))
+
+
 def _q_lm_score_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-form perplexity filter: unigram LM fit on the even-id
     half of the corpus (the stored reference snapshot), ALL documents
@@ -2353,6 +2391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interleaved family is the newest code, so it leads (the three
         # BPE keys it displaces past slot 50 are pytest-pinned and
         # check_entry-green — allowed overflow per test_driver_window)
+        "span_diff": _q_span_diff,
+        "layout_reading_order": _q_layout_reading_order,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "interleaved_spans": _q_interleaved_spans,
         "interleaved_captions": _q_interleaved_captions,
         "pack_interleaved": _q_pack_interleaved,
@@ -2895,6 +2936,38 @@ def _oracle_sql_literal() -> dict[str, str]:
                                || ((p + 1) // 4)::VARCHAR
                           ELSE NULL END AS media_ref
               FROM pos)"""
+
+    # same synth_interleaved twin, parameterized over the (doc_id,
+    # text) source relation — span_diff runs it over TWO corpus
+    # variants inside one oracle
+    def _spans_over(src: str, p: str) -> str:
+        return f"""
+            {p}tk AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS toks
+              FROM {src}),
+            {p}sz AS (
+              SELECT doc_id, toks,
+                     CAST(ceil(len(toks) / 8.0) AS BIGINT) AS nc
+              FROM {p}tk WHERE len(toks) > 0),
+            {p}pos AS (
+              SELECT doc_id, toks, unnest(range(0, nc + nc // 3)) AS p
+              FROM {p}sz),
+            {p}sp AS (
+              SELECT doc_id, p::INT AS "offset",
+                     CASE WHEN (p + 1) % 4 = 0 THEN 'image'
+                          ELSE 'text' END AS kind,
+                     CASE WHEN (p + 1) % 4 = 0 THEN NULL
+                          ELSE array_to_string(
+                                 toks[(((p - (p + 1) // 4) * 8 + 1))::INT
+                                      : (((p - (p + 1) // 4) * 8 + 8))::INT],
+                                 ' ')
+                     END AS text,
+                     CASE WHEN (p + 1) % 4 = 0
+                          THEN 'img_' || doc_id::VARCHAR || '_'
+                               || ((p + 1) // 4)::VARCHAR
+                          ELSE NULL END AS media_ref
+              FROM {p}pos)"""
 
     return {
         # ---- extraction: golden-artifact oracles --------------------------
@@ -3697,6 +3770,54 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
             LEFT JOIN minlab m ON m.doc_id = d.doc_id
             WHERE m.doc_id IS NULL OR m.label = d.doc_id
+        """,
+        # same CC chain, but reporting the component-size histogram
+        # (singletons = docs with no minlab row, size 1)
+        "dedup_cluster_sizes": f"""
+            WITH RECURSIVE {_SQL_SHINGLE_BASE},
+            sigbase AS (
+              SELECT doc_id,
+                     list_transform(shset, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
+              FROM sh),
+            sig AS (SELECT doc_id, {minhash_sigs} FROM sigbase),
+            keys AS (
+              SELECT doc_id, 0 AS band,
+                     sig_0::VARCHAR || '-' || sig_1::VARCHAR || '-'
+                       || sig_2::VARCHAR || '-' || sig_3::VARCHAR AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     sig_4::VARCHAR || '-' || sig_5::VARCHAR || '-'
+                       || sig_6::VARCHAR || '-' || sig_7::VARCHAR AS band_key FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM keys a JOIN keys b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+              WHERE round(len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                    / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE, 6)
+                    >= 0.8),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                      UNION
+                      SELECT id_b, id_a FROM verified),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            minlab AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS label
+              FROM reach GROUP BY src),
+            lab AS (SELECT d.doc_id, COALESCE(m.label, d.doc_id) AS label
+                    FROM documents d LEFT JOIN minlab m ON m.doc_id = d.doc_id),
+            cs AS (SELECT label, COUNT(*)::INT AS cluster_size
+                   FROM lab GROUP BY label)
+            SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters,
+                   SUM(cluster_size)::BIGINT AS n_docs
+            FROM cs GROUP BY cluster_size
         """,
         "dedup_corpus_cc_best": f"""
             WITH RECURSIVE {_SQL_SHINGLE_BASE},
@@ -5528,6 +5649,104 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "interleaved_spans": inter_spans_ctes + """
             SELECT doc_id, "offset", kind, text, media_ref FROM spans
+        """,
+        # two corpus variants (drop ~5% left / ~5% right, append two
+        # tokens to ~9% of right), spans per side, then a positional
+        # full join — offsets ARE positions, so min(offset) over
+        # mismatches is span_diff's first differing index
+        "span_diff": f"""
+            WITH hsrc AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5('sd:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       AS hv
+              FROM documents),
+            lt AS (SELECT doc_id, text FROM hsrc WHERE hv % 23 != 3),
+            rt AS (SELECT doc_id,
+                          CASE WHEN hv % 11 = 1 THEN text || ' zz qq'
+                               ELSE text END AS text
+                   FROM hsrc WHERE hv % 19 != 5),
+            {_spans_over('lt', 'l')},
+            {_spans_over('rt', 'r')},
+            pres AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+                            l.doc_id IS NOT NULL AS in_l,
+                            r.doc_id IS NOT NULL AS in_r
+                     FROM lt l FULL JOIN rt r ON l.doc_id = r.doc_id),
+            lc AS (SELECT doc_id, COUNT(*)::INT AS n FROM lsp GROUP BY doc_id),
+            rc AS (SELECT doc_id, COUNT(*)::INT AS n FROM rsp GROUP BY doc_id),
+            dj AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                          COALESCE(a."offset", b."offset") AS off,
+                          (a."offset" IS NOT NULL AND b."offset" IS NOT NULL
+                           AND a.kind IS NOT DISTINCT FROM b.kind
+                           AND a.text IS NOT DISTINCT FROM b.text
+                           AND a.media_ref IS NOT DISTINCT FROM b.media_ref)
+                            AS eq
+                   FROM lsp a FULL JOIN rsp b
+                     ON a.doc_id = b.doc_id AND a."offset" = b."offset"),
+            dp AS (SELECT doc_id, MIN(off)::INT AS fd
+                   FROM dj WHERE NOT eq GROUP BY doc_id)
+            SELECT p.doc_id,
+                   CASE WHEN NOT p.in_l THEN 'right_only'
+                        WHEN NOT p.in_r THEN 'left_only'
+                        WHEN dp.fd IS NULL THEN 'equal'
+                        ELSE 'diverged' END AS verdict,
+                   CASE WHEN p.in_l AND p.in_r THEN dp.fd
+                        END AS first_diff_offset,
+                   CASE WHEN p.in_l THEN COALESCE(lc.n, 0) END AS n_left,
+                   CASE WHEN p.in_r THEN COALESCE(rc.n, 0) END AS n_right
+            FROM pres p
+            LEFT JOIN lc ON lc.doc_id = p.doc_id
+            LEFT JOIN rc ON rc.doc_id = p.doc_id
+            LEFT JOIN dp ON dp.doc_id = p.doc_id
+        """,
+        # synth_boxes twin (two newspaper columns when the doc hash is
+        # even), then the same two-window column-cut sweep + rank and
+        # the per-doc recovery report
+        "layout_reading_order": """
+            WITH tk AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('col:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 2 = 0 AS two,
+                     list_filter(string_split(text, ' '), t -> t != '') AS toks
+              FROM documents),
+            nz AS (SELECT doc_id, two, len(toks)::BIGINT AS n
+                   FROM tk WHERE len(toks) > 0),
+            tr AS (SELECT doc_id, two, n, unnest(range(0, n)) AS i FROM nz),
+            geo AS (
+              SELECT doc_id, i AS box_id, i // 4 AS line,
+                     CASE WHEN two
+                          THEN CAST(ceil(CAST(ceil(n / 4.0) AS BIGINT) / 2.0)
+                                    AS BIGINT)
+                          ELSE CAST(ceil(n / 4.0) AS BIGINT) END AS lpc
+              FROM tr),
+            boxes AS (
+              SELECT doc_id, box_id::INT AS box_id,
+                     ((line // lpc) * 500 + (box_id % 4) * 100)::INT AS x0,
+                     ((line // lpc) * 500 + (box_id % 4) * 100 + 80)::INT AS x1,
+                     ((line % lpc) * 50)::INT AS y0
+              FROM geo),
+            swept AS (
+              SELECT *, max(x1) OVER (PARTITION BY doc_id
+                          ORDER BY x0, y0, box_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+              FROM boxes),
+            cols AS (
+              SELECT *, (SUM(CASE WHEN pm IS NULL OR x0 >= pm + 50
+                                  THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY x0, y0, box_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))::INT AS col_id
+              FROM swept),
+            ranked AS (
+              SELECT doc_id, box_id, col_id,
+                     (ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY col_id, y0, x0, box_id))::INT AS read_rank
+              FROM cols)
+            SELECT doc_id, COUNT(*)::INT AS n_boxes,
+                   MAX(col_id)::INT AS n_cols,
+                   SUM(CASE WHEN read_rank = box_id + 1
+                            THEN 1 ELSE 0 END)::INT AS n_in_order
+            FROM ranked GROUP BY doc_id
         """,
         "interleaved_captions": inter_spans_ctes + """
             SELECT doc_id, media_ref, "offset" AS media_offset,

@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     # (narrow span synthesis + ONE doc_id exchange shared by the cumsum
     # window and the per-(doc, seq) aggregate)
     "pack_interleaved",
+    # r5 resume: extraction regression diff (two synthesized interleaved
+    # runs, one full-outer doc_id join, narrow positional compare) and
+    # multi-column reading-order recovery (one doc_id exchange: two
+    # windows + report agg)
+    "span_diff",
+    "layout_reading_order",
 ]
 
 

@@ -465,6 +465,34 @@ def _cc_labels(docs: DataFrame, text_col: str, id_col: str,
         id_col="node", max_iter=max_iter, checkpoint_dir=checkpoint_dir)
 
 
+def cc_cluster_sizes(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     jaccard_threshold: float = 0.8,
+                     n_hashes: int = DEFAULT_MINHASH_SEEDS,
+                     bands: int = DEFAULT_BANDS,
+                     shingle_size: int = 3,
+                     max_iter: int = 50,
+                     checkpoint_dir: str | None = None) -> DataFrame:
+    """``(cluster_size, n_clusters, n_docs)`` — the duplicate-cluster
+    size histogram of the near-dup connected components (singletons
+    included as size 1).
+
+    The standard corpus-curation diagnostic: a heavy tail here means
+    boilerplate/mirror families the threshold is merging (FineWeb and
+    Dolma both report exactly this table when tuning dedup).  Cost on
+    top of the CC label loop is two tiny aggregates — sizes per label
+    (shuffle on the label key, map-side combined), then the histogram
+    over the (≤ distinct-size) size table."""
+    labels = _cc_labels(docs, text_col, id_col, jaccard_threshold,
+                        n_hashes, bands, shingle_size, max_iter,
+                        checkpoint_dir)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                 F.sum("cluster_size").cast("long").alias("n_docs")))
+
+
 def deduplicate_corpus_cc_best(docs: DataFrame, score_col: str,
                                text_col: str = "text",
                                id_col: str = "doc_id",

@@ -205,6 +205,82 @@ def caption_pairs(inter: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("_p.caption_offset").alias("caption_offset"))
 
 
+def span_diff(left: DataFrame, right: DataFrame,
+              id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, verdict, first_diff_offset, n_left, n_right)`` —
+    corpus-scale extraction regression diff between two interleaved
+    span tables (e.g. the outputs of two pipeline versions over the
+    same corpus).  This is the repo's own north-rule invariant —
+    span-sequence equality on (kind, text, media_ref, order) — turned
+    into a distributed operator, so a pipeline upgrade can be
+    validated over the WHOLE corpus, not just the golden fixtures.
+
+    Verdicts: ``equal`` (identical ordered span sequences),
+    ``diverged`` (both sides have the doc, sequences differ —
+    ``first_diff_offset`` is the 0-based position of the first
+    differing span; a position present on only one side counts as a
+    difference there), ``left_only`` / ``right_only`` (doc missing
+    from the other run; counts for the missing side are NULL).
+
+    Shape: ONE full-outer equi-join on ``doc_id`` (the only
+    exchange).  The positional comparison is fully narrow — spans are
+    normalized into reading order inside the array (offset-first
+    restructure + ``array_sort``, partition-layout-free), then one
+    ``filter`` over an index ``sequence`` compares positions with
+    :func:`F.get` (out-of-range → NULL, never an ANSI error, which is
+    exactly the "one side longer" difference case).  At 100 TB the
+    cost is the doc_id shuffle of the two span tables; skew follows
+    document length and is bounded by the same
+    ``skew.salted_repartition`` defusal the extraction path uses.
+
+    DuckDB twin: full-join the two EXPLODED span relations on
+    ``(doc_id, offset)`` — offsets are positions, so positional and
+    offset comparison coincide — with ``IS NOT DISTINCT FROM`` field
+    equality; ``min(offset) FILTER (WHERE NOT eq)`` is the first
+    divergence (see the ``span_diff`` oracle in
+    ``__spark_entry__.py``).
+    """
+    def norm(df: DataFrame, out: str) -> DataFrame:
+        ordered = F.array_sort(F.transform(
+            F.col("spans"),
+            lambda s: F.struct(s["offset"].alias("offset"),
+                               s["kind"].alias("kind"),
+                               s["text"].alias("text"),
+                               s["media_ref"].alias("media_ref"))))
+        return df.select(F.col(id_col), ordered.alias(out))
+
+    j = norm(left, "_l").join(norm(right, "_r"), on=id_col, how="full")
+    nl, nr = F.size("_l"), F.size("_r")
+    hi = F.greatest(nl, nr)
+
+    def differs(i: F.Column) -> F.Column:
+        a, b = F.get("_l", i), F.get("_r", i)
+        same = (a["kind"].eqNullSafe(b["kind"])
+                & a["text"].eqNullSafe(b["text"])
+                & a["media_ref"].eqNullSafe(b["media_ref"])
+                & a["offset"].eqNullSafe(b["offset"]))
+        return ~F.when(a.isNotNull() & b.isNotNull(), same) \
+                 .otherwise(F.lit(False))
+
+    # hi == 0 (two empty docs) must NOT build sequence(0, -1): sequence
+    # with start > stop produces a DESCENDING range, not an empty array
+    diffs = F.when(hi > 0,
+                   F.filter(F.sequence(F.lit(0), hi - 1), differs)) \
+             .otherwise(F.array().cast("array<int>"))
+    first = F.get(diffs, 0)
+    verdict = (F.when(F.col("_l").isNull(), F.lit("right_only"))
+                .when(F.col("_r").isNull(), F.lit("left_only"))
+                .when(first.isNull(), F.lit("equal"))
+                .otherwise(F.lit("diverged")))
+    return j.select(
+        F.col(id_col),
+        verdict.alias("verdict"),
+        F.when(F.col("_l").isNotNull() & F.col("_r").isNotNull(), first)
+         .cast("int").alias("first_diff_offset"),
+        nl.cast("int").alias("n_left"),
+        nr.cast("int").alias("n_right"))
+
+
 def pack_interleaved(inter: DataFrame, budget_tokens: int = 64,
                      media_cost: int = 16,
                      id_col: str = "doc_id") -> DataFrame:

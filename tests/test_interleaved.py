@@ -151,3 +151,56 @@ def test_pack_guards(spark):
         I.pack_interleaved(inter, budget_tokens=0)
     with pytest.raises(ValueError):
         I.pack_interleaved(inter, media_cost=0)
+
+
+# ---- span_diff -------------------------------------------------------------
+
+
+def test_span_diff_verdicts_hand_check(spark):
+    left = spark.createDataFrame([
+        (1, [("text", "a", None, 0), ("image", None, "m1", 1)]),
+        (2, [("text", "x", None, 0)]),
+        (3, [("text", "q", None, 0)]),
+        (5, []),
+    ], SPAN_SCHEMA)
+    right = spark.createDataFrame([
+        # doc 1: identical sequence, array deliberately scrambled —
+        # comparison must normalize to offset order, not array order
+        (1, [("image", None, "m1", 1), ("text", "a", None, 0)]),
+        (2, [("text", "x", None, 0), ("text", "y", None, 1)]),
+        (4, [("text", "new", None, 0)]),
+        (5, []),
+    ], SPAN_SCHEMA)
+    out = {r.doc_id: r for r in I.span_diff(left, right).collect()}
+    assert out[1].verdict == "equal" and out[1].first_diff_offset is None
+    assert (out[1].n_left, out[1].n_right) == (2, 2)
+    # doc 2: equal prefix, right longer -> first diff at the extra slot
+    assert out[2].verdict == "diverged" and out[2].first_diff_offset == 1
+    assert out[3].verdict == "left_only" and out[3].n_right is None
+    assert out[3].n_left == 1
+    assert out[4].verdict == "right_only" and out[4].n_left is None
+    # doc 5: two empty sequences are equal (and sequence(0,-1) must
+    # not fire — Spark's sequence() is descending for start > stop)
+    assert out[5].verdict == "equal" and (out[5].n_left, out[5].n_right) == (0, 0)
+
+
+def test_span_diff_field_sensitivity(spark):
+    base = [("text", "a", None, 0), ("image", None, "m1", 1)]
+    left = spark.createDataFrame([(i, base) for i in (1, 2, 3)], SPAN_SCHEMA)
+    right = spark.createDataFrame([
+        (1, [("text", "b", None, 0), ("image", None, "m1", 1)]),   # text
+        (2, [("text", "a", None, 0), ("image", None, "m2", 1)]),   # media_ref
+        (3, [("image", "a", None, 0), ("image", None, "m1", 1)]),  # kind
+    ], SPAN_SCHEMA)
+    out = {r.doc_id: r for r in I.span_diff(left, right).collect()}
+    assert (out[1].verdict, out[1].first_diff_offset) == ("diverged", 0)
+    assert (out[2].verdict, out[2].first_diff_offset) == ("diverged", 1)
+    assert (out[3].verdict, out[3].first_diff_offset) == ("diverged", 0)
+
+
+def test_span_diff_plan_one_join_no_python_no_explode(spark):
+    inter = I.synth_interleaved(_docs(spark, [(1, "a b c")]))
+    plan = _plan(I.span_diff(inter, inter))
+    assert "EvalPython" not in plan
+    assert "Generate" not in plan  # positional compare is narrow, no explode
+    assert plan.count("Join") == 1, plan[:2000]

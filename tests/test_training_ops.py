@@ -184,6 +184,20 @@ def test_cc_dedup_chain_propagates_min_label(spark):
     assert cc == [1]
 
 
+def test_cc_cluster_sizes_histogram(spark):
+    # star corpus = one component {1,2,3}; two unrelated docs stay
+    # singletons -> histogram rows (3, 1 cluster, 3 docs) and
+    # (1, 2 clusters, 2 docs); n_docs must conserve the corpus
+    c = _star_corpus(spark).union(spark.createDataFrame(
+        [(10, "completely different words over here today"),
+         (11, "another unrelated document body entirely separate")],
+        "doc_id long, text string"))
+    hist = {r.cluster_size: (r.n_clusters, r.n_docs)
+            for r in dedup.cc_cluster_sizes(c).collect()}
+    assert hist == {3: (1, 3), 1: (2, 2)}
+    assert sum(d for _, d in hist.values()) == c.count()
+
+
 def test_cc_dedup_storage_backed_checkpoint(spark, tmp_path):
     """checkpoint_dir routes every lineage cut through real parquet files
     (cluster-safe: survives executor loss, unlike localCheckpoint blocks)
