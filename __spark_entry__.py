@@ -1549,6 +1549,64 @@ def _q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         _interleaved(spark, sf_dir), budget_tokens=64, media_cost=16)
 
 
+def _q_interleaved_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-segmentation: runs of adjacent text spans merged into one
+    paragraph span (DOM text-node coalescing at span granularity),
+    offsets renumbered from the merge rule.  Fully narrow — one O(n)
+    fold per doc, zero shuffle; exploded for the oracle compare."""
+    merged = interleaved.merge_adjacent_text(_interleaved(spark, sf_dir))
+    ex = (merged.select(F.col("doc_id"), F.explode_outer("spans").alias("s"))
+          .filter(F.col("s").isNotNull()))
+    return ex.select(
+        F.col("doc_id"), F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"))
+
+
+def _q_media_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style context pair building: every media span with the
+    concat of its <=2 nearest preceding and following text spans in
+    reading order.  Narrow per-doc array slicing — no self-join, no
+    window; the only row amplification is the final pairs explode."""
+    return interleaved.media_context(_interleaved(spark, sf_dir), k=2)
+
+
+def _q_asset_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide media-asset reuse census over a 64-asset shared
+    pool (hash-folded refs model CDN asset reuse across pages): per
+    asset, embedding-document count, occurrences, offset extremes.
+    One explode of the small media array + one hash aggregate."""
+    return interleaved.asset_census(_interleaved(spark, sf_dir), pool=64)
+
+
+def _q_asset_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-page dedup by media-asset SET signature (md5 of the
+    sorted distinct 8-asset-pool refs): the asset-level analogue of
+    exact text dedup.  Narrow signature, one 16-byte-key shuffle,
+    keep-first by min(doc_id)."""
+    return interleaved.asset_dedup_groups(_interleaved(spark, sf_dir),
+                                          pool=8)
+
+
+def _q_interleaved_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation flags over a deterministically perturbed
+    interleaved corpus (hash bucket 0: text spans dropped -> media_only
+    or empty; bucket 1: all but the first text span dropped ->
+    media_heavy for docs with >=2 media spans): span-shape statistics
+    plus caption coverage, all narrow array aggregates — a pure map."""
+    inter = _interleaved(spark, sf_dir).filter(F.size("spans") > 0)
+    b = H.hash32(F.concat(F.lit("iq:"), F.col("doc_id").cast("string"))) % 7
+    spans = F.col("spans")
+    not_text = lambda s: s["kind"] != F.lit("text")  # noqa: E731
+    mod = inter.select(
+        F.col("doc_id"),
+        F.when(b == 0, F.filter(spans, not_text))
+         .when(b == 1, F.filter(
+             spans, lambda s: not_text(s) | (s["offset"] == 0)))
+         .otherwise(spans).alias("spans"))
+    return interleaved.interleaved_quality(mod)
+
+
 def _q_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale extraction regression diff — the north-rule
     span-sequence-equality invariant as a distributed operator: two
@@ -2391,6 +2449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interleaved family is the newest code, so it leads (the three
         # BPE keys it displaces past slot 50 are pytest-pinned and
         # check_entry-green — allowed overflow per test_driver_window)
+        "interleaved_merged": _q_interleaved_merged,
+        "media_context": _q_media_context,
+        "asset_census": _q_asset_census,
+        "asset_dedup_groups": _q_asset_dedup_groups,
+        "interleaved_quality": _q_interleaved_quality,
         "span_diff": _q_span_diff,
         "layout_reading_order": _q_layout_reading_order,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
@@ -5649,6 +5712,146 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "interleaved_spans": inter_spans_ctes + """
             SELECT doc_id, "offset", kind, text, media_ref FROM spans
+        """,
+        # merge_adjacent_text twin: run-group text spans by the count of
+        # preceding media spans, string_agg per run (offset order), union
+        # media rows back, renumber by first offset per doc
+        "interleaved_merged": inter_spans_ctes + """,
+            runs AS (
+              SELECT doc_id, "offset", kind, text, media_ref,
+                     SUM(CASE WHEN kind != 'text' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY "offset"
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS grp
+              FROM spans),
+            mg AS (
+              SELECT doc_id, 'text' AS kind,
+                     string_agg(text, ' ' ORDER BY "offset") AS text,
+                     NULL::VARCHAR AS media_ref,
+                     MIN("offset") AS fo
+              FROM runs WHERE kind = 'text' GROUP BY doc_id, grp
+              UNION ALL
+              SELECT doc_id, kind, text, media_ref, "offset" AS fo
+              FROM runs WHERE kind != 'text')
+            SELECT doc_id,
+                   (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fo)
+                    - 1)::INT AS "offset",
+                   kind, text, media_ref
+            FROM mg
+        """,
+        # media_context twin: join media to text spans per doc, rank each
+        # side by distance, keep rank <= 2, string_agg in offset order
+        "media_context": inter_spans_ctes + """,
+            t AS (SELECT doc_id, "offset", text FROM spans
+                  WHERE kind = 'text'),
+            md AS (SELECT doc_id, media_ref, "offset" AS mo FROM spans
+                   WHERE kind != 'text'),
+            bj AS (SELECT md.doc_id, md.mo, t."offset" AS o, t.text,
+                          ROW_NUMBER() OVER (PARTITION BY md.doc_id, md.mo
+                                             ORDER BY t."offset" DESC) AS rn
+                   FROM md JOIN t ON t.doc_id = md.doc_id
+                                 AND t."offset" < md.mo),
+            bb AS (SELECT doc_id, mo,
+                          string_agg(text, ' ' ORDER BY o) AS before_text,
+                          COUNT(*)::INT AS n_before
+                   FROM bj WHERE rn <= 2 GROUP BY doc_id, mo),
+            aj AS (SELECT md.doc_id, md.mo, t."offset" AS o, t.text,
+                          ROW_NUMBER() OVER (PARTITION BY md.doc_id, md.mo
+                                             ORDER BY t."offset" ASC) AS rn
+                   FROM md JOIN t ON t.doc_id = md.doc_id
+                                 AND t."offset" > md.mo),
+            aa AS (SELECT doc_id, mo,
+                          string_agg(text, ' ' ORDER BY o) AS after_text,
+                          COUNT(*)::INT AS n_after
+                   FROM aj WHERE rn <= 2 GROUP BY doc_id, mo)
+            SELECT md.doc_id, md.media_ref, md.mo AS media_offset,
+                   bb.before_text, aa.after_text,
+                   COALESCE(bb.n_before, 0)::INT AS n_before,
+                   COALESCE(aa.n_after, 0)::INT AS n_after
+            FROM md
+            LEFT JOIN bb ON bb.doc_id = md.doc_id AND bb.mo = md.mo
+            LEFT JOIN aa ON aa.doc_id = md.doc_id AND aa.mo = md.mo
+        """,
+        # asset_census twin: hash-fold refs into the 64-asset pool
+        "asset_census": inter_spans_ctes + """,
+            am AS (SELECT doc_id, "offset",
+                          'asset_' || (('0x' || substr(md5(media_ref), 1, 8))
+                                       ::BIGINT % 64)::VARCHAR AS asset
+                   FROM spans WHERE kind != 'text')
+            SELECT asset,
+                   COUNT(DISTINCT doc_id)::INT AS n_docs,
+                   COUNT(*)::INT AS n_occurrences,
+                   MIN("offset")::INT AS min_offset,
+                   MAX("offset")::INT AS max_offset
+            FROM am GROUP BY asset
+        """,
+        # asset_dedup_groups twin: md5 over the sorted distinct 8-pool
+        # asset set per doc (docs with no media excluded)
+        "asset_dedup_groups": inter_spans_ctes + """,
+            da AS (SELECT doc_id,
+                          md5(array_to_string(list_sort(list_distinct(
+                            list('asset_' || (('0x' || substr(md5(media_ref),
+                                 1, 8))::BIGINT % 8)::VARCHAR))), ','))
+                            AS asset_sig
+                   FROM spans WHERE kind != 'text' GROUP BY doc_id)
+            SELECT asset_sig, COUNT(*)::INT AS n_docs,
+                   MIN(doc_id) AS keep_doc_id
+            FROM da GROUP BY asset_sig
+        """,
+        # interleaved_quality twin: same hash-bucket perturbation (b=0
+        # drops all text spans, b=1 keeps only the offset-0 text span),
+        # stats per doc over the kept spans, doc universe = sized (docs
+        # whose lift produced spans), so fully-emptied docs read 'empty'
+        "interleaved_quality": inter_spans_ctes + """,
+            bs AS (SELECT doc_id,
+                          ('0x' || substr(md5('iq:' || doc_id::VARCHAR),
+                                          1, 8))::BIGINT % 7 AS b
+                   FROM sized),
+            kept AS (SELECT s.doc_id, s."offset", s.kind, s.text
+                     FROM spans s JOIN bs ON bs.doc_id = s.doc_id
+                     WHERE CASE WHEN bs.b = 0 THEN s.kind != 'text'
+                                WHEN bs.b = 1 THEN s.kind != 'text'
+                                                  OR s."offset" = 0
+                                ELSE TRUE END),
+            mt AS (SELECT doc_id,
+                          MIN(CASE WHEN kind = 'text' THEN "offset" END)
+                            AS mto
+                   FROM kept GROUP BY doc_id),
+            st AS (SELECT k.doc_id,
+                          COUNT(*)::INT AS n_spans,
+                          SUM(CASE WHEN k.kind = 'text' THEN 1 ELSE 0
+                              END)::INT AS n_text,
+                          SUM(CASE WHEN k.kind != 'text' THEN 1 ELSE 0
+                              END)::INT AS n_media,
+                          SUM(CASE WHEN k.kind = 'text'
+                              THEN len(list_filter(string_split(k.text, ' '),
+                                                   t -> t != ''))
+                              ELSE 0 END)::BIGINT AS text_tokens,
+                          SUM(CASE WHEN k.kind != 'text'
+                                    AND k."offset" > mt.mto
+                              THEN 1 ELSE 0 END)::INT AS covered
+                   FROM kept k JOIN mt ON mt.doc_id = k.doc_id
+                   GROUP BY k.doc_id)
+            SELECT z.doc_id,
+                   COALESCE(st.n_spans, 0)::INT AS n_spans,
+                   COALESCE(st.n_text, 0)::INT AS n_text,
+                   COALESCE(st.n_media, 0)::INT AS n_media,
+                   COALESCE(st.text_tokens, 0)::BIGINT AS text_tokens,
+                   CASE WHEN COALESCE(st.n_spans, 0) > 0
+                        THEN ROUND(st.n_media / CAST(st.n_spans AS DOUBLE), 6)
+                        END AS media_ratio,
+                   CASE WHEN COALESCE(st.n_media, 0) > 0
+                        THEN ROUND(st.covered / CAST(st.n_media AS DOUBLE), 6)
+                        END AS caption_coverage,
+                   CASE WHEN COALESCE(st.n_spans, 0) = 0 THEN 'empty'
+                        WHEN COALESCE(st.n_text, 0) = 0 AND st.n_media > 0
+                          THEN 'media_only'
+                        WHEN ROUND(st.n_media / CAST(st.n_spans AS DOUBLE), 6)
+                             > 0.5
+                          THEN 'media_heavy'
+                        ELSE 'keep' END AS verdict
+            FROM sized z
+            LEFT JOIN st ON st.doc_id = z.doc_id
         """,
         # two corpus variants (drop ~5% left / ~5% right, append two
         # tokens to ~9% of right), spans per side, then a positional

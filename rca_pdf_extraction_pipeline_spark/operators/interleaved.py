@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..functions import text as T
 
 #: span struct field order — matches the input_hint / fixtures schema
@@ -338,3 +339,282 @@ def pack_interleaved(inter: DataFrame, budget_tokens: int = 64,
                  F.sum((~F.col("is_text")).cast("int")).cast("int")
                   .alias("n_media"),
                  F.sum("cost").cast("long").alias("seq_tokens")))
+
+
+def _ordered_spans(spans: F.Column) -> F.Column:
+    """Offset-first restructure + ``array_sort`` — reading order is an
+    invariant of the data, never of partition layout (same normalization
+    as :func:`caption_pairs` / :func:`span_diff`)."""
+    return F.array_sort(F.transform(
+        spans,
+        lambda s: F.struct(s["offset"].alias("offset"),
+                           s["kind"].alias("kind"),
+                           s["text"].alias("text"),
+                           s["media_ref"].alias("media_ref"))))
+
+
+def merge_adjacent_text(inter: DataFrame, sep: str = " ",
+                        id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, spans)`` — re-segmentation: every run of consecutive
+    text spans is merged into one paragraph span (texts joined by
+    ``sep``), media spans are preserved in place, and ``offset`` is
+    renumbered 0..m-1 over the merged sequence.  This is the interleaved
+    analogue of DOM text-node coalescing in the reference's HTML path
+    (adjacent extracted text nodes collapse into one block before
+    boilerplate scoring) — at corpus scale it normalizes span
+    granularity so two pipeline versions that split paragraphs
+    differently still compare equal under :func:`span_diff`.
+
+    Fully narrow: spans are normalized into reading order inside the
+    array, then ONE O(n) ``aggregate`` fold per document carries
+    ``(pending_text, out)`` state — a text span extends ``pending``, a
+    media span flushes it; the finish lambda flushes the tail and
+    renumbers offsets with an indexed ``transform``.  Zero shuffle,
+    zero explode; offsets derive from the merge rule, never from
+    partition order.
+
+    DuckDB twin (over the exploded spans): run-group text spans by the
+    count of preceding media spans, ``string_agg(text ORDER BY
+    offset)`` per run, union media rows back, renumber with
+    ``ROW_NUMBER() OVER (ORDER BY first_offset)`` (see the
+    ``interleaved_merged`` oracle in ``__spark_entry__.py``).
+    """
+    out_t = ("array<struct<kind:string,text:string,media_ref:string>>")
+    acc_t = f"struct<pend:string,out:{out_t}>"
+    ordered = _ordered_spans(F.col("spans"))
+
+    def flush(acc: F.Column) -> F.Column:
+        para = F.struct(F.lit("text").alias("kind"),
+                        acc["pend"].alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"))
+        return F.when(acc["pend"].isNull(), acc["out"]) \
+                .otherwise(F.concat(acc["out"], F.array(para)))
+
+    def step(acc: F.Column, s: F.Column) -> F.Column:
+        is_text = s["kind"] == F.lit("text")
+        media = F.struct(s["kind"].alias("kind"),
+                         s["text"].alias("text"),
+                         s["media_ref"].alias("media_ref"))
+        return F.struct(
+            F.when(~is_text, F.lit(None).cast("string"))
+             .when(acc["pend"].isNull(), s["text"])
+             .otherwise(F.concat(acc["pend"], F.lit(sep), s["text"]))
+             .alias("pend"),
+            F.when(is_text, acc["out"])
+             .otherwise(F.concat(flush(acc), F.array(media)))
+             .alias("out"))
+
+    init = F.struct(F.lit(None).cast("string").alias("pend"),
+                    F.array().cast(out_t).alias("out")).cast(acc_t)
+    merged = F.aggregate(ordered, init, step, flush)
+    renum = F.transform(
+        merged,
+        lambda s, i: F.struct(s["kind"].alias("kind"),
+                              s["text"].alias("text"),
+                              s["media_ref"].alias("media_ref"),
+                              i.cast("int").alias("offset")))
+    return inter.select(F.col(id_col), renum.alias("spans"))
+
+
+def media_context(inter: DataFrame, k: int = 2,
+                  id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, media_ref, media_offset, before_text, after_text,
+    n_before, n_after)`` — each media span with the concatenation of
+    its up-to-``k`` nearest PRECEDING and FOLLOWING text spans in
+    reading order (offset order inside each side, joined by a single
+    space; NULL when the side is empty).  This is the standard context
+    window for CLIP/interleaved-pretraining pair building — a
+    generalization of :func:`caption_pairs` (which is ``k=1``, before
+    side only).
+
+    Narrow plan: text and media spans are projected ONCE into hoisted
+    array layers (the Generate-no-CSE rule), then one ``transform``
+    over the media array slices the text array around each media
+    offset — O(n_text) per media span, bounded by spans-per-document
+    (documents at the 100 TB scale are chunked upstream by
+    ``operators/chunking.py`` long before per-doc span counts matter).
+    The only row amplification is the final ``explode_outer`` of the
+    per-doc pairs array; no window, no self-join, zero extra shuffle.
+
+    DuckDB twin: equi-join media to text spans per doc, rank each side
+    by distance (``ROW_NUMBER() ... ORDER BY offset DESC`` / ``ASC``),
+    keep rank <= k, ``string_agg(text ORDER BY offset)`` per
+    (media, side) — see the ``media_context`` oracle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    ordered = _ordered_spans(F.col("spans"))
+    layer1 = inter.select(
+        F.col(id_col),
+        F.filter(ordered, lambda s: s["kind"] == F.lit("text"))
+         .alias("_txt"),
+        F.filter(ordered, lambda s: s["kind"] != F.lit("text"))
+         .alias("_med"))
+
+    txt = F.col("_txt")
+
+    def side_text(arr: F.Column) -> F.Column:
+        return F.when(F.size(arr) > 0,
+                      F.concat_ws(" ", F.transform(arr,
+                                                   lambda t: t["text"]))) \
+                .otherwise(F.lit(None).cast("string"))
+
+    def pair(m: F.Column) -> F.Column:
+        prior = F.filter(txt, lambda t: t["offset"] < m["offset"])
+        npr = F.size(prior)
+        before = F.when(npr > k, F.slice(prior, npr - k + 1, k)) \
+                  .otherwise(prior)
+        after = F.slice(
+            F.filter(txt, lambda t: t["offset"] > m["offset"]), 1, k)
+        return F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["offset"].alias("media_offset"),
+            side_text(before).alias("before_text"),
+            side_text(after).alias("after_text"),
+            F.size(before).cast("int").alias("n_before"),
+            F.size(after).cast("int").alias("n_after"))
+
+    layer2 = layer1.select(F.col(id_col),
+                           F.transform(F.col("_med"), pair).alias("_pairs"))
+    ex = (layer2.select(F.col(id_col), F.explode_outer("_pairs").alias("_p"))
+          .filter(F.col("_p").isNotNull()))
+    return ex.select(
+        F.col(id_col), F.col("_p.media_ref").alias("media_ref"),
+        F.col("_p.media_offset").alias("media_offset"),
+        F.col("_p.before_text").alias("before_text"),
+        F.col("_p.after_text").alias("after_text"),
+        F.col("_p.n_before").alias("n_before"),
+        F.col("_p.n_after").alias("n_after"))
+
+
+def _asset_name(ref: F.Column, pool: int | None) -> F.Column:
+    """Asset identity for a media_ref.  With ``pool`` set, refs are
+    deterministically folded into a shared pool of ``pool`` assets —
+    ``'asset_' || (hash32(ref) % pool)`` — modelling the web reality
+    that the same image/CDN asset is embedded by many pages (the
+    synthetic lift mints per-doc refs, so the fold is what makes
+    reuse observable at test scale).  DuckDB twin:
+    ``'asset_' || (('0x' || substr(md5(ref), 1, 8))::BIGINT % pool)``.
+    """
+    if pool is None:
+        return ref
+    return F.concat(F.lit("asset_"), (H.hash32(ref) % pool).cast("string"))
+
+
+def asset_census(inter: DataFrame, pool: int | None = None,
+                 id_col: str = "doc_id") -> DataFrame:
+    """``(asset, n_docs, n_occurrences, min_offset, max_offset)`` —
+    corpus-wide media-asset reuse census: for every (pooled) asset, how
+    many documents embed it, how often, and where in reading order it
+    appears.  The asset-level mirror of the reference's image-output
+    census (extractor.py's X13 image inventory counts per-document
+    images; this counts per-asset documents) and the first step of any
+    asset-level dedup/caching decision at 100 TB.
+
+    Shape: media spans are projected out of the array narrowly (filter
+    + transform, no explode of text spans), ONE explode of the small
+    media array, then ONE hash aggregate on the asset key with map-side
+    combine — a single shuffle whose width is the number of distinct
+    assets, not documents.  ``n_docs`` is a count-distinct over doc_id
+    (two-phase partial aggregation, still one exchange).
+    """
+    media = F.filter(_ordered_spans(F.col("spans")),
+                     lambda s: s["kind"] != F.lit("text"))
+    per = F.transform(
+        media,
+        lambda s: F.struct(_asset_name(s["media_ref"], pool).alias("asset"),
+                           s["offset"].alias("offset")))
+    ex = (inter.select(F.col(id_col), F.explode_outer(per).alias("_m"))
+          .filter(F.col("_m").isNotNull()))
+    return (ex.groupBy(F.col("_m.asset").alias("asset"))
+            .agg(F.countDistinct(F.col(id_col)).cast("int").alias("n_docs"),
+                 F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+                 F.min(F.col("_m.offset")).cast("int").alias("min_offset"),
+                 F.max(F.col("_m.offset")).cast("int").alias("max_offset")))
+
+
+def asset_dedup_groups(inter: DataFrame, pool: int | None = None,
+                       id_col: str = "doc_id") -> DataFrame:
+    """``(asset_sig, n_docs, keep_doc_id)`` — documents grouped by the
+    md5 signature of their SORTED DISTINCT media-asset set; the
+    templated-page analogue of exact text dedup (mirror sites and
+    boilerplate templates share the same asset set even when their text
+    differs).  Documents with no media spans are excluded — an empty
+    asset set is not evidence of templating.
+
+    Fully narrow signature (array filter/transform/distinct/sort +
+    one md5 inside a single projection — no explode, no per-asset
+    rows), then ONE hash aggregate on the 32-hex signature: a single
+    16-byte-key shuffle exactly like ``dedup_exact``.  ``keep_doc_id``
+    is min(doc_id) — the same deterministic keep-first rule as
+    :func:`dedup.deduplicate_corpus`.
+    """
+    assets = F.array_sort(F.array_distinct(F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] != F.lit("text")),
+        lambda s: _asset_name(s["media_ref"], pool))))
+    sig = F.md5(F.concat_ws(",", assets))
+    per_doc = (inter.select(F.col(id_col), F.size(assets).alias("_n"),
+                            sig.alias("asset_sig"))
+               .filter(F.col("_n") > 0))
+    return (per_doc.groupBy("asset_sig")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_docs"),
+                 F.min(F.col(id_col)).alias("keep_doc_id")))
+
+
+def interleaved_quality(inter: DataFrame,
+                        media_heavy_ratio: float = 0.5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, n_spans, n_text, n_media, text_tokens, media_ratio,
+    caption_coverage, verdict)`` — per-document interleaved quality
+    flags, the multimodal row of the curation funnel
+    (``operators/curation.py`` scores flat text; this scores the spans
+    SHAPE): media-only documents carry no alignable text, media-heavy
+    documents blow the vision-token budget, and ``caption_coverage``
+    (fraction of media spans with at least one preceding text span —
+    exactly the spans :func:`caption_pairs` can label) measures how
+    much of the media is usable for caption-style pairing.
+
+    Verdicts: ``media_only`` (no text spans but media present),
+    ``media_heavy`` (media fraction > ``media_heavy_ratio``), ``empty``
+    (no spans at all), else ``keep`` (text-only documents are fine —
+    they are ordinary LM data).  Fully narrow: every statistic is an
+    array aggregate inside one projection; no explode, no shuffle —
+    at 100 TB this is a pure map over the corpus.
+    """
+    spans = F.col("spans")
+    n_spans = F.size(spans)
+    txts = F.filter(spans, lambda s: s["kind"] == F.lit("text"))
+    n_text = F.size(txts)
+    n_media = n_spans - n_text
+    text_tokens = F.aggregate(
+        txts, F.lit(0).cast("long"),
+        lambda acc, s: acc + F.size(T.tokens(s["text"])))
+    min_txt_off = F.array_min(F.transform(txts, lambda s: s["offset"]))
+    covered = F.size(F.filter(
+        spans, lambda s: (s["kind"] != F.lit("text"))
+        & (s["offset"] > min_txt_off)))
+    media_ratio = F.when(
+        n_spans > 0,
+        F.round(n_media.cast("double") / n_spans.cast("double"), 6)) \
+        .otherwise(F.lit(None).cast("double"))
+    coverage = F.when(
+        n_media > 0,
+        F.round(covered.cast("double") / n_media.cast("double"), 6)) \
+        .otherwise(F.lit(None).cast("double"))
+    # verdict is derived AFTER the stats layer so the expensive array
+    # aggregates are referenced exactly once (the no-cross-alias-CSE rule)
+    layer = inter.select(
+        F.col(id_col), n_spans.cast("int").alias("n_spans"),
+        n_text.cast("int").alias("n_text"),
+        n_media.cast("int").alias("n_media"),
+        text_tokens.alias("text_tokens"),
+        media_ratio.alias("media_ratio"),
+        coverage.alias("caption_coverage"))
+    return layer.select(
+        "*",
+        (F.when(F.col("n_spans") == 0, F.lit("empty"))
+          .when((F.col("n_text") == 0) & (F.col("n_media") > 0),
+                F.lit("media_only"))
+          .when(F.col("media_ratio") > F.lit(media_heavy_ratio),
+                F.lit("media_heavy"))
+          .otherwise(F.lit("keep"))).alias("verdict"))

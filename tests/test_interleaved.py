@@ -204,3 +204,179 @@ def test_span_diff_plan_one_join_no_python_no_explode(spark):
     assert "EvalPython" not in plan
     assert "Generate" not in plan  # positional compare is narrow, no explode
     assert plan.count("Join") == 1, plan[:2000]
+
+
+# ---- merge_adjacent_text ---------------------------------------------------
+
+
+def test_merge_runs_hand_check(spark):
+    inter = spark.createDataFrame([
+        (1, [("text", "a b", None, 0), ("text", "c", None, 1),
+             ("image", None, "m1", 2), ("text", "d", None, 3)]),
+        (2, [("image", None, "m2", 0), ("text", "x", None, 1)]),
+        (3, []),
+    ], SPAN_SCHEMA)
+    out = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset)
+                      for s in r.spans]
+           for r in I.merge_adjacent_text(inter).collect()}
+    assert out[1] == [("text", "a b c", None, 0), ("image", None, "m1", 1),
+                      ("text", "d", None, 2)]
+    assert out[2] == [("image", None, "m2", 0), ("text", "x", None, 1)]
+    assert out[3] == []
+
+
+def test_merge_order_is_data_not_partition(spark):
+    # spans delivered in scrambled offset order — the merge must be
+    # computed in reading order (the offset-first array_sort rule)
+    inter = spark.createDataFrame([
+        (1, [("text", "late", None, 3), ("image", None, "m", 1),
+             ("text", "first", None, 0), ("text", "second", None, 2)]),
+    ], SPAN_SCHEMA)
+    spans = I.merge_adjacent_text(inter).collect()[0].spans
+    assert [(s.kind, s.text) for s in spans] == [
+        ("text", "first"), ("image", None), ("text", "second late")]
+    assert [s.offset for s in spans] == [0, 1, 2]
+
+
+def test_merge_idempotent_and_span_diff_equal(spark):
+    inter = I.synth_interleaved(
+        _docs(spark, [(i, " ".join(f"t{i}_{j}" for j in range(30)))
+                      for i in range(5)]))
+    once = I.merge_adjacent_text(inter)
+    twice = I.merge_adjacent_text(once)
+    verdicts = {r.verdict for r in I.span_diff(once, twice).collect()}
+    assert verdicts == {"equal"}
+
+
+def test_merge_plan_is_narrow(spark):
+    inter = I.synth_interleaved(_docs(spark, [(1, "a b c")]))
+    plan = _plan(I.merge_adjacent_text(inter))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+# ---- media_context ---------------------------------------------------------
+
+
+def test_media_context_hand_check(spark):
+    inter = spark.createDataFrame([
+        (1, [("text", "a", None, 0), ("text", "b", None, 1),
+             ("text", "c", None, 2), ("image", None, "m1", 3),
+             ("text", "d", None, 4), ("text", "e", None, 5),
+             ("text", "f", None, 6)]),
+        (2, [("image", None, "m2", 0)]),
+    ], SPAN_SCHEMA)
+    rows = {r.media_ref: r for r in I.media_context(inter, k=2).collect()}
+    m1 = rows["m1"]
+    # nearest 2 preceding in offset order; nearest 2 following
+    assert (m1.before_text, m1.after_text) == ("b c", "d e")
+    assert (m1.n_before, m1.n_after) == (2, 2)
+    m2 = rows["m2"]
+    assert m2.before_text is None and m2.after_text is None
+    assert (m2.n_before, m2.n_after) == (0, 0)
+
+
+def test_media_context_k_guard_and_short_sides(spark):
+    inter = spark.createDataFrame([
+        (1, [("text", "only", None, 0), ("image", None, "m", 1)]),
+    ], SPAN_SCHEMA)
+    with pytest.raises(ValueError):
+        I.media_context(inter, k=0)
+    r = I.media_context(inter, k=3).collect()[0]
+    assert r.before_text == "only" and r.n_before == 1
+    assert r.after_text is None and r.n_after == 0
+
+
+def test_media_context_plan_narrow_single_generate(spark):
+    inter = I.synth_interleaved(_docs(spark, [(1, "a b c")]))
+    plan = _plan(I.media_context(inter))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    # one explode of the pairs array — the only row amplification
+    assert plan.count("Generate") == 1, plan[:2000]
+
+
+# ---- asset census / dedup groups -------------------------------------------
+
+
+def test_asset_census_counts(spark):
+    inter = spark.createDataFrame([
+        (1, [("image", None, "shared", 0), ("image", None, "solo1", 1)]),
+        (2, [("image", None, "shared", 2), ("image", None, "shared", 3),
+             ("text", "t", None, 4)]),
+    ], SPAN_SCHEMA)
+    rows = {r.asset: r for r in I.asset_census(inter).collect()}
+    assert rows["shared"].n_docs == 2
+    assert rows["shared"].n_occurrences == 3
+    assert (rows["shared"].min_offset, rows["shared"].max_offset) == (0, 3)
+    assert rows["solo1"].n_docs == 1
+
+
+def test_asset_census_pool_folds_refs(spark):
+    inter = spark.createDataFrame([
+        (1, [("image", None, f"r{i}", i) for i in range(16)]),
+    ], SPAN_SCHEMA)
+    rows = I.asset_census(inter, pool=4).collect()
+    assert all(r.asset.startswith("asset_") for r in rows)
+    assert sum(r.n_occurrences for r in rows) == 16
+    assert len(rows) <= 4
+
+
+def test_asset_dedup_groups_signature(spark):
+    inter = spark.createDataFrame([
+        # docs 1 and 2: same asset SET (order/multiplicity differ)
+        (1, [("image", None, "a", 0), ("image", None, "b", 1)]),
+        (2, [("image", None, "b", 0), ("image", None, "a", 1),
+             ("image", None, "a", 2)]),
+        (3, [("image", None, "c", 0)]),
+        (4, [("text", "no media", None, 0)]),  # excluded
+    ], SPAN_SCHEMA)
+    rows = I.asset_dedup_groups(inter).collect()
+    by_keep = {r.keep_doc_id: r for r in rows}
+    assert by_keep[1].n_docs == 2            # docs 1+2 grouped
+    assert by_keep[3].n_docs == 1
+    assert len(rows) == 2                    # doc 4 excluded entirely
+
+
+def test_asset_plans_single_exchange(spark):
+    inter = I.synth_interleaved(
+        _docs(spark, [(1, " ".join(["w"] * 40))]))
+    for df in (I.asset_census(inter, pool=8),
+               I.asset_dedup_groups(inter, pool=8)):
+        plan = _plan(df)
+        assert "EvalPython" not in plan
+        # countDistinct plans expand to two-phase agg over ONE shuffle
+        # key family; the dedup-groups signature is fully narrow
+        assert plan.count("Exchange") <= 2, plan[:2000]
+
+
+# ---- interleaved_quality ---------------------------------------------------
+
+
+def test_quality_verdicts_hand_check(spark):
+    inter = spark.createDataFrame([
+        (1, [("text", "a b", None, 0), ("image", None, "m", 1)]),   # keep
+        (2, [("image", None, "m1", 0), ("image", None, "m2", 1)]),  # media_only
+        (3, [("text", "t", None, 0), ("image", None, "m3", 1),
+             ("image", None, "m4", 2)]),                            # media_heavy
+        (4, []),                                                    # empty
+        (5, [("text", "only text", None, 0)]),                      # keep
+    ], SPAN_SCHEMA)
+    rows = {r.doc_id: r for r in I.interleaved_quality(inter).collect()}
+    assert rows[1].verdict == "keep" and rows[1].media_ratio == 0.5
+    assert rows[2].verdict == "media_only"
+    assert rows[3].verdict == "media_heavy"
+    assert rows[4].verdict == "empty" and rows[4].media_ratio is None
+    assert rows[5].verdict == "keep" and rows[5].caption_coverage is None
+    assert rows[5].text_tokens == 2
+    # coverage: media after the first text span counts as captionable
+    assert rows[3].caption_coverage == 1.0
+    assert rows[2].caption_coverage == 0.0
+
+
+def test_quality_plan_is_pure_map(spark):
+    inter = I.synth_interleaved(_docs(spark, [(1, "a b c")]))
+    plan = _plan(I.interleaved_quality(inter))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Generate" not in plan
