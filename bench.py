@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     # windows + report agg)
     "span_diff",
     "layout_reading_order",
+    # r5 curation batch: paragraph re-segmentation (pure-map fold) and
+    # media context pair building (narrow per-doc array slicing; the
+    # only Generate is the pairs explode)
+    "interleaved_merged",
+    "media_context",
 ]
 
 

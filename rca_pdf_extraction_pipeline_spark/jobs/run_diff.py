@@ -24,7 +24,15 @@ as ONE full-outer doc_id join) and writes:
 Exit code is the gate: 0 when the changed fraction (any verdict other
 than ``equal``) is within ``--max-changed-frac`` (default: no limit),
 **3** when it exceeds it — wired for CI. Output path is validated by
-the same F9 allowlist as the extraction job."""
+the same F9 allowlist as the extraction job.
+
+``--merge-text`` normalizes BOTH runs with
+``interleaved.merge_adjacent_text`` before diffing — a
+granularity-insensitive compare: two pipeline versions that split the
+same extracted text into different numbers of adjacent text spans
+(e.g. per-line vs per-paragraph emission) read ``equal`` instead of
+drowning the report in split-point noise, while any REAL text, media,
+or ordering change still diverges (the merge is content-preserving)."""
 
 from __future__ import annotations
 
@@ -45,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="fail (exit 3) when the non-equal fraction "
                          "exceeds this")
     ap.add_argument("--n-examples", type=int, default=10)
+    ap.add_argument("--merge-text", action="store_true",
+                    help="merge adjacent text spans on both sides before "
+                         "diffing (granularity-insensitive compare)")
     ap.add_argument("--allowed-roots", nargs="*", default=None)
     args = ap.parse_args(argv)
 
@@ -62,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
 
+    if args.merge_text:
+        left = interleaved.merge_adjacent_text(left)
+        right = interleaved.merge_adjacent_text(right)
     verdicts = interleaved.span_diff(left, right)
     (verdicts.write.mode("overwrite").partitionBy("verdict")
      .parquet(str(out / "verdicts")))

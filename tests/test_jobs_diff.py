@@ -86,3 +86,40 @@ def test_run_diff_rejects_bad_output(tmp_path):
             "--left", str(tmp_path / "l"), "--right", str(tmp_path / "r"),
             "--output", "/root/reference/evil",
         ])
+
+
+def test_run_diff_merge_text_ignores_split_granularity(spark, tmp_path):
+    # same content, different text-span granularity: left emits one
+    # span per line, right one span per paragraph; plus one REAL text
+    # change that must still diverge after merging
+    left = spark.createDataFrame([
+        (1, [("text", "a b", None, 0), ("text", "c d", None, 1),
+             ("image", None, "m1", 2)]),
+        (2, [("text", "x", None, 0), ("text", "y", None, 1)]),
+    ], "doc_id long, spans array<struct<kind:string,text:string,"
+       "media_ref:string,offset:int>>")
+    right = spark.createDataFrame([
+        (1, [("text", "a b c d", None, 0), ("image", None, "m1", 1)]),
+        (2, [("text", "x y CHANGED", None, 0)]),
+    ], "doc_id long, spans array<struct<kind:string,text:string,"
+       "media_ref:string,offset:int>>")
+    left.write.parquet(str(tmp_path / "l"))
+    right.write.parquet(str(tmp_path / "r"))
+
+    # without --merge-text both docs diverge (split-point noise)
+    rc = run_diff.main(["--left", str(tmp_path / "l"),
+                        "--right", str(tmp_path / "r"),
+                        "--output", str(tmp_path / "raw")])
+    assert rc == 0
+    raw = json.loads((tmp_path / "raw" / "stats.json").read_text())
+    assert raw["verdicts"] == {"diverged": 2}
+
+    # with --merge-text only the real content change survives
+    rc = run_diff.main(["--left", str(tmp_path / "l"),
+                        "--right", str(tmp_path / "r"),
+                        "--output", str(tmp_path / "merged"),
+                        "--merge-text"])
+    assert rc == 0
+    merged = json.loads((tmp_path / "merged" / "stats.json").read_text())
+    assert merged["verdicts"] == {"equal": 1, "diverged": 1}
+    assert merged["examples"][0]["doc_id"] == "2"

@@ -391,3 +391,55 @@ def test_drift_stream_equals_batch(spark, tmp_path):
                                streamed_counts,
                                n_buckets=64, top_k=10).collect()]
     assert got == batch and len(batch) == 10
+
+
+def test_interleaved_quality_and_merge_stream_equals_batch(spark, tmp_path):
+    """The interleaved curation ops are stateless narrow column
+    expressions, so they run unchanged under Structured Streaming —
+    a file stream of interleaved tables must produce exactly the
+    batch results (quality flags AND merged span sequences)."""
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.operators import interleaved as I
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10 + (i * 7) % 30)))
+         for i in range(12)], "doc_id long, text string")
+    inter = I.synth_interleaved(docs)
+    in_dir = str(tmp_path / "in")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    inter.filter("doc_id < 6").coalesce(1).write.parquet(f"{in_dir}/a")
+    inter.filter("doc_id >= 6").coalesce(1).write.parquet(f"{in_dir}/b")
+    import glob
+    import shutil
+    for i, p in enumerate(sorted(glob.glob(f"{in_dir}/*/part-*.parquet"))):
+        shutil.move(p, f"{in_dir}/inter_{i}.parquet")
+    for d in ("a", "b"):
+        shutil.rmtree(f"{in_dir}/{d}")
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    outs = {}
+    for name, fn in (("quality", I.interleaved_quality),
+                     ("merged", I.merge_adjacent_text)):
+        out, ckpt = (str(tmp_path / f"{name}_{d}") for d in ("out", "ckpt"))
+        q = (fn(stream).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        outs[name] = out
+
+    got_q = {r.doc_id: tuple(r)[1:]
+             for r in spark.read.parquet(outs["quality"]).collect()}
+    want_q = {r.doc_id: tuple(r)[1:]
+              for r in I.interleaved_quality(inter).collect()}
+    assert got_q == want_q and len(got_q) == 12
+
+    got_m = _spans_by_doc(spark.read.parquet(outs["merged"]).collect())
+    want_m = _spans_by_doc(I.merge_adjacent_text(inter).collect())
+    assert got_m == want_m

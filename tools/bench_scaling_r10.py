@@ -26,7 +26,7 @@ corpus marker refuses a mismatched reuse.
 
 Usage: python tools/bench_scaling_r10.py [--runs-per-level 2]
        [--docs 2000000] [--reuse-input] [--levels 1,4]
-       [--families captions,pack]
+       [--families captions,pack,merge,context,census]
 """
 
 from __future__ import annotations
@@ -59,8 +59,19 @@ n_rows = docs.count()
 
 def fn(d):
     inter = I.synth_interleaved(d)
-    if {family!r} == "captions":
+    fam = {family!r}
+    if fam == "captions":
         return I.caption_pairs(inter)
+    if fam == "merge":
+        m = I.merge_adjacent_text(inter)
+        return (m.select(F.col("doc_id"), F.explode_outer("spans").alias("s"))
+                .filter(F.col("s").isNotNull())
+                .select("doc_id", "s.offset", "s.kind", "s.text",
+                        "s.media_ref"))
+    if fam == "context":
+        return I.media_context(inter, k=2)
+    if fam == "census":
+        return I.asset_census(inter, pool=4096)
     return I.pack_interleaved(inter, budget_tokens=64, media_cost=16)
 
 def digest(df):
@@ -121,9 +132,9 @@ def run_one(cpus: int, family: str, input_dir: str, runs: int) -> dict:
     return json.loads(line)
 
 
-FAMILIES = ("captions", "pack")
+FAMILIES = ("captions", "pack", "merge", "context", "census")
 
-HEADLINE_MD = """# Round-5 family scaling — interleaved family (captions, multimodal pack)
+HEADLINE_MD = """# Round-5 family scaling — interleaved family (captions, pack, merge, context, census)
 
 Same input, same code, local[{lo}] vs local[{hi}] ({runs} runs per
 level, best wall; one fresh JVM per (level, family)).  Output digests
