@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 from rca_pdf_extraction_pipeline_spark.config import GOLDEN_EXTRACTED_HEADERS
 from rca_pdf_extraction_pipeline_spark.functions import classify_expr
 from rca_pdf_extraction_pipeline_spark.functions import hashing as H
+from rca_pdf_extraction_pipeline_spark.functions import text as textfns
 from rca_pdf_extraction_pipeline_spark.operators import (
     asof,
     boilerplate,
@@ -45,6 +46,7 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     embedding,
     extraction,
     interleaved,
+    intervaljoin,
     metadata,
     multimodal,
     profiling,
@@ -2428,6 +2430,54 @@ def _q_a11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- round-5 close-out batch: range join, heavy hitters, containment ------
+
+
+def _q_interval_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval (range) join: every click attributed to each
+    1-hour post-error window of the same user — an equi-join on
+    (user_id, time bucket) + residual BETWEEN, never a nested loop."""
+    e = _t(spark, sf_dir, "events")
+    errs = (e.filter(F.col("event_type") == "error")
+            .select("user_id", F.col("event_id").alias("err_id"),
+                    F.col("ts").alias("lo"),
+                    F.expr("ts + INTERVAL 3600 SECOND").alias("hi")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "event_id", "ts"))
+    j = intervaljoin.point_in_interval_join(clicks, errs, on="user_id",
+                                            bucket_seconds=3600)
+    return (j.groupBy("user_id", "event_id")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.min("err_id").alias("first_err_id")))
+
+
+def _q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters with a hashed candidate prune: pass 1 counts
+    per md5 bucket (<= 4096 rows shuffle), pass 2 exact-counts only
+    tokens whose bucket could reach the threshold."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select(F.explode_outer(textfns.tokens(F.col("text")))
+                     .alias("token"))
+            .filter(F.col("token").isNotNull()))
+    return sketches.heavy_hitters(toks, "token", threshold=500)
+
+
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (quote detection): short snippet docs —
+    deterministically derived as the first 40 tokens of every 5th doc,
+    mirrored in the oracle — score ~1.0 against their parents even
+    though symmetric Jaccard is tiny."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snips = (d.filter(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.array_join(
+                         F.slice(textfns.tokens(F.col("text")), 1, 40), " ")
+                     .alias("text")))
+    corpus = d.unionByName(snips)
+    return dedup.containment_pairs(corpus, shingle_size=5, df_cap=16,
+                                   min_containment_micro=500_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is a contract, not cosmetics: the driver's correctness
     gate hashes only the FIRST 50 keys against the DuckDB oracles, so the
@@ -2446,9 +2496,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # (2) never driver-checked — new in r5 (window rule 2); the
-        # interleaved family is the newest code, so it leads (the three
-        # BPE keys it displaces past slot 50 are pytest-pinned and
+        # close-out batch + interleaved family are the newest code, so
+        # they lead (keys displaced past slot 50 are pytest-pinned and
         # check_entry-green — allowed overflow per test_driver_window)
+        "interval_error_clicks": _q_interval_error_clicks,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+        "containment_pairs": _q_containment_pairs,
         "interleaved_merged": _q_interleaved_merged,
         "media_context": _q_media_context,
         "asset_census": _q_asset_census,
@@ -3033,6 +3086,68 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM {p}pos)"""
 
     return {
+        # ---- round-5 close-out batch --------------------------------------
+        "interval_error_clicks": """
+            WITH err AS (
+              SELECT user_id, event_id AS err_id, ts AS lo,
+                     ts + INTERVAL 3600 SECOND AS hi
+              FROM events WHERE event_type = 'error'),
+            c AS (
+              SELECT user_id, event_id, ts
+              FROM events WHERE event_type = 'click')
+            SELECT c.user_id, c.event_id, COUNT(*)::BIGINT AS n_windows,
+                   MIN(err.err_id) AS first_err_id
+            FROM c JOIN err ON c.user_id = err.user_id
+                           AND c.ts >= err.lo AND c.ts <= err.hi
+            GROUP BY 1, 2
+        """,
+        "heavy_hitter_tokens": """
+            WITH t AS (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x != '')) AS token
+              FROM documents)
+            SELECT token, COUNT(*)::BIGINT AS n_occurrences
+            FROM t GROUP BY token HAVING COUNT(*) >= 500
+        """,
+        "containment_pairs": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+              FROM documents),
+            corpus AS (
+              SELECT doc_id, text, toks FROM base
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     array_to_string(toks[1:40], ' ') AS text,
+                     toks[1:40] AS toks
+              FROM base WHERE doc_id % 5 = 0),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 5
+                     THEN list_transform(generate_series(1, len(toks) - 4),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                               || ' ' || toks[i+3] || ' ' || toks[i+4])
+                     ELSE [text] END) AS shset
+              FROM corpus),
+            sized AS (SELECT doc_id, len(shset)::BIGINT AS n_sh, shset FROM sh),
+            ex AS (SELECT doc_id, n_sh, unnest(shset) AS h FROM sized),
+            dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+            ok AS (SELECT ex.doc_id, ex.n_sh, ex.h
+                   FROM ex JOIN dfreq USING (h)
+                   WHERE dfreq.df BETWEEN 2 AND 16),
+            pr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.n_sh AS n_a, b.n_sh AS n_b,
+                     COUNT(*)::BIGINT AS n_shared
+              FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b, n_shared,
+                   (n_shared * 1000000) // n_a AS cont_a_micro,
+                   (n_shared * 1000000) // n_b AS cont_b_micro
+            FROM pr
+            WHERE greatest((n_shared * 1000000) // n_a,
+                           (n_shared * 1000000) // n_b) >= 500000
+        """,
         # ---- extraction: golden-artifact oracles --------------------------
         "extract_flagship": f"""
             SELECT doc_id, kind, text, media_ref, "offset"

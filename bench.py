@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     # only Generate is the pairs explode)
     "interleaved_merged",
     "media_context",
+    # r5 close-out: bucketized range join (equi-join on (key, bucket) +
+    # residual BETWEEN), sketch-pruned exact heavy hitters (<=4096-row
+    # pass-1 exchange), asymmetric containment (2 exchanges, shingle
+    # text never shuffles)
+    "interval_error_clicks",
+    "heavy_hitter_tokens",
+    "containment_pairs",
 ]
 
 

@@ -741,3 +741,72 @@ def simhash_pairs_from_signatures(sigs: DataFrame, id_col: str = "doc_id",
     finally:
         t.unpersist()
     return out
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_size: int = 5,
+                      df_cap: int = 16,
+                      min_containment_micro: int = 500_000) -> DataFrame:
+    """Asymmetric-containment candidate pairs — quote/subset detection
+    (Broder 1997's containment coefficient |A∩B| / |A|): a short
+    document fully embedded in a long one scores ~1.0 even though its
+    symmetric Jaccard is tiny, which is exactly the case MinHash-LSH
+    near-dedup is blind to.
+
+    Shape: one distinct-shingle-hash projection per document (md5
+    evaluated once — the array is projected into a column layer and
+    everything downstream derives from the column), explode, group by
+    shingle hash with the doc list collected, pairs generated INSIDE
+    each posting array, then a count per ordered pair.  Two exchanges
+    total (shingle hash, then pair key); the shingle text itself never
+    shuffles — only 16-hex-char hashes.
+
+    ``df_cap`` bounds the per-shingle posting list: shingles shared by
+    more than ``df_cap`` documents are corpus boilerplate and are
+    DROPPED from the numerator (documented lower-bound semantics — the
+    same prefix-filtering compromise as jaccard/minhash blocking), so
+    pair fan-out per shingle is <= df_cap^2 and the operator never goes
+    quadratic in corpus size.  Denominators are each document's FULL
+    distinct-shingle count.
+
+    Returns (id_a, id_b, n_shared, cont_a_micro, cont_b_micro) with
+    id_a < id_b, cont_x = floor(1e6 * n_shared / |shingles(x)|), kept
+    when either direction reaches ``min_containment_micro``.
+    """
+    if df_cap < 2:
+        raise ValueError("df_cap must be >= 2 (a pair needs two docs)")
+    hs = F.transform(T.shingle_set(F.col(text_col), shingle_size),
+                     lambda s: F.substring(F.md5(s), 1, 16))
+    layer = docs.select(F.col(id_col), hs.alias("_hs"))
+    sized = layer.select(id_col, "_hs", F.size("_hs").alias("_n_sh"))
+    exploded = (sized.select(id_col, "_n_sh",
+                             F.explode_outer("_hs").alias("_h"))
+                .filter(F.col("_h").isNotNull()))
+    posts = (exploded.groupBy("_h")
+             .agg(F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                          F.col("_n_sh").alias("n"))).alias("_ds"))
+             .filter((F.size("_ds") >= 2) & (F.size("_ds") <= df_cap)))
+    # project the sorted posting list ONCE (struct sort: id first, so
+    # generated pairs come out id_a < id_b); deriving from the column
+    # keeps array_sort single-evaluation under the element_at fan-out
+    sorted_posts = posts.select(F.array_sort("_ds").alias("_ds"))
+    ds = F.col("_ds")
+    n = F.size(ds)
+    pair_arrays = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + F.lit(1), n),
+            lambda j: F.struct(F.element_at(ds, i).alias("a"),
+                               F.element_at(ds, j).alias("b")))))
+    pairs = (sorted_posts.select(F.explode(pair_arrays).alias("p"))
+             .select(F.col("p.a.i").alias("id_a"), F.col("p.a.n").alias("n_a"),
+                     F.col("p.b.i").alias("id_b"), F.col("p.b.n").alias("n_b")))
+    agg = (pairs.groupBy("id_a", "id_b", "n_a", "n_b")
+           .agg(F.count(F.lit(1)).alias("n_shared")))
+    cont_a = F.floor(F.col("n_shared") * 1_000_000 / F.col("n_a"))
+    cont_b = F.floor(F.col("n_shared") * 1_000_000 / F.col("n_b"))
+    return (agg.select("id_a", "id_b", "n_shared",
+                       cont_a.alias("cont_a_micro"),
+                       cont_b.alias("cont_b_micro"))
+            .filter(F.greatest(F.col("cont_a_micro"), F.col("cont_b_micro"))
+                    >= min_containment_micro))

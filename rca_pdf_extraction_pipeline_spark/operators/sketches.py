@@ -344,3 +344,40 @@ def vocab_overlap_by_group(docs: DataFrame, group_col: str = "lang",
                        "est_a", "est_b", "est_union",
                        "est_overlap", "est_jaccard")
             .orderBy("group_a", "group_b"))
+
+
+def heavy_hitters(df: DataFrame, value_col: str, threshold: int,
+                  n_buckets: int = 4096) -> DataFrame:
+    """EXACT heavy hitters — every value occurring >= ``threshold``
+    times, with its exact count — found in two passes with a hashed
+    candidate prune instead of a full exact group-by.
+
+    Pass 1 aggregates counts per ``md5``-derived bucket (<= n_buckets
+    rows survive the map-side partial regardless of cardinality).  A
+    bucket's count upper-bounds every member value's count (the
+    one-row count-min property), so buckets below the threshold are
+    eliminated WITH PROOF.  Pass 2 exact-counts only values whose
+    bucket survived: the bucket filter is a broadcast semi-join inside
+    the scan, so the second exchange carries only candidate values —
+    at corpus scale the heavy tail (the overwhelming majority of
+    distinct values) never shuffles.
+
+    False positives in the candidate set (light values sharing a heavy
+    bucket) are removed by the exact pass-2 HAVING; the result is
+    therefore exactly ``GROUP BY value HAVING count >= threshold``.
+    Raise ``n_buckets`` if too many light values collide into
+    surviving buckets (pass-2 shuffle volume is the symptom).
+    """
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    vals = df.where(F.col(value_col).isNotNull()).select(F.col(value_col))
+    bucket = F.pmod(_hash60(F.col(value_col)), F.lit(n_buckets)).alias("_bkt")
+    hot = (vals.select(bucket)
+           .groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") >= threshold)
+           .select("_bkt"))
+    return (vals.select(F.col(value_col), bucket)
+            .join(F.broadcast(hot), "_bkt", "left_semi")
+            .groupBy(value_col)
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= threshold))
