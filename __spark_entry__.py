@@ -45,6 +45,7 @@ from rca_pdf_extraction_pipeline_spark.operators import (
     dedup,
     embedding,
     extraction,
+    htmlparse,
     interleaved,
     intervaljoin,
     metadata,
@@ -2478,6 +2479,72 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    min_containment_micro=500_000)
 
 
+# ---- raw-HTML markup extraction (north_rule: boilerplate strip from
+# ---- markup; operators/htmlparse.py) ---------------------------------------
+
+
+def _html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic markup lift of the documents corpus (dialect-shared
+    synthesis rule, replayed verbatim in the oracle CTE ``hsrc``)."""
+    return htmlparse.synth_html(_t(spark, sf_dir, "documents"))
+
+
+def _q_html_parse_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw markup -> DOM block rows (tag, tag-stripped text, anchor
+    char count) — pins the sentinel-split parser itself.  Narrow: one
+    Project layer + one Generate, zero Exchange."""
+    return htmlparse.parse_blocks(_html_corpus(spark, sf_dir))
+
+
+def _q_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw markup -> interleaved spans (input_hint shape): block text
+    split at every <img> position, images as spans of their own,
+    offsets from the markup.  Exploded for the value compare."""
+    sp = htmlparse.to_spans(_html_corpus(spark, sf_dir))
+    return (sp.select("doc_id", F.explode_outer("spans").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .select("doc_id", F.col("s.offset").alias("offset"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref")))
+
+
+def _q_html_main_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction from raw markup in ONE map: Boilerpipe
+    scoring + neighbour smoothing run in-array per document before
+    span assembly — nav/footer/title boilerplate dropped, zero
+    shuffle (plan-pinned).  The north_star sentence as a query."""
+    sp = htmlparse.to_spans(_html_corpus(spark, sf_dir), content_only=True)
+    return (sp.select("doc_id", F.explode_outer("spans").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .select("doc_id", F.col("s.offset").alias("offset"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref")))
+
+
+def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction: every <a href> in document order, root-
+    relative hrefs resolved against the document's own origin."""
+    return htmlparse.extract_links(_html_corpus(spark, sf_dir),
+                                   base_col="site")
+
+
+def _q_html_link_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level census of the extracted link graph: per destination
+    host, total links / distinct source docs / resolved-relative
+    count — the degree table of the anchor graph
+    (operators/linkgraph.py consumes the edge set unchanged)."""
+    links = htmlparse.extract_links(_html_corpus(spark, sf_dir),
+                                    base_col="site")
+    host = F.regexp_extract("url", "https://([^/]+)", 1)
+    return (links.groupBy(host.alias("dst_site"))
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum(F.when(F.col("href").startswith("/"), 1)
+                       .otherwise(0)).alias("n_relative")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is a contract, not cosmetics: the driver's correctness
     gate hashes only the FIRST 50 keys against the DuckDB oracles, so the
@@ -2496,9 +2563,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # (2) never driver-checked — new in r5 (window rule 2); the
-        # close-out batch + interleaved family are the newest code, so
-        # they lead (keys displaced past slot 50 are pytest-pinned and
-        # check_entry-green — allowed overflow per test_driver_window)
+        # newest code leads: raw-HTML extraction family, then the
+        # close-out batch + interleaved family (keys displaced past
+        # slot 50 are pytest-pinned and check_entry-green — allowed
+        # overflow per test_driver_window)
+        "html_parse_blocks": _q_html_parse_blocks,
+        "html_spans": _q_html_spans,
+        "html_main_spans": _q_html_main_spans,
+        "html_links": _q_html_links,
+        "html_link_census": _q_html_link_census,
         "interval_error_clicks": _q_interval_error_clicks,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "containment_pairs": _q_containment_pairs,
@@ -3085,7 +3158,166 @@ def _oracle_sql_literal() -> dict[str, str]:
                           ELSE NULL END AS media_ref
               FROM {p}pos)"""
 
+    # raw-HTML markup extraction family (operators/htmlparse.py twin):
+    # hsrc replays synth_html verbatim; the parse replays the sentinel
+    # rewrite (<p> -> \\x01p\\x02) + split + tag-strip regexes, which are
+    # RE2/Java-identical by construction.
+    html_ctes = r"""
+            WITH hs0 AS (
+              SELECT doc_id,
+                     replace(replace(coalesce(text, ''), '<', '('),
+                             '>', ')') AS s
+              FROM documents),
+            hs1 AS (
+              SELECT doc_id,
+                     trim(substr(s, 1, 40)) AS p1a,
+                     trim(substr(s, 41, 40)) AS p1b,
+                     trim(substr(s, 81, 1000000)) AS p2,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN '<img src="img-' || doc_id::VARCHAR
+                               || '.png">' ELSE '' END AS img,
+                     'https://site-' || (doc_id % 7)::VARCHAR
+                       || '.example.com' AS site,
+                     'https://site-' || ((doc_id + 3) % 7)::VARCHAR
+                       || '.example.com/d' || (doc_id % 50)::VARCHAR AS see
+              FROM hs0),
+            hsrc AS (
+              SELECT doc_id, site,
+                     '<html><head><title>Doc ' || doc_id::VARCHAR
+                     || '</title></head><body>'
+                     || '<nav><a href="/about">about</a> <a href="' || site
+                     || '/home">home</a></nav>'
+                     || '<h1>' || p1a || '</h1>'
+                     || '<p>' || p1a || ' ' || img || p1b || '</p>'
+                     || CASE WHEN length(p2) > 0
+                             THEN '<p>' || p2 || ' <a href="' || see
+                                  || '">see also</a></p>'
+                             ELSE '' END
+                     || '<footer>copyright site-' || (doc_id % 7)::VARCHAR
+                     || '</footer></body></html>' AS html
+              FROM hs1),
+            hparts AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(html,
+                       '<(p|h1|nav|footer|title)>',
+                       chr(1) || '\1' || chr(2), 'g'), chr(1)) AS ps
+              FROM hsrc),
+            hidx AS (
+              SELECT doc_id, ps, unnest(range(2, len(ps) + 1)) AS i
+              FROM hparts),
+            hblocks AS (
+              SELECT doc_id, (i - 2)::INT AS idx,
+                     split_part(ps[i], chr(2), 1) AS tag,
+                     split_part(ps[i], chr(2), 2) AS rest
+              FROM hidx),
+            hbtext AS (
+              SELECT doc_id, idx, tag, rest,
+                     trim(regexp_replace(rest, '<[^>]*>', '', 'g')) AS text,
+                     coalesce(list_aggregate(list_transform(
+                       regexp_extract_all(rest,
+                         '<a href="[^"]*">([^<]*)', 1),
+                       x -> length(x)), 'sum'), 0)::INT AS anchor_chars
+              FROM hblocks)"""
+
+    # Boilerpipe scoring + neighbour smoothing over the parsed blocks
+    # (boilerplate.score_blocks twin, windowed replay of the in-array
+    # smoothing)
+    html_content_cte = """,
+            hflag AS (
+              SELECT *,
+                     (tag NOT IN ('nav','header','footer','aside','script',
+                                  'style','form','button'))
+                     AND (anchor_chars::DOUBLE
+                          / greatest(length(text), 1)) < 0.33 AS good,
+                     len(list_filter(string_split(text, ' '),
+                                     t -> t != '')) AS n_words
+              FROM hbtext),
+            hsmooth AS (
+              SELECT *, good AND n_words >= 10 AS base,
+                        good AND n_words >= 3 AS weak
+              FROM hflag),
+            hcontent AS (
+              SELECT * FROM (
+                SELECT *,
+                       base OR (weak AND
+                         (coalesce(lag(base) OVER w, false)
+                          OR coalesce(lead(base) OVER w, false)))
+                       AS is_content
+                FROM hsmooth
+                WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
+              WHERE is_content)"""
+
+    def _html_spans_sql(blocks_rel: str) -> str:
+        """Span assembly over a parsed-blocks relation: split rest at
+        every <img>, image spans at their position, offsets in reading
+        order (idx, seg, media-before-tail)."""
+        return f""",
+            hsegs AS (
+              SELECT doc_id, idx,
+                     string_split(regexp_replace(rest,
+                       '<img src="([^"]*)">',
+                       chr(3) || '\\1' || chr(4), 'g'), chr(3)) AS segs
+              FROM {blocks_rel}),
+            hsegi AS (
+              SELECT doc_id, idx, segs,
+                     unnest(range(1, len(segs) + 1)) AS j
+              FROM hsegs),
+            hraw AS (
+              SELECT doc_id, idx, j, k,
+                     CASE WHEN k = 0 THEN 'image' ELSE 'text' END AS kind,
+                     CASE WHEN k = 1 AND j = 1
+                          THEN trim(regexp_replace(segs[j],
+                                    '<[^>]*>', '', 'g'))
+                          WHEN k = 1
+                          THEN trim(regexp_replace(
+                                 split_part(segs[j], chr(4), 2),
+                                 '<[^>]*>', '', 'g'))
+                          ELSE NULL END AS text,
+                     CASE WHEN k = 0
+                          THEN split_part(segs[j], chr(4), 1)
+                          ELSE NULL END AS media_ref
+              FROM hsegi, (VALUES (0), (1)) AS kk(k)
+              WHERE (j = 1 AND k = 1) OR j > 1),
+            hspans AS (
+              SELECT doc_id, kind, text, media_ref,
+                     (row_number() OVER (PARTITION BY doc_id
+                        ORDER BY idx, j, k) - 1)::INT AS "offset"
+              FROM hraw WHERE kind = 'image' OR text != '')"""
+
+    html_links_cte = """,
+            hlinks AS (
+              SELECT doc_id, href,
+                     CASE WHEN href LIKE '/%' THEN site || href
+                          WHEN href LIKE 'http%' THEN href
+                          ELSE NULL END AS url
+              FROM (SELECT doc_id, site,
+                           unnest(regexp_extract_all(html,
+                             '<a href="([^"]*)"', 1)) AS href
+                    FROM hsrc))"""
+
     return {
+        # ---- raw-HTML markup extraction ------------------------------------
+        "html_parse_blocks": html_ctes + """
+            SELECT doc_id, idx, tag, text, anchor_chars FROM hbtext
+        """,
+        "html_spans": html_ctes + _html_spans_sql("hbtext") + """
+            SELECT doc_id, "offset", kind, text, media_ref FROM hspans
+        """,
+        "html_main_spans": (html_ctes + html_content_cte
+                            + _html_spans_sql("hcontent") + """
+            SELECT doc_id, "offset", kind, text, media_ref FROM hspans
+        """),
+        "html_links": html_ctes + html_links_cte + """
+            SELECT doc_id, href, url FROM hlinks
+        """,
+        "html_link_census": html_ctes + html_links_cte + """
+            SELECT regexp_extract(url, 'https://([^/]+)', 1) AS dst_site,
+                   count(*)::BIGINT AS n_links,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   sum(CASE WHEN href LIKE '/%' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_relative
+            FROM hlinks GROUP BY 1
+        """,
         # ---- round-5 close-out batch --------------------------------------
         "interval_error_clicks": """
             WITH err AS (

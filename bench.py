@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     "interval_error_clicks",
     "heavy_hitter_tokens",
     "containment_pairs",
+    # r5 final: raw-HTML main-content extraction into interleaved spans
+    # (sentinel-split parse + in-array Boilerpipe smoothing — the whole
+    # north-star sentence as ONE shuffle-free map) and the anchor-graph
+    # census over the same markup
+    "html_main_spans",
+    "html_link_census",
 ]
 
 
