@@ -1385,6 +1385,28 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate.remove_frequent_lines(wrapped, min_df=5)
 
 
+def _q_boilerplate_site_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style PER-SITE frequent-line removal (site = source):
+    the shared nav line and the per-site footer hit 100% of each site's
+    docs (banned), the SUBSCRIBE line rides only even doc_ids (~50% per
+    site, above the 40% ratio gate -> banned), and each doc's own body
+    stays (df 1 per site).  Exercises the ratio gate's exact integer
+    arithmetic and the (site, h) anti-join."""
+    d = _t(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id", F.col("source").alias("site"),
+        F.concat_ws(
+            "\n",
+            F.lit("HOME | ABOUT | CONTACT"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("SUBSCRIBE TO OUR NEWSLETTER")),
+            F.col("text"),
+            F.concat(F.lit("(c) "), F.col("source")),
+        ).alias("text"))
+    return boilerplate.remove_frequent_lines_by_site(
+        wrapped, min_df=3, min_ratio_pct=40)
+
+
 def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -2530,6 +2552,16 @@ def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    base_col="site")
 
 
+def _q_html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML <table> -> grid cells (the web analogue of the reference's
+    PDF table-grid inference).  The oracle derives the expected cells
+    from the synthesis arithmetic directly — it never re-parses — so
+    this checks the sentinel table parser against an independent
+    computation."""
+    return htmlparse.parse_tables(htmlparse.synth_tables(
+        _t(spark, sf_dir, "documents")))
+
+
 def _q_html_link_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Site-level census of the extracted link graph: per destination
     host, total links / distinct source docs / resolved-relative
@@ -2572,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_spans": _q_html_main_spans,
         "html_links": _q_html_links,
         "html_link_census": _q_html_link_census,
+        "html_table_cells": _q_html_table_cells,
         "interval_error_clicks": _q_interval_error_clicks,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "containment_pairs": _q_containment_pairs,
@@ -2715,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "vocab_coverage": _q_vocab_coverage,
         "boilerplate_lines": _q_boilerplate_lines,
+        "boilerplate_site_lines": _q_boilerplate_site_lines,
         "multimodal_decode_bmp": _q_multimodal_decode_bmp,
         "hist_quantiles": _q_hist_quantiles,
         "dedup_incremental": _q_dedup_incremental,
@@ -3317,6 +3351,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                    sum(CASE WHEN href LIKE '/%' THEN 1 ELSE 0 END)::BIGINT
                      AS n_relative
             FROM hlinks GROUP BY 1
+        """,
+        "html_table_cells": """
+            WITH t AS (
+              SELECT doc_id, unnest(generate_series(0, doc_id % 2)) AS ti
+              FROM documents),
+            r AS (
+              SELECT doc_id, ti,
+                     unnest(generate_series(0, (doc_id + ti) % 3 + 1)) AS ri
+              FROM t),
+            c AS (
+              SELECT doc_id, ti, ri,
+                     unnest(generate_series(0, (doc_id + ti) % 2 + 1)) AS ci
+              FROM r)
+            SELECT doc_id, ti::INT AS table_idx, ri::INT AS row_idx,
+                   ci::INT AS col_idx,
+                   'v' || ((doc_id*31 + ti*13 + ri*7 + ci*3) % 997)::VARCHAR
+                     AS cell
+            FROM c
         """,
         # ---- round-5 close-out batch --------------------------------------
         "interval_error_clicks": """
@@ -4960,6 +5012,39 @@ def _oracle_sql_literal() -> dict[str, str]:
                    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
                    count(*) AS n_kept
             FROM kept GROUP BY doc_id
+        """,
+        "boilerplate_site_lines": """
+            WITH wrapped AS (
+              SELECT doc_id, source AS site,
+                     concat_ws(chr(10),
+                       'HOME | ABOUT | CONTACT',
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'SUBSCRIBE TO OUR NEWSLETTER' END,
+                       text,
+                       '(c) ' || source) AS text
+              FROM documents),
+            base AS (SELECT doc_id, site, string_split(text, chr(10)) AS ls
+                     FROM wrapped),
+            lines AS (
+              SELECT doc_id, site, unnest(ls) AS line,
+                     unnest(generate_series(1, len(ls))) AS pos
+              FROM base),
+            sd AS (SELECT site, count(DISTINCT doc_id) AS site_docs
+                   FROM wrapped GROUP BY 1),
+            dfc AS (
+              SELECT site, md5(line) AS h, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, site, line FROM lines)
+              GROUP BY 1, 2),
+            banned AS (
+              SELECT dfc.site, dfc.h FROM dfc JOIN sd USING (site)
+              WHERE df >= 3 AND df * 100 >= 40 * site_docs),
+            kept AS (
+              SELECT l.doc_id, l.site, l.line, l.pos FROM lines l
+              ANTI JOIN banned b ON l.site = b.site AND md5(l.line) = b.h)
+            SELECT doc_id, site,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id, site
         """,
         "html_boilerplate": f"""
             WITH {_SQL_DOM_BLOCKS},

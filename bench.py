@@ -116,6 +116,11 @@ BENCH_QUERIES = [
     # census over the same markup
     "html_main_spans",
     "html_link_census",
+    # r5 polish: HTML table -> grid cells (computational oracle) and
+    # RefinedWeb per-site frequent-line removal (two hash aggs + a
+    # broadcast (site, line-hash) anti-join)
+    "html_table_cells",
+    "boilerplate_site_lines",
 ]
 
 

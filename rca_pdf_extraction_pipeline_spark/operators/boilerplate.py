@@ -116,3 +116,57 @@ def remove_frequent_lines(docs: DataFrame, id_col: str = "doc_id",
         F.array_join(ordered, "\n").alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+def remove_frequent_lines_by_site(docs: DataFrame, id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  site_col: str = "site",
+                                  min_df: int = 3,
+                                  min_ratio_pct: int = 50) -> DataFrame:
+    """Per-site frequent-line removal (the RefinedWeb / MassiveWeb
+    line-level filter, public — Penedo et al. 2023 §G.2.2: lines
+    "repeated across many documents of the same domain" are navigation
+    chrome for THAT domain, even when globally rare): a line is banned
+    within site S iff it appears in >= ``min_df`` distinct documents of
+    S AND in >= ``min_ratio_pct`` percent of S's documents.  A footer
+    shared by every page of a 10-doc blog is removed from the blog yet
+    survives in the one syndicated copy on another site — the global
+    variant (:func:`remove_frequent_lines`) cannot express that.
+
+    Returns (id, site, clean_text, n_kept); documents whose every line
+    was site-boilerplate are absent.
+
+    Scale shape (mirrors the global variant; one extra TINY aggregate):
+      1. per-(site, line-hash) document frequency with map-side partial
+         agg over distinct (site, h, doc) triples;
+      2. per-site doc counts — |sites| rows, broadcast;
+      3. the ratio test is exact integer arithmetic
+         (df * 100 >= pct * site_docs): no float drift vs the oracle;
+      4. banned (site, h) pairs are few IN KIND per site, so the
+         removal is a broadcast anti-join on (site, h) inside the line
+         scan — the full line set never shuffles for the join;
+      5. one groupBy(doc) reassembles, order carried by the exploded
+         position, never partition order.
+    """
+    lines = docs.select(
+        F.col(id_col), F.col(site_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("h", F.md5("line"))
+    site_docs = (docs.groupBy(site_col)
+                 .agg(F.countDistinct(id_col).alias("site_docs")))
+    df_counts = (lines.select(site_col, "h", id_col).distinct()
+                 .groupBy(site_col, "h").agg(F.count(F.lit(1)).alias("df")))
+    banned = (df_counts
+              .join(F.broadcast(site_docs), site_col)
+              .filter((F.col("df") >= min_df)
+                      & (F.col("df") * 100
+                         >= F.lit(min_ratio_pct) * F.col("site_docs")))
+              .select(site_col, "h"))
+    kept = lines.join(F.broadcast(banned), [site_col, "h"], "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+        lambda s: s["line"])
+    return kept.groupBy(id_col, site_col).agg(
+        F.array_join(ordered, "\n").alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

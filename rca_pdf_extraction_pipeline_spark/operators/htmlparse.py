@@ -72,6 +72,8 @@ _SENT_BLK = "\x01"   # block boundary
 _SENT_TAG = "\x02"   # tag / content separator
 _SENT_IMG = "\x03"   # image boundary (span builder)
 _SENT_REF = "\x04"   # media_ref / tail separator
+_SENT_ROW = "\x05"   # table row boundary (table parser)
+_SENT_CELL = "\x06"  # table cell boundary (table parser)
 
 _OPEN_RE = "<(" + "|".join(OPEN_TAGS) + ")>"
 _TAG_RE = "<[^>]*>"
@@ -251,6 +253,51 @@ def extract_links(docs: DataFrame, html_col: str = "html",
     return out.select(id_col, "href", url.alias("url"))
 
 
+def parse_tables(docs: DataFrame, html_col: str = "html",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Markup -> ``(doc_id, table_idx, row_idx, col_idx, cell)``, one
+    row per ``<td>`` cell, all three indices 0-based and computed from
+    the markup — the web-corpus analogue of the reference's PDF
+    table-grid inference (``kernels/tablegrid.py``: positional rows ->
+    grid cells; here the grid is explicit in the tags).
+
+    Same sentinel strategy as :func:`parse_blocks` extended one level:
+    ``<table>``/``<tr>``/``<td>`` open tags are rewritten to three
+    distinct sentinel bytes, the nesting falls out of three in-array
+    splits, and each cell's text is cut at its literal ``</td>`` before
+    the tag strip — trailing markup after ``</table>`` can never glue
+    onto the last cell.  Everything runs in-array per document (nested
+    higher-order transforms carrying (table, row, col) indices), so the
+    plan is one narrow Project + one Generate — no Exchange.
+    """
+    html = F.col(html_col)
+    marked = F.regexp_replace(html, "<table>", _SENT_BLK)
+    marked = F.regexp_replace(marked, "<tr>", _SENT_ROW)
+    marked = F.regexp_replace(marked, "<td>", _SENT_CELL)
+
+    def _tail(parts: Column) -> Column:
+        return F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def _table(t: Column, ti: Column) -> Column:
+        def _row(r: Column, ri: Column) -> Column:
+            def _cell(c: Column, ci: Column) -> Column:
+                body = F.element_at(F.split(c, "</td>", 2), 1)
+                return F.struct(ti.cast("int").alias("table_idx"),
+                                ri.cast("int").alias("row_idx"),
+                                ci.cast("int").alias("col_idx"),
+                                _strip_tags(body).alias("cell"))
+            return F.transform(_tail(F.split(r, _SENT_CELL)), _cell)
+        return F.flatten(F.transform(_tail(F.split(t, _SENT_ROW)), _row))
+
+    cells = F.flatten(F.transform(_tail(F.split(marked, _SENT_BLK)), _table))
+    layer = docs.select(F.col(id_col), cells.alias("_cells"))
+    # explode_outer + post-filter: the r5 nullable-explode trap
+    return (layer.select(id_col, F.explode_outer("_cells").alias("c"))
+            .filter(F.col("c").isNotNull())
+            .select(id_col, "c.table_idx", "c.row_idx", "c.col_idx",
+                    "c.cell"))
+
+
 # ---------------------------------------------------------------------------
 # deterministic markup lift (dialect-shared synthesis)
 # ---------------------------------------------------------------------------
@@ -299,3 +346,43 @@ def synth_html(docs: DataFrame, id_col: str = "doc_id",
         F.lit("<footer>copyright site-"), sid,
         F.lit("</footer></body></html>"))
     return docs.select(F.col(id_col), site.alias("site"), html.alias("html"))
+
+
+def synth_tables(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, html)`` — deterministic TABLE markup lift: doc ``id``
+    carries ``1 + id % 2`` tables; table ``t`` is a ``(2 + (id+t) % 3)``
+    x ``(2 + (id+t) % 2)`` grid; cell ``(t, r, c)`` holds
+    ``'v' || (id*31 + t*13 + r*7 + c*3) % 997``.
+
+    The oracle twin does NOT re-parse: it derives the same cells from
+    the arithmetic directly (generate_series), so the query checks the
+    sentinel parser against an independent computation.
+    """
+    did = F.col(id_col)
+
+    def _table(t: Column) -> Column:
+        def _row(r: Column) -> Column:
+            def _cell(c: Column) -> Column:
+                v = (did * 31 + t * 13 + r * 7 + c * 3) % 997
+                return F.concat(F.lit("<td>v"), v.cast("string"),
+                                F.lit("</td>"))
+            n_cols = (did + t) % 2 + 2
+            return F.concat(
+                F.lit("<tr>"),
+                F.array_join(F.transform(
+                    F.sequence(F.lit(0).cast("long"), n_cols - 1), _cell), ""),
+                F.lit("</tr>"))
+        n_rows = (did + t) % 3 + 2
+        return F.concat(
+            F.lit("<table>"),
+            F.array_join(F.transform(
+                F.sequence(F.lit(0).cast("long"), n_rows - 1), _row), ""),
+            F.lit("</table>"))
+
+    tables = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("long"), did % 2), _table), "")
+    html = F.concat(
+        F.lit("<html><body><h1>Tables "), did.cast("string"),
+        F.lit("</h1>"), tables,
+        F.lit("<footer>generated</footer></body></html>"))
+    return docs.select(F.col(id_col), html.alias("html"))

@@ -106,6 +106,47 @@ def test_remove_frequent_lines_semantics(spark):
     assert out2 == {1, 2, 3, 4, 5}
 
 
+def test_remove_frequent_lines_by_site_semantics(spark):
+    """Per-site banning: site A's footer (3/3 docs of A) is removed from
+    A yet the SAME line survives in site B where it appears once (1/4 =
+    25% < 50% ratio and df 1 < min_df); a 50%-of-B line is banned in B
+    only once BOTH gates pass; order of surviving lines is original."""
+    from rca_pdf_extraction_pipeline_spark.operators import boilerplate as bp
+
+    foot = "(c) acme - all rights reserved"
+    half = "SUBSCRIBE"
+    rows = [
+        ("A", 1, f"alpha\n{foot}"),
+        ("A", 2, f"{foot}\nbeta"),
+        ("A", 3, f"gamma\n{foot}\n{foot}"),      # within-doc repeat: df 1
+        ("B", 4, f"syndicated\n{foot}"),         # survives here (df 1 in B)
+        ("B", 5, f"delta\n{half}"),
+        ("B", 6, f"epsilon\n{half}"),
+        ("B", 7, f"zeta\n{half}"),               # half: 3/4 of B = 75%
+        ("B", 8, "eta"),
+    ]
+    d = spark.createDataFrame(rows, "site string, doc_id long, text string")
+    out = {r.doc_id: (r.site, r.clean_text, r.n_kept)
+           for r in bp.remove_frequent_lines_by_site(
+               d, min_df=3, min_ratio_pct=50).collect()}
+    assert out == {
+        1: ("A", "alpha", 1), 2: ("A", "beta", 1), 3: ("A", "gamma", 1),
+        4: ("B", f"syndicated\n{foot}", 2),
+        5: ("B", "delta", 1), 6: ("B", "epsilon", 1), 7: ("B", "zeta", 1),
+        8: ("B", "eta", 1)}
+    # ratio gate alone blocks: foot is 3/3 of A but min_ratio 101% bans
+    # nothing; SUBSCRIBE at min_df=4 fails the df gate despite 75%
+    out2 = bp.remove_frequent_lines_by_site(
+        d, min_df=3, min_ratio_pct=101).collect()
+    assert all("(c) acme" in r.clean_text or r.site == "B"
+               for r in out2 if r.doc_id <= 3) and len(out2) == 8
+    out3 = {r.doc_id: r.clean_text
+            for r in bp.remove_frequent_lines_by_site(
+                d, min_df=4, min_ratio_pct=50).collect()}
+    assert out3[5] == f"delta\n{half}"          # df 3 < 4: kept
+    assert out3[1] == f"alpha\n{foot}"          # df 3 < 4: kept
+
+
 def test_decode_media_real_path_graceful_on_non_bmp(spark, media_df):
     """fake=False now REALLY decodes BMP; non-BMP payloads (these are
     UTF-8 text bytes) come back ok=False with zero geometry instead of

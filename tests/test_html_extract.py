@@ -166,6 +166,61 @@ def test_links_no_base_and_odd_schemes(spark):
     assert by_href == {"/rel": None, "mailto:x@y.z": None, "#frag": None}
 
 
+# ---- parse_tables ----------------------------------------------------------
+
+
+TBL = ('<html><body><h1>ignored</h1>'
+       '<table><tr><td>a1</td><td>a2</td></tr>'
+       '<tr><td>b1</td><td>b <b>bold</b> 2</td></tr></table>'
+       'between text'
+       '<table><tr><td>only</td></tr></table>'
+       '<footer>trailing junk</footer></body></html>')
+
+
+def test_parse_tables_hand_check(spark):
+    rows = (HP.parse_tables(_html(spark, [(1, TBL)]))
+            .orderBy("table_idx", "row_idx", "col_idx").collect())
+    got = [(r.table_idx, r.row_idx, r.col_idx, r.cell) for r in rows]
+    assert got == [
+        (0, 0, 0, "a1"), (0, 0, 1, "a2"),
+        (0, 1, 0, "b1"), (0, 1, 1, "b bold 2"),   # inline tags stripped
+        (1, 0, 0, "only"),                         # footer never glues on
+    ]
+
+
+def test_parse_tables_no_tables_and_empty_cell(spark):
+    h1 = "<html><body><p>no tables here</p></body></html>"
+    h2 = "<html><body><table><tr><td></td><td>x</td></tr></table></body></html>"
+    rows = HP.parse_tables(_html(spark, [(1, h1), (2, h2)])).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert sorted((r.col_idx, r.cell) for r in rows) == [(0, ""), (1, "x")]
+
+
+def test_synth_tables_rule_and_roundtrip(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in (3, 4)],
+                                 "doc_id long")
+    cells = (HP.parse_tables(HP.synth_tables(docs))
+             .orderBy("doc_id", "table_idx", "row_idx", "col_idx").collect())
+    # doc 3: 1 + 3%2 = 2 tables; table 0 is (2 + 3%3) x (2 + 3%2) = 2x3
+    d3t0 = [(r.row_idx, r.col_idx, r.cell) for r in cells
+            if r.doc_id == 3 and r.table_idx == 0]
+    assert len(d3t0) == 2 * 3
+    assert d3t0[0] == (0, 0, f"v{(3 * 31) % 997}")
+    assert d3t0[-1] == (1, 2, f"v{(3 * 31 + 7 + 2 * 3) % 997}")
+    # doc 4: 1 table, (2 + 4%3) x (2 + 4%2) = 3x2
+    d4 = [(r.table_idx, r.row_idx, r.col_idx) for r in cells if r.doc_id == 4]
+    assert d4 == [(0, r, c) for r in range(3) for c in range(2)]
+
+
+def test_plan_parse_tables_single_generate_no_exchange(spark):
+    df = HP.parse_tables(HP.synth_tables(
+        spark.createDataFrame([Row(doc_id=1)], "doc_id long")))
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("Generate") == 1
+    assert "EvalPython" not in plan
+
+
 # ---- interleaved-family composition ----------------------------------------
 
 

@@ -443,3 +443,46 @@ def test_interleaved_quality_and_merge_stream_equals_batch(spark, tmp_path):
     got_m = _spans_by_doc(spark.read.parquet(outs["merged"]).collect())
     want_m = _spans_by_doc(I.merge_adjacent_text(inter).collect())
     assert got_m == want_m
+
+
+def test_html_main_spans_stream_equals_batch(spark, tmp_path):
+    """The raw-HTML extraction family (synth_html markup lift ->
+    sentinel-split DOM parse -> in-array Boilerpipe scoring -> span
+    assembly) is one narrow stateless map, so it runs unchanged under
+    Structured Streaming: a file stream of (doc_id, site, html) pages
+    must yield exactly the batch main-content span sequences."""
+    from pyspark.sql import functions as F
+
+    from rca_pdf_extraction_pipeline_spark.operators import htmlparse as HP
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(8 + (i * 5) % 40)))
+         for i in range(14)], "doc_id long, text string")
+    pages = HP.synth_html(docs)
+    in_dir = str(tmp_path / "in")
+    pages.filter("doc_id < 7").coalesce(1).write.parquet(f"{in_dir}/a")
+    pages.filter("doc_id >= 7").coalesce(1).write.parquet(f"{in_dir}/b")
+    import glob
+    import shutil
+    for i, p in enumerate(sorted(glob.glob(f"{in_dir}/*/part-*.parquet"))):
+        shutil.move(p, f"{in_dir}/pages_{i}.parquet")
+    for d in ("a", "b"):
+        shutil.rmtree(f"{in_dir}/{d}")
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out, ckpt = (str(tmp_path / d) for d in ("out", "ckpt"))
+    q = (HP.to_spans(stream, content_only=True)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = _spans_by_doc(spark.read.parquet(out).collect())
+    want = _spans_by_doc(HP.to_spans(pages, content_only=True).collect())
+    assert got == want and len(got) == 14
