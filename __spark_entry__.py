@@ -2552,6 +2552,14 @@ def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    base_col="site")
 
 
+def _q_html_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document outline: every DOM block labelled with its nearest
+    preceding h1 (in-array running-state fold, zero shuffle).  The
+    oracle is an independent WINDOWED formulation — last_value(heading
+    IGNORE NULLS) over the parsed block CTE — of the same scan."""
+    return htmlparse.section_outline(_html_corpus(spark, sf_dir))
+
+
 def _q_html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML <table> -> grid cells (the web analogue of the reference's
     PDF table-grid inference).  The oracle derives the expected cells
@@ -2605,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": _q_html_links,
         "html_link_census": _q_html_link_census,
         "html_table_cells": _q_html_table_cells,
+        "html_sections": _q_html_sections,
         "interval_error_clicks": _q_interval_error_clicks,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "containment_pairs": _q_containment_pairs,
@@ -3351,6 +3360,15 @@ def _oracle_sql_literal() -> dict[str, str]:
                    sum(CASE WHEN href LIKE '/%' THEN 1 ELSE 0 END)::BIGINT
                      AS n_relative
             FROM hlinks GROUP BY 1
+        """,
+        "html_sections": html_ctes + """
+            SELECT doc_id, idx, tag, text,
+                   last_value(CASE WHEN tag = 'h1' THEN text END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY doc_id ORDER BY idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS section
+            FROM hbtext
         """,
         "html_table_cells": """
             WITH t AS (

@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     # broadcast (site, line-hash) anti-join)
     "html_table_cells",
     "boilerplate_site_lines",
+    # r5 polish: heading section outline (in-array running-state fold)
+    "html_sections",
 ]
 
 

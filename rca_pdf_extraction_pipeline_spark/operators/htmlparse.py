@@ -253,6 +253,47 @@ def extract_links(docs: DataFrame, html_col: str = "html",
     return out.select(id_col, "href", url.alias("url"))
 
 
+def section_outline(docs: DataFrame, html_col: str = "html",
+                    id_col: str = "doc_id",
+                    heading_tags: tuple[str, ...] = ("h1",)) -> DataFrame:
+    """Markup -> ``(doc_id, idx, tag, text, section)``: every DOM block
+    labelled with the text of its nearest PRECEDING heading block — the
+    document outline a section-aware chunker groups by (heading blocks
+    label themselves; blocks before the first heading get NULL).
+
+    The running "current heading" state threads through an IN-ARRAY
+    ``aggregate`` fold over the block array, so the whole outline is one
+    narrow map — zero shuffle, zero window.  The fold appends to the
+    accumulator array (O(blocks^2) element copies per document); DOM
+    block counts are O(100) per page, so the quadratic in-array copy is
+    orders cheaper than the per-doc window exchange it replaces.
+
+    Oracle twin: ``last_value(heading IGNORE NULLS)`` over the parsed
+    block CTE — an independent windowed formulation of the same scan.
+    """
+    out_t = "array<struct<tag:string,text:string,section:string>>"
+    zero = F.struct(F.lit(None).cast("string").alias("h"),
+                    F.array().cast(out_t).alias("acc"))
+
+    def _step(acc: Column, b: Column) -> Column:
+        is_h = F.lower(b["tag"]).isin(list(heading_tags))
+        h = F.when(is_h, b["text"]).otherwise(acc["h"])
+        row = F.struct(b["tag"].alias("tag"), b["text"].alias("text"),
+                       h.alias("section"))
+        return F.struct(h.alias("h"),
+                        F.concat(acc["acc"], F.array(row)).alias("acc"))
+
+    folded = F.aggregate(_block_array(F.col(html_col)), zero, _step,
+                         lambda a: a["acc"])
+    layer = docs.select(F.col(id_col), folded.alias("_out"))
+    return (layer.select(id_col,
+                         F.posexplode_outer("_out").alias("idx", "b"))
+            .filter(F.col("b").isNotNull())
+            .select(id_col, "idx", F.col("b.tag").alias("tag"),
+                    F.col("b.text").alias("text"),
+                    F.col("b.section").alias("section")))
+
+
 def parse_tables(docs: DataFrame, html_col: str = "html",
                  id_col: str = "doc_id") -> DataFrame:
     """Markup -> ``(doc_id, table_idx, row_idx, col_idx, cell)``, one

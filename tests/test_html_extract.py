@@ -166,6 +166,52 @@ def test_links_no_base_and_odd_schemes(spark):
     assert by_href == {"/rel": None, "mailto:x@y.z": None, "#frag": None}
 
 
+# ---- section_outline -------------------------------------------------------
+
+
+def test_section_outline_multi_heading(spark):
+    h = ('<html><head><title>T</title></head><body>'
+         '<p>preamble text</p>'
+         '<h1>Intro</h1><p>a</p><p>b</p>'
+         '<h1>Methods</h1><p>c</p>'
+         '<footer>f</footer></body></html>')
+    rows = (HP.section_outline(_html(spark, [(1, h)]))
+            .orderBy("idx").collect())
+    got = [(r.tag, r.text, r.section) for r in rows]
+    assert got == [
+        ("title", "T", None),            # before any heading -> NULL
+        ("p", "preamble text", None),
+        ("h1", "Intro", "Intro"),        # heading labels itself
+        ("p", "a", "Intro"),
+        ("p", "b", "Intro"),
+        ("h1", "Methods", "Methods"),    # state advances
+        ("p", "c", "Methods"),
+        ("footer", "f", "Methods"),      # carries to end of doc
+    ]
+    assert [r.idx for r in rows] == list(range(8))
+
+
+def test_section_outline_custom_heading_tags(spark):
+    # nav promoted to a heading tag: the fold is tag-set generic
+    h = ('<html><body><nav>NavSec</nav><p>x</p>'
+         '<h1>H</h1><p>y</p></body></html>')
+    rows = (HP.section_outline(_html(spark, [(1, h)]),
+                               heading_tags=("h1", "nav"))
+            .orderBy("idx").collect())
+    assert [(r.text, r.section) for r in rows] == [
+        ("NavSec", "NavSec"), ("x", "NavSec"), ("H", "H"), ("y", "H")]
+
+
+def test_plan_section_outline_zero_exchange(spark):
+    df = HP.section_outline(HP.synth_html(
+        spark.createDataFrame([Row(doc_id=1, text="x y z")],
+                              "doc_id long, text string")))
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("Generate") == 1
+    assert "EvalPython" not in plan
+
+
 # ---- parse_tables ----------------------------------------------------------
 
 
