@@ -161,12 +161,20 @@ def extract_with_checkpoint(
     waves: int = 4,
     max_waves: int | None = None,
     input_desc: str = "",
+    transform=None,
+    operation: str = "extract_documents",
 ) -> dict:
     """Run the extraction pipeline over ``docs`` with bucket-level
     checkpointing into ``table_dir``; returns a run report.
 
     ``max_waves`` limits how many waves run (used by tests to simulate
     a mid-run failure); a subsequent call resumes from the manifest.
+
+    ``transform`` swaps the per-wave operator: any ``(df, cfg) ->
+    (doc_id, spans)`` callable rides the same salting, bucket waves,
+    observed metrics and snapshot commits (default
+    :func:`extract_documents`; the raw-HTML job passes
+    ``htmlparse.to_spans``).  ``operation`` labels the lineage record.
     """
     table_dir = Path(table_dir)
     manifest = SnapshotManifest(table_dir)
@@ -184,7 +192,8 @@ def extract_with_checkpoint(
     for group in wave_groups:
         sub = docs.filter(bucket.isin([int(b) for b in group]))
         snap = _run_wave(spark, sub, group, table_dir, manifest, cfg,
-                         n_buckets, input_desc)
+                         n_buckets, input_desc, transform=transform,
+                         operation=operation)
         ran.append(snap)
 
     return {
@@ -200,7 +209,8 @@ def extract_with_checkpoint(
 def _run_wave(spark: SparkSession, sub: DataFrame, group: list[int],
               table_dir: Path, manifest: SnapshotManifest,
               cfg: ExtractionConfig, n_buckets: int,
-              input_desc: str) -> dict:
+              input_desc: str, transform=None,
+              operation: str = "extract_documents") -> dict:
     """One checkpoint wave: scrub uncommitted leftovers, extract, write
     bucket-partitioned output, commit the snapshot."""
     # scrub leftovers of a crashed earlier attempt: files under an
@@ -213,8 +223,8 @@ def _run_wave(spark: SparkSession, sub: DataFrame, group: list[int],
 
             shutil.rmtree(leftover)
     sub = skew.salted_repartition(sub, cfg)
-    out = extract_documents(sub, cfg).withColumn("_bucket",
-                                                 _bucket_col(n_buckets))
+    out = ((transform or extract_documents)(sub, cfg)
+           .withColumn("_bucket", _bucket_col(n_buckets)))
 
     obs = Observation(f"wave-{group[0]}")
     out = out.observe(
@@ -239,7 +249,7 @@ def _run_wave(spark: SparkSession, sub: DataFrame, group: list[int],
         lineage={
             "input": input_desc,
             "app_id": spark.sparkContext.applicationId,
-            "operation": "extract_documents",
+            "operation": operation,
             "n_buckets": n_buckets,
         },
         files=files,
