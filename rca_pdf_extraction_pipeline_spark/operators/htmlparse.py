@@ -45,10 +45,11 @@ verbatim: caption pairing, packing, span diff, asset census).
 
 100 TB shape: everything here is a pure map over the document scan —
 no Exchange anywhere (plan-pinned).  The only Generate is the final
-explode in :func:`parse_blocks`/:func:`extract_links`; the span
-builders stay nested.  Block arrays are projected ONCE into a column
-layer and every derived expression references the layer (the
-Generate-no-CSE / CollapseProject discipline, CLAUDE.md).
+explode in :func:`parse_blocks`/:func:`parse_tables`/
+:func:`section_outline`/:func:`extract_links`; the span builders stay
+nested.  Block arrays are projected ONCE into a column layer and every
+derived expression references the layer (the Generate-no-CSE /
+CollapseProject discipline, CLAUDE.md).
 """
 
 from __future__ import annotations
