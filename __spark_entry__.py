@@ -1423,6 +1423,15 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints, exploded (doc_id, pos,
+    gram_hash), on a deterministic 1-in-10 document slice — the slice
+    keeps the oracle compare small; the operator itself is corpus-wide
+    narrow work."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return textanalysis.winnow_fingerprints(docs, k=3, w=4)
+
+
 def _q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.unigram_logprob(_t(spark, sf_dir, "documents"))
 
@@ -2585,6 +2594,14 @@ def _q_html_link_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(0)).alias("n_relative")))
 
 
+def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata census (title / first h1 / anchor count / lead
+    image) parsed from the raw markup; the oracle derives every column
+    from the synthesis ARITHMETIC — an independent check of the
+    parser, like html_table_cells."""
+    return htmlparse.parse_meta(_html_corpus(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is a contract, not cosmetics: the driver's correctness
     gate hashes only the FIRST 50 keys against the DuckDB oracles, so the
@@ -2612,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_spans": _q_html_main_spans,
         "html_links": _q_html_links,
         "html_link_census": _q_html_link_census,
+        "html_meta": _q_html_meta,
         "html_table_cells": _q_html_table_cells,
         "html_sections": _q_html_sections,
         "interval_error_clicks": _q_interval_error_clicks,
@@ -2739,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_block_scores": _q_html_block_scores,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_winnow": _q_text_winnow,
         "c1_classify_golden": _q_classify_golden,
         "p2_samples_golden": _q_samples_golden,
         "h1_headers_golden": _q_headers_golden,
@@ -3360,6 +3379,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                    sum(CASE WHEN href LIKE '/%' THEN 1 ELSE 0 END)::BIGINT
                      AS n_relative
             FROM hlinks GROUP BY 1
+        """,
+        "html_meta": html_ctes + """
+            SELECT doc_id,
+                   'Doc ' || doc_id::VARCHAR AS title,
+                   p1a AS h1,
+                   (2 + CASE WHEN length(p2) > 0 THEN 1 ELSE 0 END)::INT
+                     AS n_links,
+                   doc_id % 2 = 0 AS has_img,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'img-' || doc_id::VARCHAR || '.png'
+                        END AS first_img
+            FROM hs1
         """,
         "html_sections": html_ctes + """
             SELECT doc_id, idx, tag, text,
@@ -5746,6 +5777,29 @@ def _oracle_sql_literal() -> dict[str, str]:
                   list_transform(toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
                 (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
             FROM t
+        """,
+        "text_winnow": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), t -> t != '') AS toks
+              FROM documents WHERE doc_id % 10 = 0
+            ), h AS (
+              SELECT doc_id, list_transform(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE [text] END,
+                       g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+              FROM base
+            ), win AS (
+              SELECT doc_id, i, list_slice(hs, i, i + 3) AS wn
+              FROM h, unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS t(i)
+            )
+            SELECT DISTINCT doc_id,
+              (i + list_max(list_filter(generate_series(1, len(wn)),
+                   j -> wn[j] = list_min(wn))) - 1)::BIGINT AS pos,
+              list_min(wn)::BIGINT AS gram_hash
+            FROM win
         """,
         "text_repetition": repetition_sql,
         "text_unigram_lm": """

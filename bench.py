@@ -123,6 +123,10 @@ BENCH_QUERIES = [
     "boilerplate_site_lines",
     # r5 polish: heading section outline (in-array running-state fold)
     "html_sections",
+    # r5 polish: winnowing local fingerprints (single-md5 narrow map)
+    # and the page-metadata census over raw markup (pure regexp map)
+    "text_winnow",
+    "html_meta",
 ]
 
 

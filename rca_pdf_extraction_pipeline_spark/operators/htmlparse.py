@@ -194,6 +194,35 @@ def parse_blocks(docs: DataFrame, html_col: str = "html",
                     F.col("b.anchor_chars").alias("anchor_chars")))
 
 
+def parse_meta(docs: DataFrame, html_col: str = "html",
+               id_col: str = "doc_id") -> DataFrame:
+    """Page-metadata census over raw markup: ``(doc_id, title, h1,
+    n_links, has_img, first_img)`` — the ``<head>``/landmark summary a
+    crawler-side extraction records per page (title tag, first heading,
+    anchor count, lead image) before any content decision is made.
+    Web analogue of the reference's per-document metadata scan S5
+    (``database.py`` page/doc tables: counts + identifying strings).
+
+    Pure regexp column expressions over the markup — narrow, zero
+    shuffle, no UDF; ``first_img`` is NULL for pages without an
+    ``<img>``.  The entry-query oracle derives every column from the
+    synthesis ARITHMETIC (never re-parses), so it checks the parser
+    independently, like ``html_table_cells``.
+    """
+    h = F.col(html_col)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_extract(h, r"<title>(.*?)</title>", 1).alias("title"),
+        F.regexp_extract(h, r"<h1>(.*?)</h1>", 1).alias("h1"),
+        F.size(F.regexp_extract_all(h, F.lit('<a href="'), 0))
+         .alias("n_links"),
+        h.contains("<img ").alias("has_img"),
+        F.when(h.contains("<img "),
+               F.regexp_extract(h, r'<img src="([^"]*)"', 1))
+         .alias("first_img"),
+    )
+
+
 def to_spans(docs: DataFrame, html_col: str = "html",
              id_col: str = "doc_id", content_only: bool = False) -> DataFrame:
     """Markup -> interleaved spans ``(doc_id, spans:array<struct<kind,

@@ -9,7 +9,7 @@ single scan stage with full predicate pushdown and column pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -364,6 +364,62 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         H.rolling_fingerprint(T.tokens(F.col(text_col))).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        w: int = 4) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD '03 §3 — the MOSS local-fingerprinting scheme): over the
+    sequence of word-``k``-gram hashes, every window of ``w``
+    consecutive hashes contributes its minimum — ties broken toward the
+    RIGHTMOST occurrence, the paper's robust rule — and the selected
+    ``(position, hash)`` pairs are deduplicated.  Guarantees any shared
+    run of ``w + k - 1`` words between two documents yields at least
+    one shared fingerprint, at expected density ``2 / (w + 1)`` — the
+    position-aware middle ground between the whole-document rolling
+    hash (:func:`fingerprints`) and per-shingle MinHash (which forgets
+    positions).  Beyond the reference (its dedup surface is per-page
+    exact text, ``core_analysis.py``); standard overlap-detection
+    primitive for a training corpus.
+
+    Output: ``(doc_id, pos, gram_hash)`` — ``pos`` is the 1-based index
+    of the selected k-gram.  Scale: fully narrow.  ONE md5 per gram,
+    projected into a column layer every window slice references (the
+    single-hash discipline; plan pin: exactly one md5 in one Project),
+    then integer slice/min passes over a ``w``-sized constant window.
+    No shuffle, no explode of separately-projected expensive columns —
+    the selection array derives from the hashed layer column only.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1; got {w}")
+    hashed = F.transform(T.shingles(F.col(text_col), k),
+                         lambda g: H.hash32(g))
+    layer = docs.select(F.col(id_col), hashed.alias("_h"))
+    h = F.col("_h")
+
+    def pick(i: Column) -> Column:
+        win = F.slice(h, i, w)
+        m = F.array_min(win)
+        # rightmost position of the window minimum: max index attaining it
+        p = F.array_max(F.filter(
+            F.sequence(F.lit(1), F.size(win)),
+            lambda j: F.element_at(win, j) == m))
+        return F.struct((i + p - 1).cast("long").alias("pos"),
+                        m.alias("gram_hash"))
+
+    sel = F.array_distinct(
+        F.transform(F.sequence(F.lit(1),
+                               F.greatest(F.size(h) - (w - 1), F.lit(1))),
+                    pick))
+    # explode_outer + IS NOT NULL: the nullable computed array would
+    # otherwise get an inferred pre-Generate Filter whose pushdown
+    # re-evaluates the synthesis (CLAUDE.md interleaved-explode trap)
+    return (layer.select(F.col(id_col), F.explode_outer(sel).alias("_fp"))
+            .filter(F.col("_fp").isNotNull())
+            .select(F.col(id_col),
+                    F.col("_fp.pos").alias("pos"),
+                    F.col("_fp.gram_hash").alias("gram_hash")))
 
 
 def vocabulary(docs: DataFrame, top_v: int | None = None,

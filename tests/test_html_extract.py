@@ -76,6 +76,25 @@ def test_parse_blocks_feeds_boilerplate_operator(spark):
 # ---- to_spans --------------------------------------------------------------
 
 
+def test_parse_meta_hand_check(spark):
+    row = HP.parse_meta(_html(spark, [(1, PAGE)])).collect()[0]
+    assert row.title == "T one"
+    assert row.h1 == "Big heading here"
+    assert row.n_links == 3          # /a, absolute /b, /go
+    assert row.has_img is True
+    assert row.first_img == "m-1.png"
+
+
+def test_parse_meta_absent_fields(spark):
+    page = "<html><head></head><body><p>just text</p></body></html>"
+    row = HP.parse_meta(_html(spark, [(1, page)])).collect()[0]
+    assert row.title == "" and row.h1 == ""
+    assert row.n_links == 0
+    assert row.has_img is False and row.first_img is None
+    plan = _plan(HP.parse_meta(_html(spark, [(1, page)])))
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_to_spans_splits_text_at_img(spark):
     out = (HP.to_spans(_html(spark, [(1, PAGE)]))
            .select(F.explode("spans").alias("s")).select("s.*").collect())

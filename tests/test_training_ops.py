@@ -312,6 +312,59 @@ def test_fingerprint_order_sensitivity(spark):
     assert fp[1] != fp[3]  # rolling hash is order-sensitive
 
 
+def _winnow_brute(text: str, k: int = 3, w: int = 4) -> set[tuple[int, int]]:
+    """Reference winnowing in plain Python (rightmost-min rule)."""
+    import hashlib as _hl
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) >= k:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [text]
+    hs = [int(_hl.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    out = set()
+    for i in range(max(len(hs) - w + 1, 1)):
+        win = hs[i:i + w]
+        m = min(win)
+        p = max(j for j, v in enumerate(win) if v == m)
+        out.add((i + p + 1, m))  # 1-based gram index
+    return out
+
+
+def test_winnow_matches_bruteforce(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "tiny doc"),            # < k tokens -> whole-text gram
+            (4, "x y z")]               # exactly k tokens -> one gram
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["pos"], r["gram_hash"])
+           for r in textanalysis.winnow_fingerprints(df).collect()}
+    want = {(d, p, h) for d, t in rows for (p, h) in _winnow_brute(t)}
+    assert got == want
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # any shared run of w+k-1 = 6 words must yield a shared fingerprint
+    shared = "one two three four five six"
+    rows = [(1, "aa bb cc " + shared + " dd ee"),
+            (2, "zz yy " + shared + " xx ww vv uu")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = textanalysis.winnow_fingerprints(df).collect()
+    h1 = {r["gram_hash"] for r in fps if r["doc_id"] == 1}
+    h2 = {r["gram_hash"] for r in fps if r["doc_id"] == 2}
+    assert h1 & h2
+
+
+def test_winnow_guard_and_plan(spark):
+    import pytest as _pt
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        textanalysis.winnow_fingerprints(df, w=0)
+    plan = textanalysis.winnow_fingerprints(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("md5") == 1, plan   # single-hash discipline holds
+    assert "Exchange" not in plan         # fully narrow
+
+
 def test_deduplicate_corpus_keep_first(corpus):
     kept = sorted(r["doc_id"]
                   for r in dedup.deduplicate_corpus(corpus, jaccard_threshold=0.5)
