@@ -2510,6 +2510,23 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    min_containment_micro=500_000)
 
 
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-pruned overlap pairs (MOSS corpus formulation) on the same
+    derived snippet corpus as containment_pairs: every 40-token snippet
+    shares runs far beyond w+k-1 = 6 words with its parent, so the
+    winnowing guarantee forces each (parent, snippet) pair into the
+    candidate set from an index ~2/(w+1) the full-shingle size."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snips = (d.filter(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.array_join(
+                         F.slice(textfns.tokens(F.col("text")), 1, 40), " ")
+                     .alias("text")))
+    corpus = d.unionByName(snips)
+    return dedup.winnow_overlap_pairs(corpus, k=3, w=4, df_cap=16,
+                                      min_shared=2)
+
+
 # ---- raw-HTML markup extraction (north_rule: boilerplate strip from
 # ---- markup; operators/htmlparse.py) ---------------------------------------
 
@@ -2635,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_error_clicks": _q_interval_error_clicks,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "containment_pairs": _q_containment_pairs,
+        "winnow_pairs": _q_winnow_pairs,
         "interleaved_merged": _q_interleaved_merged,
         "media_context": _q_media_context,
         "asset_census": _q_asset_census,
@@ -3480,6 +3498,38 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pr
             WHERE greatest((n_shared * 1000000) // n_a,
                            (n_shared * 1000000) // n_b) >= 500000
+        """,
+        "winnow_pairs": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+              FROM documents),
+            corpus AS (
+              SELECT doc_id, text, toks FROM base
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     array_to_string(toks[1:40], ' ') AS text,
+                     toks[1:40] AS toks
+              FROM base WHERE doc_id % 5 = 0),
+            h AS (
+              SELECT doc_id, list_transform(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE [text] END,
+                       g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+              FROM corpus),
+            win AS (
+              SELECT doc_id, i, list_slice(hs, i, i + 3) AS wn
+              FROM h, unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS t(i)),
+            sel AS (SELECT DISTINCT doc_id, list_min(wn)::BIGINT AS gh FROM win),
+            dfreq AS (SELECT gh, count(*) AS df FROM sel GROUP BY gh),
+            ok AS (SELECT sel.doc_id, sel.gh FROM sel JOIN dfreq USING (gh)
+                   WHERE df BETWEEN 2 AND 16)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM ok a JOIN ok b ON a.gh = b.gh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # ---- extraction: golden-artifact oracles --------------------------
         "extract_flagship": f"""

@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     # and the page-metadata census over raw markup (pure regexp map)
     "text_winnow",
     "html_meta",
+    # r5 polish: MOSS-style winnow-pruned overlap pair mining (postings
+    # over the selected hashes only — 2 exchanges, grams never shuffle)
+    "winnow_pairs",
 ]
 
 

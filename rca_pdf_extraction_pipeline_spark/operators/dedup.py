@@ -810,3 +810,57 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
                        cont_b.alias("cont_b_micro"))
             .filter(F.greatest(F.col("cont_a_micro"), F.col("cont_b_micro"))
                     >= min_containment_micro))
+
+
+def winnow_overlap_pairs(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 3, w: int = 4,
+                         df_cap: int = 16,
+                         min_shared: int = 2) -> DataFrame:
+    """Winnow-pruned overlap candidate pairs — the MOSS corpus
+    formulation (Schleimer et al. SIGMOD'03 §5): posting lists are
+    built over the winnowing-SELECTED k-gram hashes only
+    (``textanalysis.winnow_selection``, expected density 2/(w+1)), so
+    the inverted index is ~(w+1)/2 smaller than full-shingle
+    containment while the selection guarantee keeps recall exact for
+    long overlaps: any shared run of at least ``w + k - 1`` words still
+    lands at least one shared selected hash in both documents.
+
+    Shape mirrors :func:`containment_pairs`: selected-hash set derived
+    in-array from ONE md5-hashed gram layer (zero pre-aggregation
+    shuffle), explode, posting lists per hash df-capped at ``df_cap``
+    (hashes shared by more documents are boilerplate, dropped —
+    documented lower-bound numerator), pairs generated INSIDE each
+    posting array, one count per ordered pair.  Two exchanges total;
+    gram text never shuffles.  Returns ``(id_a, id_b, n_shared)`` with
+    ``id_a < id_b`` and ``n_shared >= min_shared``.
+    """
+    if df_cap < 2:
+        raise ValueError("df_cap must be >= 2 (a pair needs two docs)")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1; got {min_shared}")
+    from . import textanalysis as TA
+    hashed = F.transform(T.shingles(F.col(text_col), k),
+                         lambda g: H.hash32(g))
+    layer = docs.select(F.col(id_col), hashed.alias("_h"))
+    hs = F.array_distinct(F.transform(TA.winnow_selection(F.col("_h"), w),
+                                      lambda s: s["gram_hash"]))
+    sel = layer.select(id_col, hs.alias("_sel"))
+    exploded = (sel.select(id_col, F.explode_outer("_sel").alias("_gh"))
+                .filter(F.col("_gh").isNotNull()))
+    posts = (exploded.groupBy("_gh")
+             .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+             .filter((F.size("_ids") >= 2) & (F.size("_ids") <= df_cap)))
+    sorted_posts = posts.select(F.array_sort("_ids").alias("_ids"))
+    ids = F.col("_ids")
+    n = F.size(ids)
+    pair_arrays = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + F.lit(1), n),
+            lambda j: F.struct(F.element_at(ids, i).alias("a"),
+                               F.element_at(ids, j).alias("b")))))
+    pairs = (sorted_posts.select(F.explode(pair_arrays).alias("p"))
+             .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -366,6 +366,31 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
     )
 
 
+def winnow_selection(hashed: Column, w: int) -> Column:
+    """Winnowing selection array ``array<struct<pos, gram_hash>>`` over
+    a k-gram-hash array column: per length-``w`` window, the minimum
+    hash (rightmost tie), deduplicated.  Factored out so the exploded
+    fingerprint query and pair mining (``dedup.winnow_overlap_pairs``)
+    share one formulation.  ``hashed`` MUST be a projected column
+    attribute, not an inline expensive expression — every window slice
+    references it (the single-hash layer discipline)."""
+    def pick(i: Column) -> Column:
+        win = F.slice(hashed, i, w)
+        m = F.array_min(win)
+        # rightmost position of the window minimum: max index attaining it
+        p = F.array_max(F.filter(
+            F.sequence(F.lit(1), F.size(win)),
+            lambda j: F.element_at(win, j) == m))
+        return F.struct((i + p - 1).cast("long").alias("pos"),
+                        m.alias("gram_hash"))
+
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1),
+                               F.greatest(F.size(hashed) - (w - 1),
+                                          F.lit(1))),
+                    pick))
+
+
 def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         w: int = 4) -> DataFrame:
@@ -396,22 +421,7 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     hashed = F.transform(T.shingles(F.col(text_col), k),
                          lambda g: H.hash32(g))
     layer = docs.select(F.col(id_col), hashed.alias("_h"))
-    h = F.col("_h")
-
-    def pick(i: Column) -> Column:
-        win = F.slice(h, i, w)
-        m = F.array_min(win)
-        # rightmost position of the window minimum: max index attaining it
-        p = F.array_max(F.filter(
-            F.sequence(F.lit(1), F.size(win)),
-            lambda j: F.element_at(win, j) == m))
-        return F.struct((i + p - 1).cast("long").alias("pos"),
-                        m.alias("gram_hash"))
-
-    sel = F.array_distinct(
-        F.transform(F.sequence(F.lit(1),
-                               F.greatest(F.size(h) - (w - 1), F.lit(1))),
-                    pick))
+    sel = winnow_selection(F.col("_h"), w)
     # explode_outer + IS NOT NULL: the nullable computed array would
     # otherwise get an inferred pre-Generate Filter whose pushdown
     # re-evaluates the synthesis (CLAUDE.md interleaved-explode trap)

@@ -182,3 +182,66 @@ def test_containment_guard_and_single_md5(spark):
     # size()/explode consumers derive from the column layer, never
     # re-evaluate the hash fold (CLAUDE.md single-evaluation rule)
     assert plan.count("md5") == 1, plan
+
+
+# ---- winnow-pruned overlap pairs -------------------------------------------
+
+
+def _winnow_brute_pairs(rows, k=3, w=4, df_cap=16, min_shared=2):
+    """Plain-Python replay: winnow selection per doc, df-capped posting
+    lists, shared-hash counts per pair."""
+    import hashlib as _hl
+    from collections import defaultdict
+
+    sel = {}
+    for did, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        grams = ([" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+                 if len(toks) >= k else [text])
+        hs = [int(_hl.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        chosen = set()
+        for i in range(max(len(hs) - w + 1, 1)):
+            win = hs[i:i + w]
+            chosen.add(min(win))
+        sel[did] = chosen
+    posts = defaultdict(set)
+    for did, hs in sel.items():
+        for h in hs:
+            posts[h].add(did)
+    counts = defaultdict(int)
+    for h, ids in posts.items():
+        if 2 <= len(ids) <= df_cap:
+            ids = sorted(ids)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    counts[(ids[x], ids[y])] += 1
+    return {p: c for p, c in counts.items() if c >= min_shared}
+
+
+def test_winnow_pairs_match_bruteforce(spark):
+    parent = " ".join(WORDS)
+    snippet = " ".join(WORDS[:30])          # 30-token shared run >> w+k-1
+    unrelated = " ".join(f"z{i}" for i in range(100))
+    rows = [(1, parent), (2, snippet), (3, unrelated)]
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in dedup.winnow_overlap_pairs(_docs(spark, rows)).collect()}
+    assert got == _winnow_brute_pairs(rows)
+    assert (1, 2) in got                    # the guarantee in action
+
+
+def test_winnow_pairs_df_cap_drops_boilerplate(spark):
+    text = " ".join(WORDS[:20])
+    docs = _docs(spark, [(i, text) for i in range(5)])
+    assert dedup.winnow_overlap_pairs(docs, df_cap=4).count() == 0
+    assert dedup.winnow_overlap_pairs(docs, df_cap=5).count() == 10
+
+
+def test_winnow_pairs_guards_and_single_md5(spark):
+    with pytest.raises(ValueError, match="df_cap"):
+        dedup.winnow_overlap_pairs(_docs(spark, [(1, "a b c")]), df_cap=1)
+    with pytest.raises(ValueError, match="min_shared"):
+        dedup.winnow_overlap_pairs(_docs(spark, [(1, "a b c")]), min_shared=0)
+    q = dedup.winnow_overlap_pairs(_docs(spark, [(1, "a b c d e f")]))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5") == 1, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
