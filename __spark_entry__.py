@@ -3511,14 +3511,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                      array_to_string(toks[1:40], ' ') AS text,
                      toks[1:40] AS toks
               FROM base WHERE doc_id % 5 = 0),
-            h AS (
-              SELECT doc_id, list_transform(
-                       CASE WHEN len(toks) >= 3
-                            THEN list_transform(generate_series(1, len(toks) - 2),
-                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                            ELSE [text] END,
-                       g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+            th AS (
+              SELECT doc_id, list_transform(toks,
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
               FROM corpus),
+            h AS (
+              SELECT doc_id,
+                     CASE WHEN len(th) >= 3
+                          THEN list_transform(generate_series(1, len(th) - 2),
+                               i -> (((th[i] * 8191 + th[i+1]) & 4294967295)
+                                    * 8191 + th[i+2]) & 4294967295)
+                          ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                                (a, b) -> (a * 8191 + b) & 4294967295)] END AS hs
+              FROM th),
             win AS (
               SELECT doc_id, i, list_slice(hs, i, i + 3) AS wn
               FROM h, unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS t(i)),
@@ -5833,14 +5838,19 @@ def _oracle_sql_literal() -> dict[str, str]:
               SELECT doc_id, text,
                      list_filter(string_split(text, ' '), t -> t != '') AS toks
               FROM documents WHERE doc_id % 10 = 0
-            ), h AS (
-              SELECT doc_id, list_transform(
-                       CASE WHEN len(toks) >= 3
-                            THEN list_transform(generate_series(1, len(toks) - 2),
-                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                            ELSE [text] END,
-                       g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+            ), th AS (
+              SELECT doc_id, list_transform(toks,
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
               FROM base
+            ), h AS (
+              SELECT doc_id,
+                     CASE WHEN len(th) >= 3
+                          THEN list_transform(generate_series(1, len(th) - 2),
+                               i -> (((th[i] * 8191 + th[i+1]) & 4294967295)
+                                    * 8191 + th[i+2]) & 4294967295)
+                          ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                                (a, b) -> (a * 8191 + b) & 4294967295)] END AS hs
+              FROM th
             ), win AS (
               SELECT doc_id, i, list_slice(hs, i, i + 3) AS wn
               FROM h, unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS t(i)

@@ -839,13 +839,12 @@ def winnow_overlap_pairs(docs: DataFrame, text_col: str = "text",
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1; got {min_shared}")
     from . import textanalysis as TA
-    hashed = F.transform(T.shingles(F.col(text_col), k),
-                         lambda g: H.hash32(g))
-    layer = docs.select(F.col(id_col), hashed.alias("_h"))
-    hs = F.array_distinct(F.transform(TA.winnow_selection(F.col("_h"), w),
+    frame = TA.winnow_selection_frame(
+        TA.winnow_hash_frame(docs, text_col, id_col, k), w, id_col=id_col)
+    hs = F.array_distinct(F.transform(F.col("_sel"),
                                       lambda s: s["gram_hash"]))
-    sel = layer.select(id_col, hs.alias("_sel"))
-    exploded = (sel.select(id_col, F.explode_outer("_sel").alias("_gh"))
+    sel = frame.select(id_col, hs.alias("_selh"))
+    exploded = (sel.select(id_col, F.explode_outer("_selh").alias("_gh"))
                 .filter(F.col("_gh").isNotNull()))
     posts = (exploded.groupBy("_gh")
              .agg(F.collect_list(F.col(id_col)).alias("_ids"))

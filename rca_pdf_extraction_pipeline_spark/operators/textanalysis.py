@@ -366,29 +366,133 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
     )
 
 
-def winnow_selection(hashed: Column, w: int) -> Column:
-    """Winnowing selection array ``array<struct<pos, gram_hash>>`` over
-    a k-gram-hash array column: per length-``w`` window, the minimum
-    hash (rightmost tie), deduplicated.  Factored out so the exploded
-    fingerprint query and pair mining (``dedup.winnow_overlap_pairs``)
-    share one formulation.  ``hashed`` MUST be a projected column
-    attribute, not an inline expensive expression — every window slice
-    references it (the single-hash layer discipline)."""
-    def pick(i: Column) -> Column:
-        win = F.slice(hashed, i, w)
-        m = F.array_min(win)
-        # rightmost position of the window minimum: max index attaining it
-        p = F.array_max(F.filter(
-            F.sequence(F.lit(1), F.size(win)),
-            lambda j: F.element_at(win, j) == m))
-        return F.struct((i + p - 1).cast("long").alias("pos"),
-                        m.alias("gram_hash"))
+#: winnowing packs the 0-based gram index into the low 20 bits of the
+#: selection key — a document with more grams would alias positions, so
+#: the operator raises loudly instead (chunk upstream), mirroring the
+#: SimHash lane cap.
+WINNOW_POS_CAP = 1 << 20
 
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1),
-                               F.greatest(F.size(hashed) - (w - 1),
-                                          F.lit(1))),
-                    pick))
+#: winnow gram hashes combine per-TOKEN hash32 values arithmetically —
+#: h = ((h*8191 + next) & 0xFFFFFFFF) per token — instead of hashing
+#: concatenated shingle STRINGS: building 3-gram strings costs ~3x the
+#: whole selection cascade (measured 14.3 s of a 19.2 s wall at 48k
+#: docs — interpreted element_at + concat allocations per gram), while
+#: the integer combination is two zip_with passes over shifted slices
+#: of ONE md5-per-token layer.  32-bit range keeps the packed
+#: (hash << 20 | pos) selection key inside a long.
+WINNOW_HASH_MULT = 8191
+WINNOW_HASH_MASK = 0xFFFFFFFF
+
+
+def winnow_hash_frame(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """``(id_col, _h: array<long>)`` — word-k-gram hashes for
+    winnowing: ONE md5 per token (``hash32``) projected into a column
+    layer, then per-gram integer combination by the recurrence above
+    over shifted slices of that layer (attribute references are free;
+    an inline md5 transform would re-evaluate once per slice).
+    Documents with fewer than ``k`` tokens fall back to one whole-doc
+    hash = the same recurrence folded over all their token hashes from
+    init 0, so the fallback needs no second md5 site (plan pin:
+    exactly one md5).
+
+    DuckDB twin (over ``th = list_transform(toks, t ->
+    ('0x'||substr(md5(t),1,8))::BIGINT)``): for k=3 ``g_i = (((th[i]
+    * 8191 + th[i+1]) & 4294967295) * 8191 + th[i+2]) & 4294967295``;
+    short docs ``[list_reduce(list_prepend(0::BIGINT, th), (a, b) ->
+    (a * 8191 + b) & 4294967295)]``.
+    """
+    layer = docs.select(
+        F.col(id_col),
+        F.transform(T.tokens(F.col(text_col)),
+                    lambda t: H.hash32(t)).alias("_th"))
+    th = F.col("_th")
+    n = F.size(th)
+
+    def mix(a: Column, b: Column) -> Column:
+        return (a * F.lit(WINNOW_HASH_MULT) + b) \
+            .bitwiseAND(F.lit(WINNOW_HASH_MASK))
+
+    g = F.slice(th, 1, n - (k - 1))
+    for j in range(1, k):
+        g = F.zip_with(g, F.slice(th, 1 + j, n - (k - 1)), mix)
+    short = F.array(F.aggregate(th, F.lit(0).cast("long"), mix))
+    return layer.select(F.col(id_col),
+                        F.when(n >= k, g).otherwise(short).alias("_h"))
+
+
+def _winnow_pairmin(m: Column, c: int) -> Column:
+    """Element-wise min of ``m`` against itself shifted by ``c`` — one
+    sparse-table doubling step of the sliding-window minimum.  Guarded
+    to an empty array when the input is shorter than the shift (short
+    documents fall back to the single-window branch downstream)."""
+    ln = F.size(m)
+    return F.when(ln > c, F.zip_with(F.slice(m, 1, ln - c),
+                                     F.slice(m, c + 1, ln - c),
+                                     lambda a, b: F.least(a, b))) \
+            .otherwise(F.array().cast("array<long>"))
+
+
+def winnow_selection_frame(layer: DataFrame, w: int,
+                           id_col: str = "doc_id",
+                           hash_col: str = "_h",
+                           out_col: str = "_sel") -> DataFrame:
+    """Append the winnowing selection array ``out_col:
+    array<struct<pos, gram_hash>>`` (per length-``w`` window the
+    minimum gram hash, RIGHTMOST tie, deduplicated) to a frame carrying
+    a projected gram-hash array column ``hash_col``.  Shared by the
+    exploded fingerprint query and pair mining
+    (``dedup.winnow_overlap_pairs``).
+
+    Form chosen for the interpreted-HOF reality (CLAUDE.md: higher-
+    order functions are never whole-stage codegen'd): each gram packs
+    ``hash * 2^20 + (2^20 - 1 - index)`` into one long, so a window MIN
+    decodes to (min hash, rightmost index attaining it) — then the
+    sliding-window minimum is a sparse-table cascade of ceil(log2 w)+1
+    full-array ``zip_with(least)`` passes, EACH projected as its own
+    column so no level is re-evaluated by its two slice consumers (the
+    naive per-window slice/argmax form re-ran interpreted HOFs per
+    window and measured ~7x slower at 48k docs).  Documents with more
+    than 2^20 grams trip a loud per-row ``raise_error``.
+    """
+    h = F.col(hash_col)
+    n = F.size(h)
+    guarded = F.when(
+        n > WINNOW_POS_CAP,
+        F.raise_error(F.concat(
+            F.lit("winnow_selection: document "),
+            F.col(id_col).cast("string"),
+            F.lit(" has "), n.cast("string"),
+            F.lit(f" k-grams > position cap {WINNOW_POS_CAP}; "
+                  "chunk oversized documents upstream "
+                  "(operators/chunking.py) before winnowing")))
+        .cast("array<long>"),
+    ).otherwise(
+        F.transform(h, lambda x, j: F.shiftleft(x, 20)
+                    + (F.lit(WINNOW_POS_CAP - 1) - j)))
+    cur = layer.withColumn("_wk1", guarded)
+    width, name = 1, "_wk1"
+    while width * 2 <= w:
+        nxt = f"_wk{width * 2}"
+        cur = cur.withColumn(nxt, _winnow_pairmin(F.col(name), width))
+        name, width = nxt, width * 2
+    if width < w:
+        # overlap-align the two power-of-two tables to exact width w
+        cur = cur.withColumn(f"_wk{w}",
+                             _winnow_pairmin(F.col(name), w - width))
+        name = f"_wk{w}"
+    # NULL hash arrays (NULL text) stay NULL: the first branch is NULL
+    # for them, the second only fires on non-null short docs
+    wins = F.when(F.size(F.col("_wk1")) >= w, F.col(name)) \
+            .when(F.col("_wk1").isNotNull(),
+                  F.array(F.array_min(F.col("_wk1"))))
+    sel = F.transform(
+        F.array_distinct(wins),
+        lambda key: F.struct(
+            (F.lit(WINNOW_POS_CAP)
+             - key.bitwiseAND(WINNOW_POS_CAP - 1)).alias("pos"),
+            F.shiftrightunsigned(key, 20).alias("gram_hash")))
+    return cur.withColumn(out_col, sel)
 
 
 def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
@@ -409,23 +513,23 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     primitive for a training corpus.
 
     Output: ``(doc_id, pos, gram_hash)`` — ``pos`` is the 1-based index
-    of the selected k-gram.  Scale: fully narrow.  ONE md5 per gram,
-    projected into a column layer every window slice references (the
-    single-hash discipline; plan pin: exactly one md5 in one Project),
-    then integer slice/min passes over a ``w``-sized constant window.
-    No shuffle, no explode of separately-projected expensive columns —
-    the selection array derives from the hashed layer column only.
+    of the selected k-gram.  Scale: fully narrow.  ONE md5 per TOKEN
+    projected into a column layer, gram hashes by integer combination
+    (:func:`winnow_hash_frame` — shingle STRING construction measured
+    3x the whole selection cascade); the sliding-window minimum is the
+    packed-key sparse-table cascade of :func:`winnow_selection_frame`
+    — ceil(log2 w)+1 full-array passes, never per-window slices.  No
+    shuffle; the only Generate is the final explode of the selection
+    column.
     """
     if w < 1:
         raise ValueError(f"w must be >= 1; got {w}")
-    hashed = F.transform(T.shingles(F.col(text_col), k),
-                         lambda g: H.hash32(g))
-    layer = docs.select(F.col(id_col), hashed.alias("_h"))
-    sel = winnow_selection(F.col("_h"), w)
+    frame = winnow_selection_frame(
+        winnow_hash_frame(docs, text_col, id_col, k), w, id_col=id_col)
     # explode_outer + IS NOT NULL: the nullable computed array would
     # otherwise get an inferred pre-Generate Filter whose pushdown
     # re-evaluates the synthesis (CLAUDE.md interleaved-explode trap)
-    return (layer.select(F.col(id_col), F.explode_outer(sel).alias("_fp"))
+    return (frame.select(F.col(id_col), F.explode_outer("_sel").alias("_fp"))
             .filter(F.col("_fp").isNotNull())
             .select(F.col(id_col),
                     F.col("_fp.pos").alias("pos"),

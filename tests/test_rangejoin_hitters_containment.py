@@ -190,15 +190,13 @@ def test_containment_guard_and_single_md5(spark):
 def _winnow_brute_pairs(rows, k=3, w=4, df_cap=16, min_shared=2):
     """Plain-Python replay: winnow selection per doc, df-capped posting
     lists, shared-hash counts per pair."""
-    import hashlib as _hl
     from collections import defaultdict
+
+    from test_training_ops import _winnow_gram_hashes
 
     sel = {}
     for did, text in rows:
-        toks = [t for t in text.split(" ") if t]
-        grams = ([" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-                 if len(toks) >= k else [text])
-        hs = [int(_hl.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        hs = _winnow_gram_hashes(text, k)
         chosen = set()
         for i in range(max(len(hs) - w + 1, 1)):
             win = hs[i:i + w]

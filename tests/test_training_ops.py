@@ -312,15 +312,28 @@ def test_fingerprint_order_sensitivity(spark):
     assert fp[1] != fp[3]  # rolling hash is order-sensitive
 
 
-def _winnow_brute(text: str, k: int = 3, w: int = 4) -> set[tuple[int, int]]:
-    """Reference winnowing in plain Python (rightmost-min rule)."""
+def _winnow_gram_hashes(text: str, k: int = 3) -> list[int]:
+    """Token-hash integer-combination gram hashes (winnow_hash_frame)."""
     import hashlib as _hl
     toks = [t for t in text.split(" ") if t]
+    th = [int(_hl.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
     if len(toks) >= k:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    else:
-        grams = [text]
-    hs = [int(_hl.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        hs = []
+        for i in range(len(th) - k + 1):
+            a = th[i]
+            for j in range(1, k):
+                a = (a * 8191 + th[i + j]) & 0xFFFFFFFF
+            hs.append(a)
+        return hs
+    a = 0
+    for h in th:
+        a = (a * 8191 + h) & 0xFFFFFFFF
+    return [a]
+
+
+def _winnow_brute(text: str, k: int = 3, w: int = 4) -> set[tuple[int, int]]:
+    """Reference winnowing in plain Python (rightmost-min rule)."""
+    hs = _winnow_gram_hashes(text, k)
     out = set()
     for i in range(max(len(hs) - w + 1, 1)):
         win = hs[i:i + w]
