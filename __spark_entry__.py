@@ -2527,6 +2527,23 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       min_shared=2)
 
 
+def _q_dedup_corpus_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-overlap CC dedup on the snippet-augmented corpus: every
+    snippet pairs with its parent (guaranteed by the shared 40-token
+    run), so components collapse to the parent id and the survivor set
+    is (almost exactly) the original corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snips = (d.filter(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.array_join(
+                         F.slice(textfns.tokens(F.col("text")), 1, 40), " ")
+                     .alias("text")))
+    corpus = d.unionByName(snips)
+    return dedup.deduplicate_corpus_winnow(corpus, k=3, w=4, df_cap=16,
+                                           min_shared=2) \
+        .select("doc_id", F.length("text").alias("n_chars"))
+
+
 # ---- raw-HTML markup extraction (north_rule: boilerplate strip from
 # ---- markup; operators/htmlparse.py) ---------------------------------------
 
@@ -2653,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "containment_pairs": _q_containment_pairs,
         "winnow_pairs": _q_winnow_pairs,
+        "dedup_corpus_winnow": _q_dedup_corpus_winnow,
         "interleaved_merged": _q_interleaved_merged,
         "media_context": _q_media_context,
         "asset_census": _q_asset_census,
@@ -3242,6 +3260,48 @@ def _oracle_sql_literal() -> dict[str, str]:
     # hsrc replays synth_html verbatim; the parse replays the sentinel
     # rewrite (<p> -> \\x01p\\x02) + split + tag-strip regexes, which are
     # RE2/Java-identical by construction.
+    # winnow-overlap pair chain over the snippet-augmented corpus —
+    # shared by the pair query and the CC dedup policy (dialect twin of
+    # textanalysis.winnow_hash_frame + winnow_selection_frame +
+    # dedup.winnow_overlap_pairs)
+    winnow_pair_ctes = """
+            base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+              FROM documents),
+            corpus AS (
+              SELECT doc_id, text, toks FROM base
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     array_to_string(toks[1:40], ' ') AS text,
+                     toks[1:40] AS toks
+              FROM base WHERE doc_id % 5 = 0),
+            wth AS (
+              SELECT doc_id, list_transform(toks,
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+              FROM corpus),
+            wh AS (
+              SELECT doc_id,
+                     CASE WHEN len(th) >= 3
+                          THEN list_transform(generate_series(1, len(th) - 2),
+                               i -> (((th[i] * 8191 + th[i+1]) & 4294967295)
+                                    * 8191 + th[i+2]) & 4294967295)
+                          ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                                (a, b) -> (a * 8191 + b) & 4294967295)] END AS hs
+              FROM wth),
+            wwin AS (
+              SELECT doc_id, i, list_slice(hs, i, i + 3) AS wn
+              FROM wh, unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS t(i)),
+            wsel AS (SELECT DISTINCT doc_id, list_min(wn)::BIGINT AS gh FROM wwin),
+            wdfreq AS (SELECT gh, count(*) AS df FROM wsel GROUP BY gh),
+            wok AS (SELECT wsel.doc_id, wsel.gh FROM wsel JOIN wdfreq USING (gh)
+                    WHERE df BETWEEN 2 AND 16),
+            wpr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*)::BIGINT AS n_shared
+              FROM wok a JOIN wok b ON a.gh = b.gh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
     html_ctes = r"""
             WITH hs0 AS (
               SELECT doc_id,
@@ -3499,42 +3559,23 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE greatest((n_shared * 1000000) // n_a,
                            (n_shared * 1000000) // n_b) >= 500000
         """,
-        "winnow_pairs": """
-            WITH base AS (
-              SELECT doc_id, text,
-                     list_filter(string_split(text, ' '), x -> x != '') AS toks
-              FROM documents),
-            corpus AS (
-              SELECT doc_id, text, toks FROM base
-              UNION ALL
-              SELECT doc_id + 100000 AS doc_id,
-                     array_to_string(toks[1:40], ' ') AS text,
-                     toks[1:40] AS toks
-              FROM base WHERE doc_id % 5 = 0),
-            th AS (
-              SELECT doc_id, list_transform(toks,
-                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
-              FROM corpus),
-            h AS (
-              SELECT doc_id,
-                     CASE WHEN len(th) >= 3
-                          THEN list_transform(generate_series(1, len(th) - 2),
-                               i -> (((th[i] * 8191 + th[i+1]) & 4294967295)
-                                    * 8191 + th[i+2]) & 4294967295)
-                          ELSE [list_reduce(list_prepend(0::BIGINT, th),
-                                (a, b) -> (a * 8191 + b) & 4294967295)] END AS hs
-              FROM th),
-            win AS (
-              SELECT doc_id, i, list_slice(hs, i, i + 3) AS wn
-              FROM h, unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS t(i)),
-            sel AS (SELECT DISTINCT doc_id, list_min(wn)::BIGINT AS gh FROM win),
-            dfreq AS (SELECT gh, count(*) AS df FROM sel GROUP BY gh),
-            ok AS (SELECT sel.doc_id, sel.gh FROM sel JOIN dfreq USING (gh)
-                   WHERE df BETWEEN 2 AND 16)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   count(*)::BIGINT AS n_shared
-            FROM ok a JOIN ok b ON a.gh = b.gh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2 HAVING count(*) >= 2
+        "winnow_pairs": "WITH " + winnow_pair_ctes + """
+            SELECT id_a, id_b, n_shared FROM wpr
+        """,
+        "dedup_corpus_winnow": "WITH RECURSIVE " + winnow_pair_ctes + """,
+            wedges AS (SELECT id_a AS src, id_b AS dst FROM wpr
+                       UNION
+                       SELECT id_b, id_a FROM wpr),
+            wreach(src, dst) AS (
+              SELECT src, dst FROM wedges
+              UNION
+              SELECT r.src, e.dst FROM wreach r JOIN wedges e ON r.dst = e.src),
+            wminlab AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS label
+              FROM wreach GROUP BY src)
+            SELECT c.doc_id, length(c.text)::INT AS n_chars
+            FROM corpus c LEFT JOIN wminlab m ON m.doc_id = c.doc_id
+            WHERE m.doc_id IS NULL OR m.label = c.doc_id
         """,
         # ---- extraction: golden-artifact oracles --------------------------
         "extract_flagship": f"""

@@ -863,3 +863,33 @@ def winnow_overlap_pairs(docs: DataFrame, text_col: str = "text",
     return (pairs.groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def deduplicate_corpus_winnow(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 3,
+                              w: int = 4, df_cap: int = 16,
+                              min_shared: int = 2, max_iter: int = 50,
+                              checkpoint_dir: str | None = None
+                              ) -> DataFrame:
+    """Corpus dedup over winnow-overlap components: keep exactly the
+    MINIMUM id of every connected component of
+    :func:`winnow_overlap_pairs` candidates — the MOSS pair mining
+    composed into an actual dedup policy (the winnow analogue of
+    :func:`deduplicate_corpus_cc`, sharing the same min-label
+    propagation loop and ``checkpoint_dir`` durability semantics).
+    Catches the overlap shape MinHash-Jaccard dedup is weakest on:
+    documents stitched from long shared runs (quotes, templated
+    sections) whose symmetric Jaccard stays low.
+    """
+    from .linkgraph import connected_components  # local: linkgraph imports us
+
+    pairs = winnow_overlap_pairs(docs, text_col, id_col, k, w,
+                                 df_cap, min_shared)
+    labels = connected_components(
+        docs.select(F.col(id_col).alias("node")),
+        pairs.select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")),
+        id_col="node", max_iter=max_iter, checkpoint_dir=checkpoint_dir)
+    keepers = labels.filter(F.col("label") == F.col("node")) \
+                    .select(F.col("node").alias(id_col))
+    return docs.join(keepers, id_col, "left_semi")

@@ -243,3 +243,16 @@ def test_winnow_pairs_guards_and_single_md5(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert plan.count("md5") == 1, plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_winnow_cc_dedup_keeps_component_min(spark):
+    parent = " ".join(WORDS)                 # id 1
+    snippet = " ".join(WORDS[:30])           # id 2 -> pairs with 1
+    tail = " ".join(WORDS[70:])              # id 4 -> pairs with 1 (shared tail)
+    unrelated = " ".join(f"z{i}" for i in range(100))   # id 3 isolated
+    docs = _docs(spark, [(1, parent), (2, snippet), (3, unrelated), (4, tail)])
+    kept = sorted(r["doc_id"] for r in
+                  dedup.deduplicate_corpus_winnow(docs).select("doc_id").collect())
+    # 2 and 4 both overlap 1 -> one component {1,2,4}, min id 1 survives;
+    # the isolated doc keeps itself
+    assert kept == [1, 3]
