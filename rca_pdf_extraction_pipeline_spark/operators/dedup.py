@@ -775,6 +775,8 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     """
     if df_cap < 2:
         raise ValueError("df_cap must be >= 2 (a pair needs two docs)")
+    from pyspark.sql import Window
+
     hs = F.transform(T.shingle_set(F.col(text_col), shingle_size),
                      lambda s: F.substring(F.md5(s), 1, 16))
     layer = docs.select(F.col(id_col), hs.alias("_hs"))
@@ -782,10 +784,19 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     exploded = (sized.select(id_col, "_n_sh",
                              F.explode_outer("_hs").alias("_h"))
                 .filter(F.col("_h").isNotNull()))
-    posts = (exploded.groupBy("_h")
+    # df-cap BEFORE any posting list materializes: the per-shingle doc
+    # frequency is a whole-partition window count — WindowExec buffers
+    # a group in a SPILLABLE row array, so a boilerplate shingle shared
+    # by 10^9 documents costs disk, never one task's heap (the previous
+    # collect_list-then-filter form built the full posting array in
+    # memory before the cap could drop it).  The capped groupBy then
+    # runs on the SAME (_h) partitioning — no extra exchange.
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    capped = (exploded.withColumn("_df", dfw)
+              .filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap)))
+    posts = (capped.groupBy("_h")
              .agg(F.collect_list(F.struct(F.col(id_col).alias("i"),
-                                          F.col("_n_sh").alias("n"))).alias("_ds"))
-             .filter((F.size("_ds") >= 2) & (F.size("_ds") <= df_cap)))
+                                          F.col("_n_sh").alias("n"))).alias("_ds")))
     # project the sorted posting list ONCE (struct sort: id first, so
     # generated pairs come out id_a < id_b); deriving from the column
     # keeps array_sort single-evaluation under the element_at fan-out
@@ -846,9 +857,18 @@ def winnow_overlap_pairs(docs: DataFrame, text_col: str = "text",
     sel = frame.select(id_col, hs.alias("_selh"))
     exploded = (sel.select(id_col, F.explode_outer("_selh").alias("_gh"))
                 .filter(F.col("_gh").isNotNull()))
-    posts = (exploded.groupBy("_gh")
-             .agg(F.collect_list(F.col(id_col)).alias("_ids"))
-             .filter((F.size("_ids") >= 2) & (F.size("_ids") <= df_cap)))
+    # df-cap via a spillable whole-partition window count BEFORE the
+    # posting list materializes (same hazard + fix as
+    # containment_pairs: a boilerplate hash must never build an
+    # unbounded collect_list in one task); the capped groupBy reuses
+    # the (_gh) partitioning — no extra exchange
+    from pyspark.sql import Window
+
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("_gh"))
+    capped = (exploded.withColumn("_df", dfw)
+              .filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap)))
+    posts = (capped.groupBy("_gh")
+             .agg(F.collect_list(F.col(id_col)).alias("_ids")))
     sorted_posts = posts.select(F.array_sort("_ids").alias("_ids"))
     ids = F.col("_ids")
     n = F.size(ids)
