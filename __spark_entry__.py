@@ -4208,7 +4208,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             WITH {_SQL_URL_CTES}
             SELECT url_norm, COUNT(*)::BIGINT AS n_docs,
                    MIN(doc_id) AS keep_id,
-                   array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
+                   array_to_string(list_sort(list(doc_id))[1:1024], ',') AS dup_ids
             FROM n GROUP BY url_norm HAVING COUNT(*) > 1
             ORDER BY url_norm
         """,

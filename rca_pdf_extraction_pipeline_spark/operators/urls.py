@@ -163,19 +163,38 @@ def with_apex_domain(docs: DataFrame, url_col: str = "url",
 
 
 def url_duplicates(docs: DataFrame, url_col: str = "url",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   max_ids: int = 1024) -> DataFrame:
     """URL-level exact dedup after canonicalization: one row per
     normalized url seen >1 times — (url_norm, n_docs, keep_id, dup_ids)
     with keep = minimum id (the crawl-order keep-first policy).
     Shuffle carries only (md5 digest, id): the urls themselves ride as
-    one exemplar per group via min()."""
+    one exemplar per group via min().
+
+    ``dup_ids`` lists the group's SMALLEST ``max_ids`` ids — capped via
+    a rank window on the same (digest) exchange (WindowExec buffers
+    groups in a spillable row array), so a viral URL shared by 10^8
+    documents costs disk in the rank pass and truncates VISIBLY in the
+    listing instead of materializing an unbounded collect_list in one
+    task's heap (the inverted-index postings convention);  ``n_docs``
+    and ``keep_id`` stay exact over the whole group."""
+    if max_ids < 1:
+        raise ValueError(f"max_ids must be >= 1; got {max_ids}")
+    from pyspark.sql import Window
+
     t = docs.select(F.col(id_col),
-                    normalize_url(F.col(url_col)).alias("url_norm"))
-    return (t.groupBy(F.md5(F.col("url_norm")).alias("k"))
+                    normalize_url(F.col(url_col)).alias("url_norm")) \
+            .withColumn("k", F.md5(F.col("url_norm")))
+    rn = F.row_number().over(
+        Window.partitionBy("k").orderBy(F.col(id_col).asc()))
+    return (t.withColumn("_rn", rn)
+            .groupBy("k")
             .agg(F.min("url_norm").alias("url_norm"),
                  F.count(F.lit(1)).alias("n_docs"),
                  F.min(id_col).alias("keep_id"),
-                 F.array_sort(F.collect_list(id_col)).alias("dup_ids"))
+                 F.array_sort(F.collect_list(
+                     F.when(F.col("_rn") <= max_ids, F.col(id_col))))
+                 .alias("dup_ids"))
             .where(F.col("n_docs") > 1)
             .select("url_norm", "n_docs", "keep_id", "dup_ids"))
 

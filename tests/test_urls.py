@@ -101,6 +101,15 @@ def test_url_duplicates_keep_first(url_corpus):
     assert (g["n_docs"], g["keep_id"], list(g["dup_ids"])) == (3, 0, [0, 1, 2])
 
 
+def test_url_duplicates_listing_cap_is_visible(url_corpus):
+    # max_ids truncates dup_ids to the smallest ids; the exact counts
+    # and keep_id still cover the WHOLE group (viral-URL memory bound)
+    g = urls.url_duplicates(url_corpus, max_ids=2).collect()[0]
+    assert (g["n_docs"], g["keep_id"], list(g["dup_ids"])) == (3, 0, [0, 1])
+    with pytest.raises(ValueError, match="max_ids"):
+        urls.url_duplicates(url_corpus, max_ids=0)
+
+
 def test_cap_per_domain_bounds_and_determinism(url_corpus):
     kept = urls.cap_per_domain(url_corpus, max_docs=3)
     by_dom = {}
