@@ -355,6 +355,33 @@ def test_winnow_matches_bruteforce(spark):
     assert got == want
 
 
+def test_winnow_property_matches_bruteforce(spark):
+    """Hypothesis batch over a TINY token alphabet — repeated grams
+    force window-minimum ties, exercising the rightmost-tie rule the
+    fixed fixtures rarely hit; one Spark pass for the whole batch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.sampled_from(["a", "b", "ab"])
+    lists = st.lists(tok, min_size=0, max_size=30)
+    cases: list[list[str]] = []
+
+    @settings(max_examples=150, deadline=None)
+    @given(lists)
+    def collect(ts):
+        cases.append(ts)
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, " ".join(c)) for i, c in enumerate(cases)],
+        "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in textanalysis.winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
+    for i, c in enumerate(cases):
+        assert got.get(i, set()) == _winnow_brute(" ".join(c)), (i, c)
+
+
 def test_winnow_shared_run_guarantee(spark):
     # any shared run of w+k-1 = 6 words must yield a shared fingerprint
     shared = "one two three four five six"
