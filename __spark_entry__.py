@@ -512,6 +512,22 @@ def _q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url_norm"))
 
 
+def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style category blocklist flags over the synthetic crawl: a
+    tiny deterministic (domain, category) table blocks parent domains
+    at two candidate levels, one domain carrying two categories."""
+    from rca_pdf_extraction_pipeline_spark.operators import urls
+
+    bl = spark.createDataFrame(
+        [("ex9.com", "ads"), ("ex9.com", "malware"),
+         ("ex1.com.au", "tracking"), ("site5.ex8.com", "adult")],
+        "domain string, category string")
+    return (urls.flag_blocked(_url_docs(spark, sf_dir), bl)
+            .select("doc_id", "blocked",
+                    F.array_join("categories", ",").alias("categories"))
+            .where(F.col("doc_id") < 400).orderBy("doc_id"))
+
+
 def _q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rca_pdf_extraction_pipeline_spark.operators import urls
 
@@ -2773,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "url_normalize": _q_url_normalize,
         "url_dedup_groups": _q_url_dedup_groups,
+        "url_blocklist_flags": _q_url_blocklist,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_corpus_cc": _q_dedup_corpus_cc,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
@@ -4211,6 +4228,35 @@ def _oracle_sql_literal() -> dict[str, str]:
                    array_to_string(list_sort(list(doc_id))[1:1024], ',') AS dup_ids
             FROM n GROUP BY url_norm HAVING COUNT(*) > 1
             ORDER BY url_norm
+        """,
+        "url_blocklist_flags": f"""
+            WITH {_SQL_URL_CTES},
+            bl(domain, category) AS (
+              VALUES ('ex9.com', 'ads'), ('ex9.com', 'malware'),
+                     ('ex1.com.au', 'tracking'),
+                     ('site5.ex8.com', 'adult')),
+            cand AS (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                [regexp_extract(host_nowww, '([^.]+)$', 1),
+                 regexp_extract(host_nowww, '([^.]+\\.[^.]+)$', 1),
+                 regexp_extract(host_nowww, '([^.]+\\.[^.]+\\.[^.]+)$', 1),
+                 regexp_extract(host_nowww,
+                   '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)],
+                c -> c != ''))) AS c
+              FROM norm WHERE doc_id < 400),
+            hits AS (
+              SELECT cand.doc_id, bl.category
+              FROM cand JOIN bl ON cand.c = lower(bl.domain))
+            SELECT u.doc_id,
+                   count(h.category) > 0 AS blocked,
+                   coalesce(array_to_string(list_sort(
+                     list(DISTINCT h.category)
+                       FILTER (WHERE h.category IS NOT NULL)), ','), '')
+                     AS categories
+            FROM u LEFT JOIN hits h ON h.doc_id = u.doc_id
+            WHERE u.doc_id < 400
+            GROUP BY u.doc_id
+            ORDER BY u.doc_id
         """,
         "domain_caps": f"""
             WITH {_SQL_URL_CTES},

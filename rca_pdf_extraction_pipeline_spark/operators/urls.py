@@ -162,6 +162,51 @@ def with_apex_domain(docs: DataFrame, url_col: str = "url",
                   *[f"_sfx_{k}" for k in range(1, MAX_SUFFIX_LEVELS + 1)]))
 
 
+def flag_blocked(docs: DataFrame, blocklist: DataFrame,
+                 url_col: str = "url", id_col: str = "doc_id",
+                 domain_col: str = "domain",
+                 category_col: str = "category",
+                 max_levels: int = MAX_SUFFIX_LEVELS) -> DataFrame:
+    """UT1-style category blocklist filter (the Université Toulouse 1
+    crawl-curation convention RefinedWeb/FineWeb apply): flag every
+    document whose host OR any parent domain appears in a
+    ``(domain, category)`` blocklist.  ``www.`` and ports are stripped
+    before matching, so an entry 'badsite.com' blocks
+    'www.badsite.com' and 'cdn.badsite.com' alike.
+
+    Output: ``(id_col, url_col, blocked, categories)`` — ``categories``
+    sorted-distinct (one domain may carry several; empty array when
+    clean), ``blocked = size(categories) > 0``.
+
+    Scale: candidates are the host's last-k-label strings (k <=
+    ``max_levels``, <= 4 short rows per doc) exploded inside the scan
+    and joined against the BROADCAST blocklist (UT1's full dumps are a
+    few million short domains — comfortably broadcastable; shard by
+    category if not), then ONE hash agg on the doc id.  The doc side
+    never shuffles its payload beyond (id, url).
+    """
+    _, authority, _ = _split(F.col(url_col))
+    host = F.regexp_replace(F.regexp_replace(authority, r":\d+$", ""),
+                            r"^www\.", "")
+    base = docs.select(F.col(id_col), F.col(url_col)) \
+               .withColumn("_bl_host", host)
+    cand = F.array_distinct(F.filter(
+        F.array(*[_last_labels(F.col("_bl_host"), k)
+                  for k in range(1, max_levels + 1)]),
+        lambda c: c != F.lit("")))
+    ex = base.select(id_col, url_col, F.explode_outer(cand).alias("_bl_c"))
+    bl = F.broadcast(blocklist.select(
+        F.lower(F.col(domain_col)).alias("_bl_c"),
+        F.col(category_col).alias("_bl_cat")).distinct())
+    joined = ex.join(bl, "_bl_c", "left")
+    cats = F.array_sort(F.array_distinct(F.collect_list("_bl_cat")))
+    return (joined.groupBy(id_col)
+            .agg(F.first(url_col).alias(url_col), cats.alias("categories"))
+            .select(id_col, url_col,
+                    (F.size("categories") > 0).alias("blocked"),
+                    "categories"))
+
+
 def url_duplicates(docs: DataFrame, url_col: str = "url",
                    id_col: str = "doc_id",
                    max_ids: int = 1024) -> DataFrame:

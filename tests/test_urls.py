@@ -189,3 +189,30 @@ def test_with_apex_domain_psl_snapshot(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_flag_blocked_parent_domain_and_categories(spark, url_corpus):
+    bl = spark.createDataFrame(
+        [("b.org", "ads"), ("b.org", "malware"), ("c.net", "adult"),
+         ("A.COM", "tracking")],                  # case-folded on join
+        "domain string, category string")
+    got = {r["doc_id"]: (r["blocked"], list(r["categories"]))
+           for r in urls.flag_blocked(url_corpus, bl).collect()}
+    assert got[4] == (True, ["ads", "malware"])   # direct + multi-category
+    assert got[8] == (True, ["ads", "malware"])   # sub.b.org -> parent match
+    assert got[9] == (True, ["adult"])
+    assert got[0] == (True, ["tracking"])         # blocklist case-folded
+    assert len(got) == 10                         # every doc gets a row
+
+
+def test_flag_blocked_clean_corpus_and_plan(spark):
+    docs = spark.createDataFrame([(1, "https://www.fine.example/x")],
+                                 "doc_id long, url string")
+    bl = spark.createDataFrame([("bad.example.net", "ads")],
+                               "domain string, category string")
+    row = urls.flag_blocked(docs, bl).collect()[0]
+    assert row["blocked"] is False and list(row["categories"]) == []
+    q = urls.flag_blocked(docs, bl)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
